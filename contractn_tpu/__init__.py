@@ -1,0 +1,33 @@
+"""contractn_tpu — a TPU-native tensor-network framework.
+
+Tensor networks are defined as graphs of typed nodes (dense cores,
+weight-sharing clones, copy-tensor hyperedges, runtime inputs) and compiled
+into stabilized einsum contractions executed as jitted JAX/XLA programs.
+
+Public API parity target: jemisjoky/ContracTN
+(``/root/reference/contractn/__init__.py``) — ``TN``, ``Node``, ``Edge``,
+``contract`` — re-designed TPU-first: opt_einsum paths baked into XLA
+programs, copy tensors lowered by index fusion, split-format stabilization
+fused into the contraction, log-depth tree reduction for long chains, and
+free ``jit`` / ``grad`` / ``vmap`` over the whole pipeline.
+"""
+
+from .network import TN
+from .nodes import Node
+from .edges import Edge
+from .compiler.engine import contract
+from .ops.stabilize import stabilize, destabilize
+from .utils.errors import TNError
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "TN",
+    "Node",
+    "Edge",
+    "contract",
+    "stabilize",
+    "destabilize",
+    "TNError",
+    "__version__",
+]

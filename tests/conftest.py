@@ -1,0 +1,26 @@
+"""Test configuration: CPU backend, float64, 8 virtual devices.
+
+The container's default JAX platform is the experimental single-chip `axon`
+TPU tunnel (slow remote compiles, float32-only).  Tests need determinism,
+float64 for 1e-10 parity oracles, and a multi-device mesh for sharding tests,
+so we pin everything to the host CPU backend with 8 virtual devices.
+
+Note: a sitecustomize on PYTHONPATH imports jax and registers the axon PJRT
+plugin before pytest starts, so env vars alone are not enough — we update the
+live jax config here, which runs before any backend is initialized.
+"""
+
+import os
+
+# Must be set before the first backend initialization (not merely before
+# jax import — the axon sitecustomize already imported jax).
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,238 @@
+"""Contraction engine tests: values, split format, fast paths, autodiff.
+
+Numerical strategy (SURVEY.md §4): the reference's multi-backend matrix
+collapses to {numpy oracle, jax-cpu-x64}; every jax result is checked against
+the eager numpy oracle (same step sequence) and/or a closed form.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from contractn_tpu import TN, contract
+from contractn_tpu.compiler.engine import _detect_chain, _detect_hadamard
+
+
+def build_mps(bond_dims, input_dims, fill=np.ones):
+    """All-`fill` MPS chain TN with given bond/input dims."""
+    tn = TN()
+    n = len(input_dims)
+    tn.add_dense_node(fill((input_dims[0], bond_dims[0])))
+    for i in range(1, n - 1):
+        tn.add_dense_node(fill((input_dims[i], bond_dims[i - 1], bond_dims[i])))
+    tn.add_dense_node(fill((input_dims[-1], bond_dims[-1])))
+    nodes = tn.nodes()
+    for i in range(n - 1):
+        tn.connect_nodes(nodes[i], nodes[i + 1], -1, -2 if i != n - 2 else -1)
+    return tn
+
+
+@pytest.mark.parametrize("split_format", [False, True])
+@pytest.mark.parametrize(
+    "bond_dims,input_dims",
+    [
+        ((1,), (1, 2)),
+        ((3, 2), (2, 1, 3)),
+        ((5, 2, 4, 3), (2, 3, 1, 2, 2)),
+    ],
+)
+def test_contract_mps_closed_form(split_format, bond_dims, input_dims):
+    """All-ones MPS: log of contraction equals sum of log bond dims
+    (the reference's only numerical test, ``test_einsum.py:28-64``)."""
+    tn = build_mps(bond_dims, input_dims)
+    out = tn.contract(split_format=split_format)
+    if split_format:
+        log_value = jnp.log(out[0]) + out[1]
+    else:
+        log_value = jnp.log(out)
+    assert log_value.shape == tuple(input_dims)
+    correct = sum(math.log(bd) for bd in bond_dims)
+    assert np.allclose(np.asarray(log_value), correct, atol=1e-10)
+
+
+def test_jax_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    tn = build_mps((3, 2), (2, 2, 2), fill=lambda s: rng.standard_normal(s))
+    jax_out = np.asarray(tn.contract())
+    np_out = tn.contract(backend="numpy")
+    assert np.allclose(jax_out, np_out, rtol=1e-10)
+
+
+def test_split_format_identity():
+    rng = np.random.default_rng(1)
+    tn = build_mps((2, 3), (2, 1, 2), fill=lambda s: rng.standard_normal(s))
+    plain = np.asarray(tn.contract())
+    mant, log = tn.contract(split_format=True)
+    assert np.allclose(np.asarray(mant) * np.exp(float(log)), plain, rtol=1e-10)
+    # Split-format invariant: mean |mantissa| == 1
+    assert np.isclose(np.mean(np.abs(np.asarray(mant))), 1.0, rtol=1e-10)
+
+
+def test_clone_contraction_weight_sharing():
+    """Clones contract using the base node's tensor (reference defect D1)."""
+    tn = TN()
+    base = tn.add_dense_node(np.array([[1.0, 2.0], [3.0, 4.0]]))
+    clone = tn.add_duplicate_node(base)
+    tn.connect_nodes(base, clone, 1, 0)
+    out = np.asarray(tn.contract())
+    expect = np.array([[1.0, 2.0], [3.0, 4.0]]) @ np.array([[1.0, 2.0], [3.0, 4.0]])
+    assert np.allclose(out, expect, rtol=1e-10)
+    # Only ONE parameter backs both operands
+    assert len(tn.params) == 1
+
+
+def test_input_node_contraction():
+    """Inputs supplied at contract time (gap in the reference's tests)."""
+    tn = TN()
+    w = tn.add_dense_node(np.arange(6.0).reshape(2, 3))
+    x = tn.add_input_node((3,))
+    tn.connect_nodes(w, x, 1, 0)
+    out = np.asarray(tn.contract(inputs=(np.array([1.0, 0.0, 1.0]),)))
+    assert np.allclose(out, np.array([0 + 2, 3 + 5]), rtol=1e-12)
+
+
+def test_input_node_variable_axis():
+    tn = TN()
+    w = tn.add_dense_node(np.ones((4, 3)))
+    x = tn.add_input_node((-1, 4), var_shape_axes=(0,))
+    tn.connect_nodes(w, x, 0, 1)
+    fun = tn.make_contract_fun()
+    # Output order follows dangler creation: w's free mode, then x's batch
+    for batch in (2, 5):
+        out = fun(tn.params, (np.ones((batch, 4)),))
+        assert out.shape == (3, batch)
+        assert np.allclose(np.asarray(out), 4.0)
+
+
+def test_copy_hub_cp_value():
+    """Copy-tensor hub: CP contraction equals explicit diagonal numpy sum."""
+    rng = np.random.default_rng(2)
+    mats = [rng.standard_normal((4, 5)) for _ in range(3)]
+    cp = TN()
+    hub = cp.add_copy_node(3)
+    for i, m in enumerate(mats):
+        node = cp.add_dense_node(m)
+        cp.connect_nodes(hub, node, i, 0)
+    out = np.asarray(cp.contract())
+    expect = np.einsum("ac,ad,ae->cde", *mats)
+    assert np.allclose(out, expect, rtol=1e-10)
+
+
+def test_repeated_output_diagonal():
+    """Copy node with 2 dangling edges -> diagonal embedding (defect D3:
+    the reference raises ValueError here)."""
+    tn = TN()
+    hub = tn.add_copy_node(3)
+    vec = tn.add_dense_node(np.array([2.0, 3.0, 5.0]))
+    tn.connect_nodes(hub, vec, 0, 0)
+    assert tn.einsum_str == "a->aa"
+    out = np.asarray(tn.contract())
+    assert np.allclose(out, np.diag([2.0, 3.0, 5.0]), rtol=1e-12)
+
+
+def test_repeated_output_via_contract_fn():
+    out = contract("ab->abb", np.arange(6.0).reshape(2, 3))
+    expect = np.zeros((2, 3, 3))
+    for i in range(2):
+        for j in range(3):
+            expect[i, j, j] = i * 3 + j
+    assert np.allclose(np.asarray(out), expect, rtol=1e-12)
+
+
+def test_chain_fast_path_detection_and_parity():
+    n = 24
+    einstr_terms = ["a"]
+    sym = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    for i in range(n):
+        einstr_terms.append(sym[i] + sym[i + 1])
+    einstr = ",".join(einstr_terms) + "->" + sym[n]
+    shapes = tuple([(3,)] + [(3, 3)] * n)
+    assert _detect_chain(einstr, shapes) == (n, True, False)
+
+    rng = np.random.default_rng(3)
+    vec = rng.standard_normal(3)
+    mats = [rng.standard_normal((3, 3)) * 0.5 for _ in range(n)]
+    fast = np.asarray(contract(einstr, vec, *mats))
+    # Force the general path with an explicit contraction path
+    path = [(0, 1)] * n
+    slow = contract(einstr, vec, *mats, optimize=path, backend="numpy")
+    assert np.allclose(fast, slow, rtol=1e-9)
+
+
+def test_hadamard_fast_path_detection_and_parity():
+    einstr = ",".join(["a"] * 8) + "->a"
+    shapes = tuple([(4,)] * 8)
+    assert _detect_hadamard(einstr, shapes) is False  # not summed
+    rng = np.random.default_rng(4)
+    vecs = [rng.standard_normal(4) for _ in range(8)]
+    out = np.asarray(contract(einstr, *vecs))
+    assert np.allclose(out, np.prod(np.stack(vecs), axis=0), rtol=1e-10)
+
+
+def test_long_product_overflow_resistance():
+    """1000 factors of 10: plain overflows f64? No — split format is exact."""
+    vecs = [np.full((2,), 10.0) for _ in range(500)]
+    einstr = ",".join(["a"] * 500) + "->a"
+    mant, log = contract(einstr, *vecs, split_format=True)
+    assert np.allclose(np.asarray(mant), 1.0, rtol=1e-10)
+    assert np.isclose(float(log), 500 * math.log(10.0), rtol=1e-12)
+
+
+def test_gradient_through_contraction():
+    """Contraction is differentiable (upgrade over the reference)."""
+    tn = build_mps((2,), (2, 2))
+    fun = tn.make_contract_fun(split_format=True)
+
+    def loss(params):
+        mant, log = fun(params, ())
+        return log + jnp.log(jnp.sum(jnp.abs(mant)))
+
+    params = tuple(jnp.asarray(p) for p in tn.params)
+    grads = jax.grad(loss)(params)
+    assert all(g.shape == p.shape for g, p in zip(grads, params))
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in grads)
+
+
+def test_vmap_over_params():
+    """One compiled path serves a batch of parameter sets."""
+    tn = build_mps((3,), (2, 2))
+    fun = tn.make_contract_fun(split_format=True)
+    batch = 5
+    rng = np.random.default_rng(5)
+    stacked = tuple(
+        jnp.asarray(rng.standard_normal((batch,) + p.shape)) for p in tn.params
+    )
+    mant, log = jax.vmap(lambda *ps: fun(ps, ()))(*stacked)
+    assert mant.shape == (batch, 2, 2)
+    assert log.shape == (batch,)
+    for b in range(batch):
+        single = np.einsum("ia,ja->ij", *[np.asarray(p[b]) for p in stacked])
+        assert np.allclose(
+            np.asarray(mant[b]) * np.exp(float(log[b])), single, rtol=1e-8
+        )
+
+
+def test_contract_kwargs_validation():
+    with pytest.raises(TypeError):
+        contract("a,a->a", np.ones(2), np.ones(2), bogus_kwarg=1)
+    with pytest.raises(Exception):
+        contract("a,b->ab", np.ones(2))  # operand count mismatch
+    with pytest.raises(Exception):
+        contract("a->ab", np.ones(2))  # output index with unknown dim
+
+
+def test_unicode_symbols_beyond_52():
+    """Networks with >52 edges use opt_einsum's unicode symbol range."""
+    tn = TN()
+    prev = tn.add_dense_node(np.full((2,), 1.0))
+    for _ in range(30):
+        mat = tn.add_dense_node(np.full((2, 2), 0.75))
+        tn.connect_nodes(prev, mat, -1, 0)
+        prev = mat
+    # 30 mats x 2 symbols + vec exceeds 52 symbols during construction
+    out_jax = np.asarray(tn.contract())
+    out_np = tn.contract(backend="numpy")
+    assert np.allclose(out_jax, out_np, rtol=1e-10)
