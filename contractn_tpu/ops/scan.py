@@ -1,0 +1,139 @@
+"""Stabilized sequential contractions as ``lax.scan`` programs.
+
+Long inhomogeneous chains (site-dependent MPS cores, input-dependent site
+matrices) contract as a scan whose carry holds ``(state, log_scale)`` — the
+split-format register rides in the carry, so arbitrarily long products never
+leave the representable range.  This is the TPU-native analog of the
+reference's interpreted pairwise loop (``einsum.py:341-391``): one compiled
+program, O(1) compile size in the chain length, per-step rescale fused by XLA.
+
+The input-weighted evaluation step is deliberately shaped as a GEMM
+``(B, D) x (D, d*D)`` so the MXU does the work; the input contraction that
+follows is a cheap VPU reduction.  Materializing per-site matrices
+``sum_d x[n,d] A_n[d]`` (B*D*D per site of HBM traffic) is avoided entirely.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .stabilize import MIN_NORM
+
+
+def _stab_step(state, log_scale, batch_ndim):
+    """Per-step rescale of the scan carry (same math as ops.stabilize)."""
+    reduce_axes = tuple(range(batch_ndim, state.ndim))
+    size = 1
+    for ax in reduce_axes:
+        size *= state.shape[ax]
+    norm = jnp.sum(jnp.abs(state), axis=reduce_axes)
+    rescale = norm / size
+    safe = jnp.where(norm > MIN_NORM, rescale, jnp.ones_like(rescale))
+    expand = safe.reshape(safe.shape + (1,) * len(reduce_axes))
+    return state / expand, log_scale + jnp.log(safe)
+
+
+def scan_matrix_chain(mats, init=None):
+    """Stabilized left-to-right product of ``(N, D, D)`` matrices via scan.
+
+    Lower compile cost than the tree reduction for very long chains and the
+    building block for pipelined/sharded execution.  Returns
+    ``(product, log_scale)``.
+    """
+    d = mats.shape[-1]
+    if init is None:
+        init = jnp.eye(d, dtype=mats.dtype)
+
+    def step(carry, m):
+        acc, log = carry
+        acc = acc @ m
+        acc, log = _stab_step(acc, log, 0)
+        return (acc, log), None
+
+    (acc, log), _ = jax.lax.scan(
+        step, (init, jnp.zeros((), _real(mats.dtype))), mats
+    )
+    return acc, log
+
+
+def mps_evaluate(cores, left, right, x, stabilize_every=1):
+    """Batched MPS evaluation: ``psi(x_b) = l^T (prod_n sum_d x[b,n,d] A_n[d]) r``.
+
+    Args:
+        cores: ``(N, d, D, D)`` site tensors.
+        left: ``(D,)`` left boundary vector.
+        right: ``(D,)`` right boundary vector.
+        x: ``(B, N, d)`` input weights per site (one-hot for discrete data,
+            arbitrary feature maps otherwise).
+        stabilize_every: rescale cadence (1 = every site, matching the
+            reference's per-step stabilization; larger values trade a bit of
+            dynamic range for fewer VPU passes).
+
+    Returns:
+        ``(mantissa, log_scale)`` of shape ``(B,)`` each: the amplitude in
+        split format, ``psi = mantissa * exp(log_scale)``.
+
+    The hot op per site is ``v @ A_n`` with ``A_n`` reshaped ``(D, d*D)`` —
+    a ``(B, D) x (D, d*D)`` GEMM on the MXU — followed by the ``x`` weighting
+    as a VPU reduction.  HBM traffic per site is just the core itself.
+    """
+    n_sites, phys_dim, bond_dim, _ = cores.shape
+    batch = x.shape[0]
+    v0 = jnp.broadcast_to(left.astype(cores.dtype), (batch, bond_dim))
+    log0 = jnp.zeros((batch,), _real(cores.dtype))
+
+    def step(carry, inputs):
+        v, log, i = carry[0], carry[1], carry[2]
+        core, xn = inputs  # (d, D, D), (B, d)
+        # MXU: (B, D) @ (D, d*D)
+        u = v @ core.transpose(1, 0, 2).reshape(bond_dim, phys_dim * bond_dim)
+        u = u.reshape(batch, phys_dim, bond_dim)
+        # VPU: weight by the site input
+        v = jnp.einsum("bd,bdk->bk", xn, u)
+        do_stab = (i % stabilize_every) == 0
+        vs, logs = _stab_step(v, log, 1)
+        v = jnp.where(do_stab, vs, v)
+        log = jnp.where(do_stab, logs, log)
+        return (v, log, i + 1), None
+
+    (v, log, _), _ = jax.lax.scan(
+        step, (v0, log0, jnp.zeros((), jnp.int32)), (cores, x.swapaxes(0, 1))
+    )
+    amp = v @ right.astype(cores.dtype)
+    amp, log = _stab_step(amp, log, 1)
+    return amp, log
+
+
+def mps_norm(cores, left, right):
+    """Stabilized ``<psi|psi>`` of an MPS via density-matrix transfer scan.
+
+    Carries ``rho_n = E_n^T ... E_1^T (l l^T)`` without ever materializing the
+    ``(D^2, D^2)`` transfer matrices: each site costs two ``(d*D, D)``-shaped
+    GEMMs instead of a ``D^2 x D^2`` product (a ``D^2 / d`` flop saving —
+    4096x for d=2, D=64... vs the naive transfer-matrix product).
+
+    Returns ``(mantissa, log_scale)`` scalars with
+    ``<psi|psi> = mantissa * exp(log_scale)``.
+    """
+    left = left.astype(cores.dtype)
+    right = right.astype(cores.dtype)
+    rho0 = jnp.outer(jnp.conj(left), left)
+    log0 = jnp.zeros((), _real(cores.dtype))
+
+    def step(carry, core):
+        rho, log = carry
+        # X[d] = rho @ A[d]  -> one (D, D) x (D, d*D) GEMM
+        x = jnp.einsum("ij,djk->dik", rho, core)
+        # rho' = sum_d conj(A[d])^T X[d] -> one (D, d*D) x (d*D, D) GEMM
+        rho = jnp.einsum("dji,djk->ik", jnp.conj(core), x)
+        rho, log = _stab_step(rho, log, 0)
+        return (rho, log), None
+
+    (rho, log), _ = jax.lax.scan(step, (rho0, log0), cores)
+    val = jnp.conj(right) @ rho @ right
+    return _stab_step(val, log, 0)
+
+
+def _real(dtype):
+    import numpy as np
+
+    return np.empty(0, dtype=dtype).real.dtype

@@ -1,0 +1,12 @@
+from .mesh import make_mesh
+from .sharded import sharded_mps_forward, segment_mps_forward
+from .training import make_train_step, make_sharded_train_step, sgd_init
+
+__all__ = [
+    "make_mesh",
+    "sharded_mps_forward",
+    "segment_mps_forward",
+    "make_train_step",
+    "make_sharded_train_step",
+    "sgd_init",
+]

@@ -1,0 +1,86 @@
+"""Training steps for MPS models, single-chip and mesh-sharded.
+
+The contraction engine is pure JAX, so training is ordinary ``jax.grad``
+over the split-format forward — the log-scale register makes the loss
+well-defined for chains of any length (``log |psi|`` never overflows).
+This is the capability the reference's weight-sharing "template tensors"
+were aiming at (paper §1) with gradients the reference never had.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from .sharded import segment_mps_forward
+
+
+def loss_fn(mps, x, y):
+    """Mean squared error on ``log |psi(x)|`` against targets ``y``."""
+    amp, log = mps.evaluate(x, split_format=True)
+    pred = jnp.log(jnp.abs(amp) + 1e-30) + log
+    return jnp.mean((pred - y) ** 2)
+
+
+def sgd_init(lr=1e-2):
+    """Minimal SGD so the library has no hard optax dependency in its core
+    training path; pass any optax optimizer instead if preferred."""
+    return {"lr": lr}
+
+
+def make_train_step(lr=1e-2):
+    """Single-device jitted SGD step on an :class:`MPS` pytree."""
+
+    @jax.jit
+    def train_step(mps, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(mps, x, y)
+        new_mps = jax.tree_util.tree_map(lambda p, g: p - lr * g, mps, grads)
+        return new_mps, loss
+
+    return train_step
+
+
+def make_sharded_train_step(mesh, lr=1e-2, dp_axis="dp", sp_axis="sp"):
+    """Jitted training step over a ``(dp, sp)`` mesh.
+
+    The whole loss — sharded forward, MSE, global mean — lives inside one
+    ``shard_map``; ``jax.grad`` differentiates through the collectives
+    (the all-gather's transpose is a reduce-scatter, the psum's a broadcast),
+    so gradients arrive correctly sharded: cores over ``sp``, boundaries
+    replicated, with the ``dp`` reduction folded in by the loss psum.
+
+    Expects ``mps.cores`` sharded ``P(sp, ...)`` and ``x`` sharded
+    ``P(dp, sp, ...)``; anything else is resharded at the jit boundary.
+    """
+
+    def local_loss(cores, left, right, x, y):
+        amp, log = segment_mps_forward(cores, left, right, x, sp_axis)
+        pred = jnp.log(jnp.abs(amp) + 1e-30) + log
+        local_sse = jnp.sum((pred - y) ** 2)
+        total = jax.lax.psum(local_sse, dp_axis)
+        n = jax.lax.psum(x.shape[0] * 1.0, dp_axis)
+        return total / n
+
+    sharded_loss = jax.shard_map(
+        local_loss,
+        mesh=mesh,
+        in_specs=(
+            P(sp_axis, None, None, None),   # cores over sites
+            P(),                            # left boundary (replicated)
+            P(),                            # right boundary
+            P(dp_axis, sp_axis, None),      # inputs over batch x sites
+            P(dp_axis),                     # targets over batch
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def full_loss(mps, x, y):
+        return sharded_loss(mps.cores, mps.left, mps.right, x, y)
+
+    @jax.jit
+    def train_step(mps, x, y):
+        loss, grads = jax.value_and_grad(full_loss)(mps, x, y)
+        new_mps = jax.tree_util.tree_map(lambda p, g: p - lr * g, mps, grads)
+        return new_mps, loss
+
+    return train_step

@@ -1,0 +1,197 @@
+"""Model-family tests: MPS / MPO scan contractions vs dense oracles,
+decomposition builders vs np.einsum, PEPS closed forms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from contractn_tpu.models import MPS, MPO, cp_tn, tucker_tn, tensor_ring_tn, peps_tn
+from contractn_tpu.models.decompositions import matrix_chain_tn
+
+
+def dense_mps_vector(mps):
+    """Oracle: materialize the full 2^N amplitude tensor with numpy."""
+    cores = np.asarray(mps.cores)
+    n, d, D, _ = cores.shape
+    # accumulate site by site: amp[config, bond]
+    amp = np.einsum("i,dij->dj", np.asarray(mps.left), cores[0])
+    for i in range(1, n):
+        amp = np.einsum("cj,djk->cdk", amp.reshape(-1, D), cores[i])
+        amp = amp.reshape(-1, D)
+    return amp @ np.asarray(mps.right)  # (d^n,)
+
+
+@pytest.fixture(scope="module")
+def small_mps():
+    key = jax.random.PRNGKey(0)
+    return MPS.random(key, n_sites=4, phys_dim=2, bond_dim=3, dtype=jnp.float64)
+
+
+def all_onehot_inputs(n, d):
+    """(d^n, n, d) one-hot input batch enumerating every configuration."""
+    configs = np.indices((d,) * n).reshape(n, -1).T  # (d^n, n)
+    x = np.zeros((configs.shape[0], n, d))
+    for b, cfg in enumerate(configs):
+        for site, val in enumerate(cfg):
+            x[b, site, val] = 1.0
+    return x
+
+
+def test_mps_evaluate_matches_dense_oracle(small_mps):
+    n, d = small_mps.n_sites, small_mps.phys_dim
+    x = jnp.asarray(all_onehot_inputs(n, d))
+    amp, log = jax.jit(small_mps.evaluate)(x)
+    values = np.asarray(amp) * np.exp(np.asarray(log))
+    oracle = dense_mps_vector(small_mps)
+    assert np.allclose(values, oracle, rtol=1e-10)
+
+
+def test_mps_norm_matches_config_sum(small_mps):
+    oracle = dense_mps_vector(small_mps)
+    val, log = jax.jit(small_mps.norm_squared)()
+    assert np.isclose(
+        float(val) * np.exp(float(log)), np.sum(oracle ** 2), rtol=1e-10
+    )
+
+
+def test_mps_inner_self_is_norm(small_mps):
+    v1, l1 = jax.jit(small_mps.norm_squared)()
+    v2, l2 = jax.jit(lambda m: m.inner(m))(small_mps)
+    assert np.isclose(
+        float(v1) * np.exp(float(l1)), float(v2) * np.exp(float(l2)), rtol=1e-10
+    )
+
+
+def test_mps_log_norm_long_chain_no_overflow():
+    """1000-site constant MPS: log-norm finite and matches closed form."""
+    mps = MPS.constant(n_sites=300, phys_dim=2, bond_dim=2, fill=1.0)
+    # <psi|psi> = l E^{N} r form; for all-ones cores the transfer matrix is
+    # rank-one: E = 2 * (ones(2x2) kron ones(2x2)) acting as 8^... — just
+    # check finiteness and agreement with float64 oracle on the log scale.
+    logn = jax.jit(mps.log_norm)()
+    assert np.isfinite(float(logn))
+    # oracle: rho_{n+1} = sum_d A^T rho A with A = ones -> rho' = 2*(sum rho)*ones
+    s = 4.0  # sum of rho0 = outer(ones, ones)
+    log_acc = 0.0
+    for _ in range(300):
+        # rho = 2 * s * ones((2,2)); renormalize to keep s finite
+        s_new = 2 * s * 4
+        log_acc += np.log(s_new / 4)
+        s = 4.0
+    expect = log_acc + np.log(4.0)  # right @ rho @ right with rho = ones
+    assert np.isclose(float(logn), expect, rtol=1e-12)
+
+
+def test_mps_to_tn_parity(small_mps):
+    tn = small_mps.to_tn()
+    dense = np.asarray(tn.contract()).reshape(-1)
+    oracle = dense_mps_vector(small_mps)
+    assert np.allclose(dense, oracle, rtol=1e-9)
+
+
+def test_mpo_identity_expectation_is_norm(small_mps):
+    mpo = MPO.identity(small_mps.n_sites, small_mps.phys_dim)
+    v1, l1 = jax.jit(small_mps.norm_squared)()
+    v2, l2 = jax.jit(lambda o, m: o.expectation(m))(mpo, small_mps)
+    assert np.isclose(
+        float(v1) * np.exp(float(l1)), float(v2) * np.exp(float(l2)), rtol=1e-10
+    )
+
+
+def test_mpo_expectation_dense_oracle():
+    key = jax.random.PRNGKey(3)
+    mps = MPS.random(key, n_sites=3, phys_dim=2, bond_dim=2, dtype=jnp.float64)
+    mpo = MPO.random(
+        jax.random.PRNGKey(4), n_sites=3, phys_dim=2, bond_dim=2,
+        dtype=jnp.float64,
+    )
+    # Dense oracle: materialize psi (d^3) and O (d^3 x d^3)
+    psi = dense_mps_vector(mps)
+    w = np.asarray(mpo.cores)
+    op = np.einsum(
+        "w,abwx,cdxy,efyz,z->acebdf",
+        np.asarray(mpo.left), w[0], w[1], w[2], np.asarray(mpo.right),
+    ).reshape(8, 8)
+    expect = psi @ op @ psi
+    val, log = jax.jit(lambda o, m: o.expectation(m))(mpo, mps)
+    assert np.isclose(float(val) * np.exp(float(log)), expect, rtol=1e-10)
+
+
+def test_cp_builder_value():
+    rng = np.random.default_rng(0)
+    factors = [rng.standard_normal((3, 4)) for _ in range(3)]
+    tn = cp_tn(factors)
+    out = np.asarray(tn.contract())
+    expect = np.einsum("ra,rb,rc->abc", *factors)
+    assert np.allclose(out, expect, rtol=1e-10)
+
+
+def test_tucker_builder_value():
+    rng = np.random.default_rng(1)
+    core = rng.standard_normal((2, 3, 4))
+    factors = [rng.standard_normal((r, 5)) for r in core.shape]
+    tn = tucker_tn(core, factors)
+    out = np.asarray(tn.contract())
+    expect = np.einsum("ijk,ia,jb,kc->abc", core, *factors)
+    assert np.allclose(out, expect, rtol=1e-10)
+
+
+def test_tensor_ring_builder_value():
+    rng = np.random.default_rng(2)
+    cores = [rng.standard_normal((2, 3, 3)) for _ in range(3)]
+    tn = tensor_ring_tn(cores)
+    out = np.asarray(tn.contract())
+    expect = np.einsum("aij,bjk,cki->abc", *cores)
+    assert np.allclose(out, expect, rtol=1e-10)
+
+
+def test_matrix_chain_builder_uses_fast_path():
+    mats = [np.full((3, 3), 1.0) for _ in range(40)]
+    tn = matrix_chain_tn(mats, left_vec=np.ones(3))
+    mant, log = tn.contract(split_format=True)
+    assert np.allclose(np.asarray(mant), 1.0, rtol=1e-12)
+    assert np.isclose(float(log), 40 * np.log(3.0), rtol=1e-12)
+
+
+def test_peps_closed_network_value():
+    """All-ones 3x3 PEPS with bond 2: value = 2^(#bonds)."""
+    tn, grid = peps_tn(3, 3, bond_dim=2)
+    n_bonds = len([e for e in tn.edges() if not e.dangler])
+    assert n_bonds == 12
+    out = float(np.asarray(tn.contract()))
+    assert np.isclose(out, 2.0 ** 12, rtol=1e-10)
+
+
+def test_peps_with_physical_modes():
+    tn, grid = peps_tn(2, 2, bond_dim=2, phys_dim=3)
+    out = np.asarray(tn.contract())
+    assert out.shape == (3, 3, 3, 3)
+    # all-ones network: every amplitude = bond_dim^(#bonds) = 2^4
+    assert np.allclose(out, 2.0 ** 4, rtol=1e-10)
+
+
+def test_gradient_of_log_norm(small_mps):
+    grads = jax.jit(jax.grad(lambda m: m.log_norm()))(small_mps)
+    assert grads.cores.shape == small_mps.cores.shape
+    assert np.all(np.isfinite(np.asarray(grads.cores)))
+
+
+def test_vmapped_batched_evaluate(small_mps):
+    """Batch axis via the built-in batch support of mps_evaluate."""
+    n, d = small_mps.n_sites, small_mps.phys_dim
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((16, n, d)))
+    amp, log = jax.jit(small_mps.evaluate)(x)
+    assert amp.shape == (16,) and log.shape == (16,)
+    # spot-check one sample against a dense per-sample chain
+    b = 7
+    mats = [
+        np.einsum("d,dij->ij", np.asarray(x[b, i]), np.asarray(small_mps.cores[i]))
+        for i in range(n)
+    ]
+    acc = np.asarray(small_mps.left)
+    for m in mats:
+        acc = acc @ m
+    expect = acc @ np.asarray(small_mps.right)
+    assert np.isclose(float(amp[b]) * np.exp(float(log[b])), expect, rtol=1e-9)

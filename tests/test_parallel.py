@@ -1,0 +1,64 @@
+"""Mesh-sharded contraction and training on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contractn_tpu.models import MPS
+from contractn_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_step,
+    make_train_step,
+    sharded_mps_forward,
+)
+
+
+def _setup(n_sites=8, phys_dim=2, bond_dim=4, batch=8):
+    key = jax.random.PRNGKey(0)
+    mps = MPS.random(key, n_sites, phys_dim, bond_dim, dtype=jnp.float64)
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, n_sites, phys_dim), jnp.float64
+    )
+    return mps, x
+
+
+def test_sharded_forward_matches_single_device():
+    mps, x = _setup()
+    mesh = make_mesh({"dp": 4, "sp": 2})
+    amp_s, log_s = jax.jit(
+        lambda c, l, r, xx: sharded_mps_forward(mesh, c, l, r, xx)
+    )(mps.cores, mps.left, mps.right, x)
+    amp, log = jax.jit(mps.evaluate)(x)
+    # Split pairs are canonical (mean |mantissa| = 1), so they match directly
+    val_s = np.asarray(amp_s) * np.exp(np.asarray(log_s))
+    val = np.asarray(amp) * np.exp(np.asarray(log))
+    assert np.allclose(val_s, val, rtol=1e-9)
+
+
+def test_sharded_train_step_runs_and_matches_unsharded():
+    mps, x = _setup()
+    y = jnp.zeros((x.shape[0],), jnp.float64)
+    mesh = make_mesh({"dp": 4, "sp": 2})
+    sharded_step = make_sharded_train_step(mesh, lr=1e-2)
+    plain_step = make_train_step(lr=1e-2)
+
+    new_sharded, loss_sharded = sharded_step(mps, x, y)
+    new_plain, loss_plain = plain_step(mps, x, y)
+
+    assert np.isfinite(float(loss_sharded))
+    assert np.isclose(float(loss_sharded), float(loss_plain), rtol=1e-9)
+    assert np.allclose(
+        np.asarray(new_sharded.cores), np.asarray(new_plain.cores), rtol=1e-8
+    )
+    # And the loss actually decreases over a few steps
+    m, prev = mps, float(loss_sharded)
+    for _ in range(3):
+        m, loss = sharded_step(m, x, y)
+    assert float(loss) < prev
+
+
+def test_mesh_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_mesh({"dp": 3})  # 8 devices, wrong product
