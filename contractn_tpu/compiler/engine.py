@@ -225,16 +225,19 @@ def _find_steps(einstr, shapes, optimize, memory_limit):
     signature; re-contractions hit this cache (reference behavior,
     ``einsum.py:313-323``).
     """
+    from ..utils.introspect import Timings
+
     # Explicit paths arrive frozen as tuple-of-tuples; thaw for opt_einsum
     opt = [tuple(p) for p in optimize] if isinstance(optimize, tuple) else optimize
-    _, steps = oe.contract_path(
-        einstr,
-        *shapes,
-        shapes=True,
-        einsum_call=True,
-        optimize=opt,
-        memory_limit=memory_limit,
-    )
+    with Timings.measure("path_find"):
+        _, steps = oe.contract_path(
+            einstr,
+            *shapes,
+            shapes=True,
+            einsum_call=True,
+            optimize=opt,
+            memory_limit=memory_limit,
+        )
     return tuple((tuple(inds), step_str) for inds, _, step_str, _, _ in steps)
 
 
@@ -369,9 +372,12 @@ def _get_jax_program(
     key = (einstr, shapes, dtypes, optimize, memory_limit, split_format, use_jit)
     entry = _PROGRAM_CACHE.get(key)
     if entry is None:
-        pack, fn = _build_jax_program(
-            einstr, shapes, optimize, memory_limit, split_format
-        )
+        from ..utils.introspect import Timings
+
+        with Timings.measure("build_program"):
+            pack, fn = _build_jax_program(
+                einstr, shapes, optimize, memory_limit, split_format
+            )
         if use_jit:
             fn = jax.jit(fn)
         entry = (pack, fn)

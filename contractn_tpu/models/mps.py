@@ -86,16 +86,32 @@ class MPS:
 
     # -- contraction API ------------------------------------------------ #
 
-    def evaluate(self, x, split_format=True, stabilize_every=1):
+    def evaluate(self, x, split_format=True, stabilize_every=1,
+                 kernel="scan"):
         """Amplitudes ``psi(x_b)`` for a batch of inputs ``x: (B, N, d)``.
 
-        Returns ``(mantissa, log_scale)`` of shape ``(B,)`` in split format,
-        or dense amplitudes when ``split_format=False``.
+        Args:
+            x: ``(B, N, d)`` input weights per site.
+            split_format: return ``(mantissa, log_scale)`` (default) or the
+                dense amplitudes.
+            stabilize_every: rescale cadence for the ``"scan"`` kernel.
+            kernel: ``"scan"`` (XLA scan) or ``"pallas"`` (fused TPU kernel
+                with the carry resident in VMEM; falls back to interpreter
+                mode off-TPU).
         """
-        amp, log = mps_evaluate(
-            self.cores, self.left, self.right, x,
-            stabilize_every=stabilize_every,
-        )
+        if kernel == "pallas":
+            from ..ops.pallas_mps import pallas_mps_evaluate
+
+            on_tpu = any(d.platform == "tpu" for d in jax.devices())
+            amp, log = pallas_mps_evaluate(
+                self.cores, self.left, self.right, x,
+                interpret=not on_tpu,
+            )
+        else:
+            amp, log = mps_evaluate(
+                self.cores, self.left, self.right, x,
+                stabilize_every=stabilize_every,
+            )
         return (amp, log) if split_format else destabilize(amp, log)
 
     def log_abs_amplitude(self, x):

@@ -513,3 +513,15 @@ class TN:
             optimize=optimize, split_format=split_format, **kwargs
         )
         return fun(self.params, inputs)
+
+    def contraction_info(self, optimize="auto", inputs_shapes=None,
+                         memory_limit=None):
+        """Static cost model of this TN's contraction (FLOPs, largest
+        intermediate, chosen path) — metadata the reference's engine
+        discards (``einsum.py:318-323``)."""
+        from .utils.introspect import contraction_info
+
+        return contraction_info(
+            self, optimize=optimize, inputs_shapes=inputs_shapes,
+            memory_limit=memory_limit,
+        )

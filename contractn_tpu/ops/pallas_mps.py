@@ -1,0 +1,161 @@
+"""Pallas TPU kernel: fused stabilized MPS evaluation.
+
+The XLA scan in :mod:`contractn_tpu.ops.scan` round-trips the ``(B, D)``
+carry (plus its log register) through HBM every site and materializes the
+``(B, d*D)`` intermediate.  This kernel keeps the carry and log register
+resident in VMEM scratch for the WHOLE chain — the grid walks
+``(batch blocks, sites)``, Pallas double-buffers the per-site core and input
+blocks HBM->VMEM, and the only HBM traffic is the unavoidable stream of
+cores/inputs plus one ``(B,)`` output pair.  The per-site rescale
+(reference semantics: L1-mean to 1, ``einsum.py:89-107``) runs on the VPU
+between the MXU GEMMs and costs no extra memory pass.
+
+Mosaic-friendliness notes:
+* no in-kernel reshapes/transposes — cores are pre-flattened to
+  ``(N, D, d*D)`` (an XLA-side transpose done once), and the physical index
+  is handled with static lane slices ``u[:, k*D:(k+1)*D]``;
+* every ref is >= 2-D; outputs are ``(batch, 1)`` columns;
+* grid iteration on TPU is sequential over the trailing axis, which is what
+  makes the scratch-carry pattern valid (see pallas_guide.md).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Keep the rescale guard identical to the engine's
+from .stabilize import MIN_NORM
+
+
+def _mps_kernel(x_ref, core_ref, left_ref, right_ref,
+                amp_ref, log_ref, v_ref, acc_ref, *,
+                n_sites, block_b, phys_dim):
+    """One grid step: advance one site for one batch block.
+
+    Refs (VMEM blocks):
+        x_ref:     (1, block_b, d)    this site's inputs (site-major layout)
+        core_ref:  (1, D, d*D)        this site's core, phys index in lanes
+        left_ref:  (1, D)             left boundary (replicated)
+        right_ref: (1, D)             right boundary (replicated)
+        amp_ref:   (block_b, 1)       output mantissa column
+        log_ref:   (block_b, 1)       output log-scale column
+        v_ref:     (block_b, D)       carry scratch (persists across sites)
+        acc_ref:   (block_b, 1)       log-register scratch
+    """
+    site = pl.program_id(1)
+    bond = left_ref.shape[1]
+
+    @pl.when(site == 0)
+    def _init():
+        v_ref[:] = jnp.broadcast_to(
+            left_ref[0][None, :], (block_b, bond)
+        ).astype(v_ref.dtype)
+        acc_ref[:] = jnp.zeros((block_b, 1), acc_ref.dtype)
+
+    # MXU: (B, D) @ (D, d*D) with f32 accumulation
+    mat = core_ref[0]
+    u = jnp.dot(
+        v_ref[:].astype(mat.dtype), mat, preferred_element_type=jnp.float32
+    )
+
+    # VPU: weight by the site input (static lane slices, no reshape)
+    xb = x_ref[0].astype(jnp.float32)  # (block_b, d)
+    v = xb[:, 0:1] * u[:, 0:bond]
+    for k in range(1, phys_dim):
+        v = v + xb[:, k:k + 1] * u[:, k * bond:(k + 1) * bond]
+
+    # VPU: rescale to unit mean |element| per row, log into the register
+    norm = jnp.sum(jnp.abs(v), axis=1, keepdims=True) / bond
+    safe = jnp.where(norm > (MIN_NORM / bond), norm, jnp.ones_like(norm))
+    v_ref[:] = (v / safe).astype(v_ref.dtype)
+    acc_ref[:] = acc_ref[:] + jnp.log(safe)
+
+    @pl.when(site == n_sites - 1)
+    def _finish():
+        amp = jnp.sum(
+            v_ref[:] * right_ref[0][None, :].astype(v_ref.dtype),
+            axis=1, keepdims=True,
+        )
+        mag = jnp.abs(amp)
+        safe_a = jnp.where(mag > MIN_NORM, mag, jnp.ones_like(mag))
+        amp_ref[:] = (amp / safe_a).astype(amp_ref.dtype)
+        log_ref[:] = acc_ref[:] + jnp.log(safe_a)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def pallas_mps_evaluate(cores, left, right, x, block_b=None, interpret=False):
+    """Fused stabilized MPS evaluation (drop-in for ``mps_evaluate``).
+
+    Args:
+        cores: ``(N, d, D, D)`` site tensors (bf16 or f32).
+        left, right: ``(D,)`` boundary vectors.
+        x: ``(B, N, d)`` batched inputs; ``B`` must divide by ``block_b``.
+        block_b: batch rows held in VMEM per program; must equal ``B`` or be
+            a multiple of 8 (TPU sublane tiling).  Default: ``min(B, 1024)``.
+        interpret: run in interpreter mode (for CPU tests).
+
+    Returns:
+        ``(amp, log)`` of shape ``(B,)`` each: split-format amplitudes.
+    """
+    n_sites, phys_dim, bond, _ = cores.shape
+    batch = x.shape[0]
+    if block_b is None:
+        block_b = min(batch, 1024)
+    if batch % block_b:
+        raise ValueError(f"batch {batch} not divisible by block_b {block_b}")
+    if block_b != batch and block_b % 8:
+        raise ValueError(
+            "block_b must equal the batch size or be a multiple of 8 "
+            f"(TPU sublane tiling); got block_b={block_b}, batch={batch}"
+        )
+
+    # One-time XLA-side layout changes (fused into the surrounding program):
+    # phys index into the lane dimension, sites major for streaming.
+    cores_mat = cores.transpose(0, 2, 1, 3).reshape(
+        n_sites, bond, phys_dim * bond
+    )
+    x_site_major = x.swapaxes(0, 1)  # (N, B, d)
+
+    grid = (batch // block_b, n_sites)
+    kernel = functools.partial(
+        _mps_kernel, n_sites=n_sites, block_b=block_b, phys_dim=phys_dim
+    )
+    amp, log = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_b, phys_dim), lambda i, n: (n, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bond, phys_dim * bond), lambda i, n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bond), lambda i, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bond), lambda i, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_b, 1), lambda i, n: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1), lambda i, n: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, 1), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, bond), jnp.float32),
+            pltpu.VMEM((block_b, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * n_sites * phys_dim * bond * bond,
+            bytes_accessed=(cores.size * cores.dtype.itemsize
+                            + x.size * x.dtype.itemsize),
+            transcendentals=batch * n_sites,
+        ),
+        interpret=interpret,
+    )(x_site_major, cores_mat, left.reshape(1, -1), right.reshape(1, -1))
+    return amp[:, 0], log[:, 0]

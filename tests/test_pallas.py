@@ -1,0 +1,70 @@
+"""Pallas fused MPS kernel: interpret-mode parity with the XLA scan.
+
+On CPU the kernel runs in the Pallas interpreter (bit-for-bit the same
+program logic as the Mosaic-compiled TPU kernel, minus the hardware); real
+TPU execution is covered by the benchmark harness.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from contractn_tpu.ops.pallas_mps import pallas_mps_evaluate
+from contractn_tpu.ops.scan import mps_evaluate
+
+
+def _setup(N=12, d=2, D=8, B=16, dtype=jnp.float32):
+    key = jax.random.PRNGKey(0)
+    kc, kl, kr, kx = jax.random.split(key, 4)
+    cores = jax.random.normal(kc, (N, d, D, D), dtype) / 4.0
+    left = jax.random.normal(kl, (D,), dtype)
+    right = jax.random.normal(kr, (D,), dtype)
+    x = jax.random.normal(kx, (B, N, d), dtype)
+    return cores, left, right, x
+
+
+def test_pallas_matches_scan():
+    cores, left, right, x = _setup()
+    a1, l1 = mps_evaluate(cores, left, right, x)
+    a2, l2 = pallas_mps_evaluate(cores, left, right, x, block_b=16,
+                                 interpret=True)
+    v1 = np.asarray(a1) * np.exp(np.asarray(l1))
+    v2 = np.asarray(a2) * np.exp(np.asarray(l2))
+    assert np.allclose(v1, v2, rtol=1e-4)
+    # split invariant: mean |mantissa| == 1 per sample (scalar -> |m| == 1)
+    assert np.allclose(np.abs(np.asarray(a2)), 1.0, rtol=1e-5)
+
+
+def test_pallas_multiple_batch_blocks():
+    cores, left, right, x = _setup(B=32)
+    a1, l1 = mps_evaluate(cores, left, right, x)
+    a2, l2 = pallas_mps_evaluate(cores, left, right, x, block_b=16,
+                                 interpret=True)
+    v1 = np.asarray(a1) * np.exp(np.asarray(l1))
+    v2 = np.asarray(a2) * np.exp(np.asarray(l2))
+    assert np.allclose(v1, v2, rtol=1e-4)
+
+
+def test_pallas_block_validation():
+    cores, left, right, x = _setup(B=16)
+    with pytest.raises(ValueError):
+        pallas_mps_evaluate(cores, left, right, x, block_b=5, interpret=True)
+    with pytest.raises(ValueError):
+        # not a multiple of 8 and != batch
+        pallas_mps_evaluate(
+            cores, left, right, jnp.tile(x, (3, 1, 1)), block_b=12,
+            interpret=True,
+        )
+
+
+def test_mps_evaluate_kernel_option():
+    from contractn_tpu.models import MPS
+
+    mps = MPS.random(jax.random.PRNGKey(1), 10, 2, 8, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 10, 2), jnp.float32)
+    a1, l1 = mps.evaluate(x, kernel="scan")
+    a2, l2 = mps.evaluate(x, kernel="pallas")
+    v1 = np.asarray(a1) * np.exp(np.asarray(l1))
+    v2 = np.asarray(a2) * np.exp(np.asarray(l2))
+    assert np.allclose(v1, v2, rtol=1e-4)

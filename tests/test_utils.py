@@ -1,0 +1,88 @@
+"""Introspection and checkpoint tests."""
+
+import numpy as np
+import pytest
+
+from contractn_tpu import TN
+from contractn_tpu.utils.checkpoint import save_tn, load_tn, tn_spec, tn_from_spec
+from contractn_tpu.utils.introspect import compile_stats, Timings
+
+
+def build_mixed_tn():
+    tn = TN()
+    a = tn.add_dense_node(np.arange(6.0).reshape(2, 3), name="a")
+    b = tn.add_dense_node(np.ones((3, 4)), name="b")
+    hub = tn.add_copy_node(3, dim=4, name="hub")
+    c = tn.add_dense_node(np.full((4,), 2.0), name="c")
+    clone = tn.add_duplicate_node("b", name="b2")
+    tn.connect_nodes(a, b, 1, 0)
+    tn.connect_nodes(b, hub, 1, 0)
+    tn.connect_nodes(hub, c, 1, 0)
+    tn.connect_nodes(hub, clone, 2, 1)
+    return tn
+
+
+def test_spec_roundtrip_einstring_and_value(tmp_path):
+    tn = build_mixed_tn()
+    spec = tn_spec(tn)
+    tn2 = tn_from_spec(spec, tn.params)
+    assert tn2.einsum_str == tn.einsum_str
+    v1 = np.asarray(tn.contract(backend="numpy"))
+    v2 = np.asarray(tn2.contract(backend="numpy"))
+    assert np.allclose(v1, v2, rtol=1e-12)
+
+
+def test_save_load_npz(tmp_path):
+    tn = build_mixed_tn()
+    path = tmp_path / "net.npz"
+    save_tn(path, tn)
+    tn2 = load_tn(path)
+    assert tn2.einsum_str == tn.einsum_str
+    assert tn2.num_dense == tn.num_dense
+    assert tn2.num_copy == tn.num_copy
+    assert tn2.num_duplicate == tn.num_duplicate
+    v1 = np.asarray(tn.contract(backend="numpy"))
+    v2 = np.asarray(tn2.contract(backend="numpy"))
+    assert np.allclose(v1, v2, rtol=1e-12)
+
+
+def test_contraction_info():
+    tn = build_mixed_tn()
+    info = tn.contraction_info()
+    assert info.einsum_str == tn.einsum_str
+    assert info.flops > 0
+    assert info.largest_intermediate >= 1
+    assert len(info.path) >= 1
+    assert "estimated FLOPs" in str(info)
+
+
+def test_contraction_info_requires_input_shapes():
+    tn = TN()
+    w = tn.add_dense_node(np.ones((2, 3)))
+    x = tn.add_input_node((3,))
+    tn.connect_nodes(w, x, 1, 0)
+    with pytest.raises(ValueError):
+        tn.contraction_info()
+    info = tn.contraction_info(inputs_shapes=[(3,)])
+    assert info.flops > 0
+
+
+def test_compile_stats():
+    import jax.numpy as jnp
+
+    compiled, stats = compile_stats(lambda a: jnp.sum(a * 2), np.ones((4, 4)))
+    assert stats.compile_ms > 0
+    assert stats.total_ms > 0
+    assert float(compiled(np.ones((4, 4)))) == 32.0
+
+
+def test_timings_registry():
+    Timings.reset()
+    Timings.enabled = True
+    try:
+        with Timings.measure("phase"):
+            pass
+        assert "phase" in Timings.report()
+    finally:
+        Timings.enabled = False
+        Timings.reset()
