@@ -218,6 +218,27 @@ def _embed_diagonal(x, unique_out, full_out, xp=jnp):
 
 
 @lru_cache(maxsize=None)
+def _native_greedy_path(einstr, shapes):
+    """Path from the C++ greedy optimizer, frozen; None if unavailable."""
+    from ..native import greedy_path
+
+    terms, output = _parse(einstr)
+    if len(terms) == 1:
+        return ((0,),)
+    sym_dims = _validate(einstr, shapes)
+    path = greedy_path(terms, output, sym_dims)
+    return None if path is None else tuple(path)
+
+
+def _resolve_optimize(einstr, shapes, optimize):
+    """Map ``"native-greedy"`` to an explicit C++-found path (hashable)."""
+    if optimize == "native-greedy":
+        path = _native_greedy_path(einstr, shapes)
+        return "greedy" if path is None else path
+    return _freeze(optimize)
+
+
+@lru_cache(maxsize=None)
 def _find_steps(einstr, shapes, optimize, memory_limit):
     """Pairwise contraction steps from opt_einsum, as (operand_ids, step_str).
 
@@ -399,7 +420,10 @@ def _build_jax_program(einstr, shapes, optimize, memory_limit, split_format):
         if hadamard is not None:
             return _build_hadamard_program(hadamard, split_format)
 
-    steps = _find_steps(reduced, shapes, _freeze(optimize), memory_limit)
+    steps = _find_steps(
+        reduced, shapes, _resolve_optimize(reduced, shapes, optimize),
+        memory_limit,
+    )
     unique_out = _parse(reduced)[1]
 
     def pack(tensors):
@@ -466,8 +490,11 @@ def _remap_ascii(step_str):
 
 def _numpy_contract(einstr, tensors, optimize, memory_limit, split_format):
     reduced, full_out = _dedup_output(einstr)
-    shapes = tuple(t.shape for t in tensors)
-    steps = _find_steps(reduced, shapes, _freeze(optimize), memory_limit)
+    shapes = tuple(tuple(int(d) for d in t.shape) for t in tensors)
+    steps = _find_steps(
+        reduced, shapes, _resolve_optimize(reduced, shapes, optimize),
+        memory_limit,
+    )
     ops = list(tensors)
     log_scale = np.zeros(())
     for inds, step_str in steps:

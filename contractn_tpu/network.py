@@ -266,9 +266,18 @@ class TN:
         for e in unique:
             if e.dangler:
                 continue  # open modes stay as they are
-            for n in e.name[:2]:
-                node = self._nodes[n]
-                affected.append((node, node.index(e)))
+            n1, n2 = e.name[:2]
+            if n1 == n2:
+                # Self-loop (trace) edge: both modes of ONE node hold this
+                # edge id; restore a dangler at each position
+                node = self._nodes[n1]
+                for idx, en in enumerate(node.edge_names):
+                    if en == e.name:
+                        affected.append((node, idx))
+            else:
+                for n in (n1, n2):
+                    node = self._nodes[n]
+                    affected.append((node, node.index(e)))
 
         for e in unique:
             if not e.dangler:

@@ -32,12 +32,16 @@ from .stabilize import MIN_NORM
 
 def _mps_kernel(x_ref, core_ref, left_ref, right_ref,
                 amp_ref, log_ref, v_ref, acc_ref, *,
-                n_sites, block_b, phys_dim):
-    """One grid step: advance one site for one batch block.
+                n_steps, block_b, phys_dim, sites_per_step):
+    """One grid step: advance ``sites_per_step`` sites for one batch block.
+
+    Processing several sites per grid step amortizes the fixed per-step cost
+    of the Mosaic pipeline (output-block revisits, DMA bookkeeping), which
+    otherwise dominates at ~6 us/step for this body size.
 
     Refs (VMEM blocks):
-        x_ref:     (1, block_b, d)    this site's inputs (site-major layout)
-        core_ref:  (1, D, d*D)        this site's core, phys index in lanes
+        x_ref:     (S, block_b, d)    this step's inputs (site-major layout)
+        core_ref:  (S, D, d*D)        this step's cores, phys index in lanes
         left_ref:  (1, D)             left boundary (replicated)
         right_ref: (1, D)             right boundary (replicated)
         amp_ref:   (block_b, 1)       output mantissa column
@@ -45,35 +49,38 @@ def _mps_kernel(x_ref, core_ref, left_ref, right_ref,
         v_ref:     (block_b, D)       carry scratch (persists across sites)
         acc_ref:   (block_b, 1)       log-register scratch
     """
-    site = pl.program_id(1)
+    step = pl.program_id(1)
     bond = left_ref.shape[1]
 
-    @pl.when(site == 0)
+    @pl.when(step == 0)
     def _init():
         v_ref[:] = jnp.broadcast_to(
             left_ref[0][None, :], (block_b, bond)
         ).astype(v_ref.dtype)
         acc_ref[:] = jnp.zeros((block_b, 1), acc_ref.dtype)
 
-    # MXU: (B, D) @ (D, d*D) with f32 accumulation
-    mat = core_ref[0]
-    u = jnp.dot(
-        v_ref[:].astype(mat.dtype), mat, preferred_element_type=jnp.float32
-    )
+    v = v_ref[:]
+    acc = acc_ref[:]
+    for s in range(sites_per_step):
+        # MXU: (B, D) @ (D, d*D) with f32 accumulation
+        mat = core_ref[s]
+        u = jnp.dot(
+            v.astype(mat.dtype), mat, preferred_element_type=jnp.float32
+        )
+        # VPU: weight by the site input (static lane slices, no reshape)
+        xb = x_ref[s].astype(jnp.float32)  # (block_b, d)
+        v = xb[:, 0:1] * u[:, 0:bond]
+        for k in range(1, phys_dim):
+            v = v + xb[:, k:k + 1] * u[:, k * bond:(k + 1) * bond]
+        # VPU: rescale to unit mean |element| per row, accumulate the log
+        norm = jnp.sum(jnp.abs(v), axis=1, keepdims=True) / bond
+        safe = jnp.where(norm > (MIN_NORM / bond), norm, jnp.ones_like(norm))
+        v = v / safe
+        acc = acc + jnp.log(safe)
+    v_ref[:] = v.astype(v_ref.dtype)
+    acc_ref[:] = acc
 
-    # VPU: weight by the site input (static lane slices, no reshape)
-    xb = x_ref[0].astype(jnp.float32)  # (block_b, d)
-    v = xb[:, 0:1] * u[:, 0:bond]
-    for k in range(1, phys_dim):
-        v = v + xb[:, k:k + 1] * u[:, k * bond:(k + 1) * bond]
-
-    # VPU: rescale to unit mean |element| per row, log into the register
-    norm = jnp.sum(jnp.abs(v), axis=1, keepdims=True) / bond
-    safe = jnp.where(norm > (MIN_NORM / bond), norm, jnp.ones_like(norm))
-    v_ref[:] = (v / safe).astype(v_ref.dtype)
-    acc_ref[:] = acc_ref[:] + jnp.log(safe)
-
-    @pl.when(site == n_sites - 1)
+    @pl.when(step == n_steps - 1)
     def _finish():
         amp = jnp.sum(
             v_ref[:] * right_ref[0][None, :].astype(v_ref.dtype),
@@ -85,8 +92,11 @@ def _mps_kernel(x_ref, core_ref, left_ref, right_ref,
         log_ref[:] = acc_ref[:] + jnp.log(safe_a)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
-def pallas_mps_evaluate(cores, left, right, x, block_b=None, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("block_b", "interpret", "sites_per_step")
+)
+def pallas_mps_evaluate(cores, left, right, x, block_b=None, interpret=False,
+                        sites_per_step=8):
     """Fused stabilized MPS evaluation (drop-in for ``mps_evaluate``).
 
     Args:
@@ -96,6 +106,9 @@ def pallas_mps_evaluate(cores, left, right, x, block_b=None, interpret=False):
         block_b: batch rows held in VMEM per program; must equal ``B`` or be
             a multiple of 8 (TPU sublane tiling).  Default: ``min(B, 1024)``.
         interpret: run in interpreter mode (for CPU tests).
+        sites_per_step: sites advanced per grid step (amortizes per-step
+            pipeline overhead); ``N`` must divide by it (auto-clamped to a
+            divisor of ``N``).
 
     Returns:
         ``(amp, log)`` of shape ``(B,)`` each: split-format amplitudes.
@@ -111,6 +124,9 @@ def pallas_mps_evaluate(cores, left, right, x, block_b=None, interpret=False):
             "block_b must equal the batch size or be a multiple of 8 "
             f"(TPU sublane tiling); got block_b={block_b}, batch={batch}"
         )
+    while n_sites % sites_per_step:
+        sites_per_step -= 1
+    n_steps = n_sites // sites_per_step
 
     # One-time XLA-side layout changes (fused into the surrounding program):
     # phys index into the lane dimension, sites major for streaming.
@@ -119,17 +135,19 @@ def pallas_mps_evaluate(cores, left, right, x, block_b=None, interpret=False):
     )
     x_site_major = x.swapaxes(0, 1)  # (N, B, d)
 
-    grid = (batch // block_b, n_sites)
+    grid = (batch // block_b, n_steps)
     kernel = functools.partial(
-        _mps_kernel, n_sites=n_sites, block_b=block_b, phys_dim=phys_dim
+        _mps_kernel, n_steps=n_steps, block_b=block_b, phys_dim=phys_dim,
+        sites_per_step=sites_per_step,
     )
+    s = sites_per_step
     amp, log = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_b, phys_dim), lambda i, n: (n, i, 0),
+            pl.BlockSpec((s, block_b, phys_dim), lambda i, n: (n, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bond, phys_dim * bond), lambda i, n: (n, 0, 0),
+            pl.BlockSpec((s, bond, phys_dim * bond), lambda i, n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bond), lambda i, n: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -224,6 +224,17 @@ def test_contract_kwargs_validation():
         contract("a->ab", np.ones(2))  # output index with unknown dim
 
 
+def test_self_loop_trace():
+    """Connecting a node to itself is a partial trace (repeated in-term
+    index); the engine lowers it through the diagonal semantics."""
+    tn = TN()
+    t = np.arange(8.0).reshape(2, 2, 2)
+    node = tn.add_dense_node(t)
+    tn.connect_nodes(node, node, 0, 1)
+    out = np.asarray(tn.contract())
+    assert np.allclose(out, np.einsum("aab->b", t), rtol=1e-12)
+
+
 def test_unicode_symbols_beyond_52():
     """Networks with >52 edges use opt_einsum's unicode symbol range."""
     tn = TN()
