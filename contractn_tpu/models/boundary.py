@@ -1,0 +1,122 @@
+"""Boundary-MPS contraction of 2D (PEPS) grid networks.
+
+Exact contraction of a 2D grid is exponential in the linear size; the
+standard scalable algorithm sweeps a "boundary MPS" down the grid: row 1 is
+an MPS over its vertical bonds, every interior row acts on it as an MPO, and
+after each absorption the boundary is SVD-compressed back to bond ``chi``
+(:mod:`contractn_tpu.models.canonical`).  Cost is polynomial,
+O(rows * cols * chi^3)-ish, with a controllable truncation error, while the
+log of the contracted value accumulates in split format so arbitrarily large
+grids neither overflow nor underflow.
+
+This composes three framework primitives — stacked MPS, MPO application,
+canonical compression — into the BASELINE stretch capability (4x4 PEPS and
+beyond).  The reference can only contract grids exactly through opt_einsum.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from .canonical import compress
+from .mpo import MPO
+from .mps import MPS
+
+
+def apply_mpo_to_mps(mpo, mps):
+    """Exact MPO application: bond dimensions multiply (``W * D``)."""
+    w = mpo.cores  # (N, do, di, W, W)
+    a = mps.cores  # (N, di, D, D)
+    n, do, di, wb, _ = w.shape
+    bond = a.shape[-1]
+    new = jnp.einsum("nabwv,nbij->nawivj", w, a).reshape(
+        n, do, wb * bond, wb * bond
+    )
+    left = jnp.kron(mpo.left, mps.left)
+    right = jnp.kron(mpo.right, mps.right)
+    return MPS(new, left, right)
+
+
+def _padded_site(grid, r, c, rows, cols):
+    """Site tensor with all four (up, left, down, right) axes present."""
+    t = np.asarray(grid[r][c].tensor)
+    if r == 0:
+        t = t[None]
+    if c == 0:
+        t = t[:, None]
+    if r == rows - 1:
+        t = t[:, :, None]
+    if c == cols - 1:
+        t = t[..., None]
+    return t  # (up, left, down, right)
+
+
+def _embed(mats, phys_first):
+    """Stack per-column tensors into uniform cores, zero-padding horizontal
+    bonds; returns ``(stacked, e_left, e_right)`` boundary basis vectors."""
+    h = max(max(m.shape[-2], m.shape[-1]) for m in mats)
+    out = np.zeros((len(mats),) + phys_first + (h, h), mats[0].dtype)
+    for i, m in enumerate(mats):
+        sl = (i,) + tuple(slice(0, s) for s in m.shape)
+        out[sl] = m
+    e = np.zeros((h,), mats[0].dtype)
+    e[0] = 1.0
+    return jnp.asarray(out), jnp.asarray(e)
+
+
+def boundary_contract(tn, grid, chi=None, split_format=True):
+    """Contract a closed PEPS grid by boundary-MPS sweeping.
+
+    Args:
+        tn: the TN returned by :func:`contractn_tpu.models.peps.peps_tn`
+            (with ``phys_dim=None`` — a closed, scalar-valued network).
+        grid: the node grid returned alongside it.
+        chi: maximum boundary bond dimension (None = no truncation: exact,
+            but bonds grow as ``D^row``).
+        split_format: return ``(mantissa, log)`` or the dense scalar.
+
+    Returns:
+        The contracted scalar in split or dense format.
+    """
+    rows, cols = len(grid), len(grid[0])
+    if any(n.ndim not in (2, 3, 4) for row in grid for n in row):
+        raise ValueError(
+            "boundary_contract expects a closed grid (phys_dim=None)"
+        )
+
+    # Row 0 as a boundary MPS over its down-bonds
+    mats = []
+    for c in range(cols):
+        t = _padded_site(grid, 0, c, rows, cols)[0]  # (left, down, right)
+        mats.append(np.moveaxis(t, 1, 0))  # (down, left, right)
+    d0 = mats[0].shape[0]
+    cores, e = _embed(mats, (d0,))
+    boundary = MPS(cores, e, e)
+    total_log = 0.0
+
+    for r in range(1, rows - 1):
+        mats = []
+        for c in range(cols):
+            t = _padded_site(grid, r, c, rows, cols)  # (up, left, down, right)
+            mats.append(np.transpose(t, (2, 0, 1, 3)))  # (down, up, wl, wr)
+        cores, e = _embed(mats, mats[0].shape[:2])
+        row_mpo = MPO(cores, e, e)
+        boundary = apply_mpo_to_mps(row_mpo, boundary)
+        if chi is not None and boundary.bond_dim > chi:
+            boundary, log_norm, _ = compress(boundary, max_bond=chi)
+            total_log += log_norm
+
+    # Last row as an MPS over its up-bonds; value = <last_row | boundary>
+    mats = []
+    for c in range(cols):
+        t = _padded_site(grid, rows - 1, c, rows, cols)[:, :, 0]
+        mats.append(t)  # (up, left, right)
+    cores, e = _embed(mats, (mats[0].shape[0],))
+    closing = MPS(cores, e, e)
+
+    val, log = closing.inner(boundary)
+    log = log + total_log
+    if split_format:
+        return val, log
+    from ..ops.stabilize import destabilize
+
+    return destabilize(val, log)

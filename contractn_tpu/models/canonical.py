@@ -1,0 +1,138 @@
+"""MPS canonicalization and SVD compression.
+
+Standard tensor-network operations the reference does not provide: bring an
+MPS into left-canonical form (QR sweep) and truncate bond dimensions by SVD
+with a reported truncation error.  TPU-minded design decision: compressed
+MPS keep a UNIFORM (static) bond dimension — per-site effective ranks are
+zero-padded up to the common bond — so the result is again a stacked
+``(N, d, D', D')`` pytree that scans, shards, and jits like any other MPS.
+
+Decompositions run through ``jnp.linalg`` (QR/SVD), which XLA executes on
+CPU/TPU; the per-site sweep is a host loop over N sites (each step jitted
+by shape), appropriate for a preprocessing pass.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from .mps import MPS
+
+
+def _site_tensors(mps):
+    """Absorb boundary vectors: [(d, D), (d, D, D) x (N-2), (d, D)]."""
+    cores = mps.cores
+    n = cores.shape[0]
+    first = jnp.einsum("i,dij->dj", mps.left, cores[0])
+    tensors = [first]
+    for i in range(1, n - 1):
+        tensors.append(cores[i])
+    if n > 1:
+        tensors.append(jnp.einsum("dij,j->di", cores[-1], mps.right))
+    return tensors
+
+
+def _rebuild(tensors, dtype):
+    """Uniform stacked MPS from ragged site tensors (zero-padded bonds).
+
+    ``tensors[0]``: (d, r1); middle: (d, r_{i}, r_{i+1}); last: (d, r_{N-1}).
+    """
+    n = len(tensors)
+    d = tensors[0].shape[0]
+    ranks = [t.shape[-1] for t in tensors[:-1]]
+    bond = max(ranks) if ranks else 1
+    cores = np.zeros((n, d, bond, bond), dtype)
+    # First site: row 0 carries the tensor (left boundary = e0)
+    r1 = tensors[0].shape[1]
+    cores[0, :, 0, :r1] = np.asarray(tensors[0])
+    for i in range(1, n - 1):
+        ri, ro = tensors[i].shape[1], tensors[i].shape[2]
+        cores[i, :, :ri, :ro] = np.asarray(tensors[i])
+    rn = tensors[-1].shape[1]
+    cores[-1, :, :rn, 0] = np.asarray(tensors[-1])
+    e0 = np.zeros((bond,), dtype)
+    e0[0] = 1.0
+    return MPS(jnp.asarray(cores), jnp.asarray(e0), jnp.asarray(e0))
+
+
+def left_canonicalize(mps):
+    """QR sweep: returns ``(canonical_mps, log_norm)``.
+
+    Every site except the last becomes an isometry (``sum_d A_d^H A_d = I``
+    on its effective rank); the chain's norm is factored out into
+    ``log_norm`` with the last site normalized, so
+    ``<psi|psi> = exp(2 * log_norm)``.
+    """
+    tensors = _site_tensors(mps)
+    n = len(tensors)
+    log_norm = 0.0
+    for i in range(n - 1):
+        t = tensors[i]
+        mat = t.reshape(-1, t.shape[-1])  # (left*d, D)
+        q, r = jnp.linalg.qr(mat)  # q: (left*d, k), r: (k, D)
+        # Rescale R to keep the sweep stable for long chains
+        scale = jnp.maximum(jnp.max(jnp.abs(r)), 1e-300)
+        r = r / scale
+        log_norm += float(jnp.log(scale))
+        tensors[i] = q.reshape(t.shape[:-1] + (q.shape[-1],))
+        nxt = tensors[i + 1]
+        tensors[i + 1] = jnp.einsum(
+            "ki,di...->dk...", r, nxt
+        )
+    last = tensors[-1]
+    nrm = jnp.linalg.norm(last)
+    log_norm += float(jnp.log(nrm))
+    tensors[-1] = last / nrm
+    return _rebuild(tensors, np.asarray(mps.cores).dtype), log_norm
+
+
+def compress(mps, max_bond=None, cutoff=0.0):
+    """Truncate an MPS's bonds by SVD.
+
+    A left-canonical QR sweep followed by a right-to-left SVD sweep keeping
+    at most ``max_bond`` singular values per bond (and none below
+    ``cutoff`` relative to the largest).
+
+    Returns:
+        ``(compressed_mps, log_norm, truncation_error)`` where the state is
+        normalized (``<psi|psi> = 1``), its original norm is
+        ``exp(log_norm)``, and ``truncation_error`` is the relative 2-norm
+        of everything discarded (0 when ``max_bond`` exceeds the ranks).
+    """
+    if max_bond is not None and max_bond < 1:
+        raise ValueError(f"max_bond must be >= 1, got {max_bond}")
+    canonical, log_norm = left_canonicalize(mps)
+    tensors = _site_tensors(canonical)
+    n = len(tensors)
+    err_sq = 0.0
+    # Right-to-left: SVD each site (rows = left bond, cols = phys x right),
+    # truncate, absorb U @ diag(s) into the site to the left
+    for i in range(n - 1, 0, -1):
+        t = tensors[i]
+        if t.ndim == 2:  # last site (d, Din)
+            mat = t.T  # (Din, d)
+        else:  # middle site (d, Din, Dout) -> (Din, d*Dout)
+            mat = jnp.swapaxes(t, 0, 1).reshape(t.shape[1], -1)
+        u, s, vh = jnp.linalg.svd(mat, full_matrices=False)
+        k = s.shape[0]
+        if max_bond is not None:
+            k = min(k, max_bond)
+        if cutoff > 0:
+            above = int(jnp.sum(s > cutoff * s[0]))
+            k = min(k, max(above, 1))
+        err_sq += float(jnp.sum(s[k:] ** 2))
+        u, s, vh = u[:, :k], s[:k], vh[:k]
+        if t.ndim == 2:
+            tensors[i] = vh.T  # (d, k)
+        else:
+            tensors[i] = jnp.swapaxes(
+                vh.reshape(k, t.shape[0], t.shape[2]), 0, 1
+            )  # (d, k, Dout)
+        carry = u * s[None, :]  # (Din, k)
+        tensors[i - 1] = jnp.einsum("...i,ik->...k", tensors[i - 1], carry)
+    # Renormalize (truncation removes weight from the state)
+    first = tensors[0]
+    nrm = jnp.linalg.norm(first)
+    log_norm += float(jnp.log(jnp.maximum(nrm, 1e-300)))
+    tensors[0] = first / nrm
+    err = float(np.sqrt(err_sq))
+    return _rebuild(tensors, np.asarray(mps.cores).dtype), log_norm, err

@@ -1,12 +1,15 @@
 from .mesh import make_mesh
 from .sharded import sharded_mps_forward, segment_mps_forward
+from .tp import make_tp_train_step, segment_mps_forward_3d
 from .training import make_train_step, make_sharded_train_step, sgd_init
 
 __all__ = [
     "make_mesh",
     "sharded_mps_forward",
     "segment_mps_forward",
+    "segment_mps_forward_3d",
     "make_train_step",
     "make_sharded_train_step",
+    "make_tp_train_step",
     "sgd_init",
 ]

@@ -57,6 +57,24 @@ def test_sharded_train_step_runs_and_matches_unsharded():
     assert float(loss) < prev
 
 
+def test_tp_train_step_matches_unsharded():
+    """3-axis dp x sp x tp step: same loss and updates as single-device."""
+    from contractn_tpu.parallel import make_tp_train_step
+
+    mps, x = _setup(n_sites=8, phys_dim=2, bond_dim=8, batch=8)
+    y = jnp.zeros((x.shape[0],), jnp.float64)
+    mesh = make_mesh({"dp": 2, "sp": 2, "tp": 2})
+    tp_step = make_tp_train_step(mesh, lr=1e-2)
+    plain_step = make_train_step(lr=1e-2)
+
+    new_tp, loss_tp = tp_step(mps, x, y)
+    new_plain, loss_plain = plain_step(mps, x, y)
+    assert np.isclose(float(loss_tp), float(loss_plain), rtol=1e-9)
+    assert np.allclose(
+        np.asarray(new_tp.cores), np.asarray(new_plain.cores), rtol=1e-8
+    )
+
+
 def test_mesh_validation():
     import pytest
 
