@@ -115,10 +115,22 @@ def contract(*operands, **kwargs):
 
 
 def _asarray(t, dtype):
-    """Keep numpy operands on the host (packing may stack them first)."""
+    """Keep numpy operands on the host (packing may stack them first).
+
+    Foreign array types (torch CPU tensors, TF eager tensors, lists of
+    arrays from other libraries) are accepted through numpy conversion —
+    the reference was multi-backend via opt_einsum dispatch
+    (``einsum.py:24-28``); here every backend's arrays funnel into the one
+    XLA engine.
+    """
     if isinstance(t, np.ndarray):
         return t if dtype is None else np.asarray(t, dtype)
-    return jnp.asarray(t, dtype=dtype)
+    if isinstance(t, jnp.ndarray):
+        return t if dtype is None else jnp.asarray(t, dtype=dtype)
+    try:
+        return np.asarray(t, dtype=dtype)
+    except (TypeError, ValueError, RuntimeError):
+        return jnp.asarray(t, dtype=dtype)
 
 
 def _stack(tensors):

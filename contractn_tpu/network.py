@@ -523,6 +523,19 @@ class TN:
         )
         return fun(self.params, inputs)
 
+    def compile(self, optimize="auto", split_format=False, **kwargs):
+        """Build a reusable, introspectable compiled contraction.
+
+        Returns a :class:`~contractn_tpu.compiler.expression.CompiledContraction`
+        — call it with ``(params, inputs)``, query ``.info()`` for the cost
+        model, ``.measure_compile()`` for trace/lower/compile timings.
+        """
+        from .compiler.expression import CompiledContraction
+
+        return CompiledContraction(
+            self, optimize=optimize, split_format=split_format, **kwargs
+        )
+
     def contraction_info(self, optimize="auto", inputs_shapes=None,
                          memory_limit=None):
         """Static cost model of this TN's contraction (FLOPs, largest

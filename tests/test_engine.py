@@ -224,6 +224,18 @@ def test_contract_kwargs_validation():
         contract("a->ab", np.ones(2))  # output index with unknown dim
 
 
+def test_torch_tensor_operands():
+    """Torch CPU tensors are accepted as operands (migration parity with
+    the reference's multi-backend support)."""
+    torch = pytest.importorskip("torch")
+    tn = TN()
+    a = tn.add_dense_node(torch.ones((2, 3), dtype=torch.float64))
+    b = tn.add_dense_node(torch.full((3,), 2.0, dtype=torch.float64))
+    tn.connect_nodes(a, b, 1, 0)
+    out = np.asarray(tn.contract())
+    assert np.allclose(out, [6.0, 6.0], rtol=1e-12)
+
+
 def test_self_loop_trace():
     """Connecting a node to itself is a partial trace (repeated in-term
     index); the engine lowers it through the diagonal semantics."""

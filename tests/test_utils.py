@@ -76,6 +76,19 @@ def test_compile_stats():
     assert float(compiled(np.ones((4, 4)))) == 32.0
 
 
+def test_compiled_contraction_expression():
+    tn = build_mixed_tn()
+    expr = tn.compile(split_format=True)
+    mant, log = expr()
+    direct_m, direct_l = tn.contract(split_format=True)
+    assert np.allclose(np.asarray(mant), np.asarray(direct_m), rtol=1e-12)
+    assert np.isclose(float(log), float(direct_l), rtol=1e-12)
+    assert expr.info().flops > 0
+    stats = expr.measure_compile()
+    assert stats.compile_ms > 0
+    assert "CompiledContraction" in repr(expr)
+
+
 def test_timings_registry():
     Timings.reset()
     Timings.enabled = True
