@@ -1,22 +1,22 @@
 """Pallas TPU kernel: fused stabilized MPS evaluation.
 
-The XLA scan in :mod:`contractn_tpu.ops.scan` round-trips the ``(B, D)``
-carry (plus its log register) through HBM every site and materializes the
-``(B, d*D)`` intermediate.  This kernel keeps the carry and log register
-resident in VMEM scratch for the WHOLE chain — the grid walks
-``(batch blocks, sites)``, Pallas double-buffers the per-site core and input
-blocks HBM->VMEM, and the only HBM traffic is the unavoidable stream of
-cores/inputs plus one ``(B,)`` output pair.  The per-site rescale
-(reference semantics: L1-mean to 1, ``einsum.py:89-107``) runs on the VPU
-between the MXU GEMMs and costs no extra memory pass.
+Design (v2 — latency-hiding schedule):
 
-Mosaic-friendliness notes:
-* no in-kernel reshapes/transposes — cores are pre-flattened to
-  ``(N, D, d*D)`` (an XLA-side transpose done once), and the physical index
-  is handled with static lane slices ``u[:, k*D:(k+1)*D]``;
-* every ref is >= 2-D; outputs are ``(batch, 1)`` columns;
-* grid iteration on TPU is sequential over the trailing axis, which is what
-  makes the scratch-carry pattern valid (see pallas_guide.md).
+A single site step — ``(B, D) @ (D, d*D)`` GEMM, input weighting, L1-mean
+rescale — is a *dependent* chain along sites, so one chain is latency-bound
+(~6 us/site measured on v5e through this stack, regardless of batch width).
+The kernel therefore splits the batch into ``n_blocks`` INDEPENDENT chains
+and walks the grid ``(site_steps, blocks)`` with blocks innermost: while one
+chain waits on its GEMM latency, the MXU is fed with the other chains'
+GEMMs.  Each chain's carry ``v`` and log register live in VMEM scratch for
+the whole contraction (``(n_blocks, block_b, D)``); the per-site core block
+is indexed by the outer grid axis only, so it stays resident across the
+inner sweep, and Pallas double-buffers the streaming core/input blocks.
+
+Per-site rescale semantics match the engine (L1-mean to 1, reference
+``einsum.py:89-107``).  Mosaic constraints honored: no in-kernel
+reshape/transpose (cores pre-flattened to ``(N, D, d*D)`` XLA-side, physical
+index handled with static lane slices), all refs >= 2-D.
 """
 
 import functools
@@ -33,34 +33,31 @@ from .stabilize import MIN_NORM
 def _mps_kernel(x_ref, core_ref, left_ref, right_ref,
                 amp_ref, log_ref, v_ref, acc_ref, *,
                 n_steps, block_b, phys_dim, sites_per_step):
-    """One grid step: advance ``sites_per_step`` sites for one batch block.
-
-    Processing several sites per grid step amortizes the fixed per-step cost
-    of the Mosaic pipeline (output-block revisits, DMA bookkeeping), which
-    otherwise dominates at ~6 us/step for this body size.
+    """One grid step: advance ``sites_per_step`` sites of ONE batch chain.
 
     Refs (VMEM blocks):
         x_ref:     (S, block_b, d)    this step's inputs (site-major layout)
         core_ref:  (S, D, d*D)        this step's cores, phys index in lanes
         left_ref:  (1, D)             left boundary (replicated)
         right_ref: (1, D)             right boundary (replicated)
-        amp_ref:   (block_b, 1)       output mantissa column
+        amp_ref:   (block_b, 1)       output mantissa column (this chain)
         log_ref:   (block_b, 1)       output log-scale column
-        v_ref:     (block_b, D)       carry scratch (persists across sites)
-        acc_ref:   (block_b, 1)       log-register scratch
+        v_ref:     (n_blocks, block_b, D)  all chains' carries (scratch)
+        acc_ref:   (n_blocks, block_b, 1)  all chains' log registers
     """
-    step = pl.program_id(1)
+    step = pl.program_id(0)
+    chain = pl.program_id(1)
     bond = left_ref.shape[1]
 
     @pl.when(step == 0)
     def _init():
-        v_ref[:] = jnp.broadcast_to(
+        v_ref[chain] = jnp.broadcast_to(
             left_ref[0][None, :], (block_b, bond)
         ).astype(v_ref.dtype)
-        acc_ref[:] = jnp.zeros((block_b, 1), acc_ref.dtype)
+        acc_ref[chain] = jnp.zeros((block_b, 1), acc_ref.dtype)
 
-    v = v_ref[:]
-    acc = acc_ref[:]
+    v = v_ref[chain]
+    acc = acc_ref[chain]
     for s in range(sites_per_step):
         # MXU: (B, D) @ (D, d*D) with f32 accumulation
         mat = core_ref[s]
@@ -77,38 +74,39 @@ def _mps_kernel(x_ref, core_ref, left_ref, right_ref,
         safe = jnp.where(norm > (MIN_NORM / bond), norm, jnp.ones_like(norm))
         v = v / safe
         acc = acc + jnp.log(safe)
-    v_ref[:] = v.astype(v_ref.dtype)
-    acc_ref[:] = acc
+    v_ref[chain] = v.astype(v_ref.dtype)
+    acc_ref[chain] = acc
 
     @pl.when(step == n_steps - 1)
     def _finish():
         amp = jnp.sum(
-            v_ref[:] * right_ref[0][None, :].astype(v_ref.dtype),
+            v * right_ref[0][None, :].astype(v.dtype),
             axis=1, keepdims=True,
         )
         mag = jnp.abs(amp)
         safe_a = jnp.where(mag > MIN_NORM, mag, jnp.ones_like(mag))
         amp_ref[:] = (amp / safe_a).astype(amp_ref.dtype)
-        log_ref[:] = acc_ref[:] + jnp.log(safe_a)
+        log_ref[:] = acc + jnp.log(safe_a)
 
 
 @functools.partial(
     jax.jit, static_argnames=("block_b", "interpret", "sites_per_step")
 )
 def pallas_mps_evaluate(cores, left, right, x, block_b=None, interpret=False,
-                        sites_per_step=8):
+                        sites_per_step=2):
     """Fused stabilized MPS evaluation (drop-in for ``mps_evaluate``).
 
     Args:
         cores: ``(N, d, D, D)`` site tensors (bf16 or f32).
         left, right: ``(D,)`` boundary vectors.
         x: ``(B, N, d)`` batched inputs; ``B`` must divide by ``block_b``.
-        block_b: batch rows held in VMEM per program; must equal ``B`` or be
-            a multiple of 8 (TPU sublane tiling).  Default: ``min(B, 1024)``.
+        block_b: batch rows per independent chain; must equal ``B`` or be a
+            multiple of 8 (TPU sublane tiling).  Default: enough chains to
+            hide GEMM latency (``B/8`` capped at 512 rows).
         interpret: run in interpreter mode (for CPU tests).
-        sites_per_step: sites advanced per grid step (amortizes per-step
-            pipeline overhead); ``N`` must divide by it (auto-clamped to a
-            divisor of ``N``).
+        sites_per_step: sites advanced per grid step per chain.  ``N`` must
+            divide by it (auto-clamped to a divisor); bounded by the VMEM
+            budget for the unrolled f32 intermediates.
 
     Returns:
         ``(amp, log)`` of shape ``(B,)`` each: split-format amplitudes.
@@ -116,7 +114,12 @@ def pallas_mps_evaluate(cores, left, right, x, block_b=None, interpret=False,
     n_sites, phys_dim, bond, _ = cores.shape
     batch = x.shape[0]
     if block_b is None:
-        block_b = min(batch, 1024)
+        # Largest divisor of batch that is <=512 and a multiple of 8
+        # (several independent chains hide the per-chain GEMM latency)
+        candidates = [
+            b for b in range(8, min(512, batch) + 1, 8) if batch % b == 0
+        ]
+        block_b = candidates[-1] if candidates else batch
     if batch % block_b:
         raise ValueError(f"batch {batch} not divisible by block_b {block_b}")
     if block_b != batch and block_b % 8:
@@ -127,6 +130,7 @@ def pallas_mps_evaluate(cores, left, right, x, block_b=None, interpret=False,
     while n_sites % sites_per_step:
         sites_per_step -= 1
     n_steps = n_sites // sites_per_step
+    n_blocks = batch // block_b
 
     # One-time XLA-side layout changes (fused into the surrounding program):
     # phys index into the lane dimension, sites major for streaming.
@@ -135,7 +139,7 @@ def pallas_mps_evaluate(cores, left, right, x, block_b=None, interpret=False,
     )
     x_site_major = x.swapaxes(0, 1)  # (N, B, d)
 
-    grid = (batch // block_b, n_steps)
+    grid = (n_steps, n_blocks)  # blocks innermost: independent chains
     kernel = functools.partial(
         _mps_kernel, n_steps=n_steps, block_b=block_b, phys_dim=phys_dim,
         sites_per_step=sites_per_step,
@@ -145,19 +149,19 @@ def pallas_mps_evaluate(cores, left, right, x, block_b=None, interpret=False,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((s, block_b, phys_dim), lambda i, n: (n, i, 0),
+            pl.BlockSpec((s, block_b, phys_dim), lambda n, i: (n, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, bond, phys_dim * bond), lambda i, n: (n, 0, 0),
+            pl.BlockSpec((s, bond, phys_dim * bond), lambda n, i: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bond), lambda i, n: (0, 0),
+            pl.BlockSpec((1, bond), lambda n, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bond), lambda i, n: (0, 0),
+            pl.BlockSpec((1, bond), lambda n, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((block_b, 1), lambda i, n: (i, 0),
+            pl.BlockSpec((block_b, 1), lambda n, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, 1), lambda i, n: (i, 0),
+            pl.BlockSpec((block_b, 1), lambda n, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -165,8 +169,8 @@ def pallas_mps_evaluate(cores, left, right, x, block_b=None, interpret=False,
             jax.ShapeDtypeStruct((batch, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_b, bond), jnp.float32),
-            pltpu.VMEM((block_b, 1), jnp.float32),
+            pltpu.VMEM((n_blocks, block_b, bond), jnp.float32),
+            pltpu.VMEM((n_blocks, block_b, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * batch * n_sites * phys_dim * bond * bond,

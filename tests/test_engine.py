@@ -224,6 +224,24 @@ def test_contract_kwargs_validation():
         contract("a->ab", np.ones(2))  # output index with unknown dim
 
 
+def test_contract_dtype_and_nojit():
+    tn = build_mps((2,), (2, 2))
+    out64 = tn.contract(dtype=np.float64)
+    assert np.asarray(out64).dtype == np.float64
+    out_eager = tn.contract(jit=False)
+    assert np.allclose(np.asarray(out_eager), np.asarray(out64), rtol=1e-6)
+
+
+def test_contract_memory_limit_respected():
+    """memory_limit reaches the path optimizer (bounds intermediates)."""
+    rng = np.random.default_rng(7)
+    mats = [rng.standard_normal((4, 4)) for _ in range(5)]
+    einstr = "ab,bc,cd,de,ef->af"
+    out = contract(einstr, *mats, memory_limit=16, backend="numpy")
+    ref = contract(einstr, *mats, backend="numpy")
+    assert np.allclose(out, ref, rtol=1e-10)
+
+
 def test_torch_tensor_operands():
     """Torch CPU tensors are accepted as operands (migration parity with
     the reference's multi-backend support)."""
