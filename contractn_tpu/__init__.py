@@ -16,6 +16,7 @@ from .network import TN
 from .nodes import Node
 from .edges import Edge
 from .compiler.engine import contract
+from .compiler.expression import contract_expression
 from .ops.stabilize import stabilize, destabilize
 from .utils.errors import TNError
 
@@ -26,6 +27,7 @@ __all__ = [
     "Node",
     "Edge",
     "contract",
+    "contract_expression",
     "stabilize",
     "destabilize",
     "TNError",

@@ -10,6 +10,36 @@ with cost-model and compile-time observability.
 from ..utils.introspect import CompileStats, compile_stats
 
 
+def contract_expression(einstr, *shapes, optimize="auto",
+                        split_format=False, **kwargs):
+    """Standalone reusable einsum expression (opt_einsum-style).
+
+    ``expr = contract_expression("ab,bc->ac", (8, 8), (8, 8))`` builds the
+    jitted program for that signature once; ``expr(x, y)`` then contracts
+    with zero path-finding or retracing cost.  Thin wrapper over
+    :func:`contractn_tpu.compiler.engine.contract`, whose caches do the
+    heavy lifting — provided for drop-in familiarity.
+    """
+    from .engine import contract as _contract
+
+    shapes = tuple(tuple(int(d) for d in s) for s in shapes)
+
+    def expr(*tensors):
+        given = tuple(tuple(int(d) for d in t.shape) for t in tensors)
+        if given != shapes:
+            raise ValueError(
+                f"Expression built for shapes {shapes}, got {given}"
+            )
+        return _contract(
+            einstr, *tensors, optimize=optimize,
+            split_format=split_format, **kwargs
+        )
+
+    expr.einsum_str = einstr
+    expr.shapes = shapes
+    return expr
+
+
 class CompiledContraction:
     """Reusable contraction with attached cost model and compile metrics."""
 

@@ -1,17 +1,25 @@
 from .mps import MPS
 from .mpo import MPO
-from .canonical import compress, left_canonicalize
+from .canonical import compress, left_canonicalize, right_canonicalize
 from .decompositions import cp_tn, tucker_tn, tensor_ring_tn, mps_tn
+from .features import one_hot, trig_features, fourier_features
 from .peps import peps_tn
+from .sampling import sample, sample_canonical
 
 __all__ = [
     "MPS",
     "MPO",
     "compress",
     "left_canonicalize",
+    "right_canonicalize",
     "cp_tn",
     "tucker_tn",
     "tensor_ring_tn",
     "mps_tn",
     "peps_tn",
+    "sample",
+    "sample_canonical",
+    "one_hot",
+    "trig_features",
+    "fourier_features",
 ]

@@ -85,6 +85,45 @@ def left_canonicalize(mps):
     return _rebuild(tensors, np.asarray(mps.cores).dtype), log_norm
 
 
+def right_canonicalize(mps):
+    """Mirror of :func:`left_canonicalize`: RQ sweep from the right.
+
+    Every site except the first becomes a right-isometry
+    (``sum_d A_d A_d^H = I`` on its effective rank) — the form needed for
+    exact autoregressive sampling (:func:`contractn_tpu.models.sampling`).
+    Returns ``(canonical_mps, log_norm)`` with the first site normalized.
+    """
+    tensors = _site_tensors(mps)
+    n = len(tensors)
+    log_norm = 0.0
+    for i in range(n - 1, 0, -1):
+        t = tensors[i]
+        if t.ndim == 2:  # last site (d, Din)
+            mat = t.T  # (Din, d)
+        else:  # (d, Din, Dout) -> (Din, d*Dout)
+            mat = jnp.swapaxes(t, 0, 1).reshape(t.shape[1], -1)
+        # RQ via QR of the transpose: mat = (q r)^T = r^T q^T
+        q, r = jnp.linalg.qr(mat.T)  # q: (cols, k), r: (k, Din)
+        scale = jnp.maximum(jnp.max(jnp.abs(r)), 1e-300)
+        r = r / scale
+        log_norm += float(jnp.log(scale))
+        k = q.shape[-1]
+        if t.ndim == 2:
+            tensors[i] = q  # (d, k)
+        else:
+            # q rows follow the (d, Dout) flattening; new site = q^T
+            tensors[i] = jnp.swapaxes(
+                q.T.reshape(k, t.shape[0], t.shape[2]), 0, 1
+            )  # (d, k, Dout)
+        carry = r.T  # (Din, k): absorb into the left neighbor's last axis
+        tensors[i - 1] = jnp.einsum("...i,ik->...k", tensors[i - 1], carry)
+    first = tensors[0]
+    nrm = jnp.linalg.norm(first)
+    log_norm += float(jnp.log(jnp.maximum(nrm, 1e-300)))
+    tensors[0] = first / nrm
+    return _rebuild(tensors, np.asarray(mps.cores).dtype), log_norm
+
+
 def compress(mps, max_bond=None, cutoff=0.0):
     """Truncate an MPS's bonds by SVD.
 

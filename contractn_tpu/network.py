@@ -523,6 +523,24 @@ class TN:
         )
         return fun(self.params, inputs)
 
+    def to_networkx(self):
+        """Export the layout as a ``networkx.MultiGraph`` for inspection.
+
+        Nodes carry ``node_type``; edges carry ``dim`` and ``symbol`` —
+        the same attribute names the reference stores in its graph, so
+        analysis snippets written against it keep working.  The export is a
+        snapshot: mutating it does not affect this TN.
+        """
+        import networkx as nx
+
+        g = nx.MultiGraph()
+        for node in self._nodes.values():
+            g.add_node(node.name, node_type=node.node_type)
+        for edge in self._edges.values():
+            n1, n2, key = edge.name
+            g.add_edge(n1, n2, key=key, dim=edge.dim, symbol=edge.symbol)
+        return g
+
     def compile(self, optimize="auto", split_format=False, **kwargs):
         """Build a reusable, introspectable compiled contraction.
 
