@@ -1,0 +1,200 @@
+"""Two-site DMRG: variational ground-state search over MPS.
+
+The standard tensor-network optimization algorithm, built on this
+framework's MPS/MPO machinery: sandwich environments update with the same
+two-GEMM-per-site contractions as :meth:`MPO.expectation`, local two-site
+problems are solved by dense Hermitian eigendecomposition (appropriate for
+the moderate bond dimensions where ``(d^2 D^2)^3`` is cheap; a Lanczos
+local solver is the scaling path), and SVD truncation keeps the bond at
+``max_bond``.  The result returns to the framework's uniform stacked
+``(N, d, D, D)`` form (zero-padded), so it evaluates / samples / shards
+like any other MPS.
+
+The reference has no optimization capability at all — this is an additive
+model-family feature.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from .mps import MPS
+from .mpo import MPO
+
+
+def _ragged_sites(mps):
+    """Site tensors with explicit boundary bonds: each ``(d, Din, Dout)``,
+    ``Din[0] = Dout[-1] = 1``."""
+    cores = mps.cores
+    n, d, D, _ = cores.shape
+    first = jnp.einsum("i,dij->dj", mps.left, cores[0])[:, None, :]
+    last = jnp.einsum("dij,j->di", cores[-1], mps.right)[:, :, None]
+    return [first] + [cores[i] for i in range(1, n - 1)] + (
+        [last] if n > 1 else []
+    )
+
+
+def _rebuild_uniform(tensors, dtype):
+    """Uniform stacked MPS from ragged ``(d, Din, Dout)`` site tensors."""
+    n = len(tensors)
+    d = tensors[0].shape[0]
+    bond = max(max(t.shape[1], t.shape[2]) for t in tensors)
+    bond = max(bond, 1)
+    cores = np.zeros((n, d, bond, bond), dtype)
+    for i, t in enumerate(tensors):
+        cores[i, :, :t.shape[1], :t.shape[2]] = np.asarray(t)
+    e0 = np.zeros((bond,), dtype)
+    e0[0] = 1.0
+    return MPS(jnp.asarray(cores), jnp.asarray(e0), jnp.asarray(e0))
+
+
+def _update_left(L, site, w):
+    """L' after absorbing one site: ``L (i, w, p)`` bra x op x ket."""
+    t = jnp.einsum("iwp,bpq->iwbq", L, site)
+    t = jnp.einsum("abwv,iwbq->iavq", w, t)
+    return jnp.einsum("aij,iavq->jvq", jnp.conj(site), t)
+
+
+def _update_right(R, site, w):
+    """R' after absorbing one site from the right: ``R (j, u, q)``."""
+    t = jnp.einsum("juq,bpq->jubp", R, site)
+    t = jnp.einsum("abwv,jvbp->jwap", w, t)
+    return jnp.einsum("aij,jwap->iwp", jnp.conj(site), t)
+
+
+def _local_ground_state(L, w1, w2, R):
+    """Dense ground state of the two-site effective Hamiltonian.
+
+    Returns ``(energy, theta)`` with theta of shape ``(d, d, Dl, Dr)``
+    (physical indices of the two sites, then the outer bonds).
+    """
+    # H[(X,Y,i,k), (A,B,p,q)] = L[i,w,p] W1[X,A,w,v] W2[Y,B,v,u] R[k,u,q]
+    h = jnp.einsum("iwp,XAwv,YBvu,kuq->XYikABpq", L, w1, w2, R)
+    d = w1.shape[0]
+    dl, dr = L.shape[0], R.shape[0]
+    dim = d * d * dl * dr
+    hmat = h.reshape(dim, dim)
+    hmat = 0.5 * (hmat + jnp.conj(hmat.T))  # enforce hermiticity
+    vals, vecs = jnp.linalg.eigh(hmat)
+    energy = vals[0]
+    theta = vecs[:, 0].reshape(d, d, dl, dr)
+    return float(energy), theta
+
+
+def _split_theta(theta, max_bond, to_left):
+    """SVD-split a two-site block into site tensors.
+
+    ``theta``: ``(d, d, Dl, Dr)``.  Returns ``(T1 (d, Dl, k),
+    T2 (d, k, Dr))`` with the isometry on the sweep side.
+    """
+    d, _, dl, dr = theta.shape
+    mat = jnp.transpose(theta, (0, 2, 1, 3)).reshape(d * dl, d * dr)
+    u, s, vh = jnp.linalg.svd(mat, full_matrices=False)
+    k = min(s.shape[0], max_bond)
+    u, s, vh = u[:, :k], s[:k], vh[:k]
+    s = s / jnp.maximum(jnp.linalg.norm(s), 1e-300)
+    if to_left:  # left-to-right sweep: left site is the isometry
+        t1 = u.reshape(d, dl, k)
+        t2 = jnp.einsum("k,kx->kx", s, vh).reshape(k, d, dr).transpose(1, 0, 2)
+    else:  # right-to-left: right site is the isometry
+        t1 = jnp.einsum("xk,k->xk", u, s).reshape(d, dl, k)
+        t2 = vh.reshape(k, d, dr).transpose(1, 0, 2)
+    return t1, t2
+
+
+def dmrg(mpo, mps0, max_bond=None, sweeps=4):
+    """Minimize ``<psi|H|psi> / <psi|psi>`` over MPS of bounded bond.
+
+    Args:
+        mpo: Hermitian Hamiltonian as an :class:`MPO`.
+        mps0: initial state (e.g. ``MPS.random``); sets ``d`` and default
+            bond.
+        max_bond: bond-dimension cap (default: ``mps0.bond_dim``).
+        sweeps: full left-right + right-left sweeps.
+
+    Returns:
+        ``(ground_mps, energy, energies)``: the optimized state (uniform
+        stacked form, normalized), the final energy, and the per-sweep
+        energy trace.
+    """
+    n = mps0.n_sites
+    if n < 2:
+        raise ValueError("DMRG needs at least 2 sites")
+    max_bond = max_bond or mps0.bond_dim
+    sites = _ragged_sites(mps0)
+    ws = [mpo.cores[i] for i in range(n)]
+
+    L = [None] * (n + 1)
+    R = [None] * (n + 1)
+    L[0] = mpo.left[None, :, None].astype(sites[0].dtype)
+    R[n] = mpo.right[None, :, None].astype(sites[0].dtype)
+    # Right environments for the first sweep
+    for i in range(n - 1, 0, -1):
+        R[i] = _update_right(R[i + 1], sites[i], ws[i])
+
+    energies = []
+    energy = np.inf
+    for _ in range(sweeps):
+        # left -> right
+        for i in range(n - 1):
+            energy, theta = _local_ground_state(
+                L[i], ws[i], ws[i + 1], R[i + 2]
+            )
+            t1, t2 = _split_theta(theta, max_bond, to_left=True)
+            sites[i], sites[i + 1] = t1, t2
+            L[i + 1] = _update_left(L[i], sites[i], ws[i])
+        # right -> left
+        for i in range(n - 2, -1, -1):
+            energy, theta = _local_ground_state(
+                L[i], ws[i], ws[i + 1], R[i + 2]
+            )
+            t1, t2 = _split_theta(theta, max_bond, to_left=False)
+            sites[i], sites[i + 1] = t1, t2
+            R[i + 1] = _update_right(R[i + 2], sites[i + 1], ws[i + 1])
+        energies.append(energy)
+
+    return _rebuild_uniform(sites, np.asarray(mps0.cores).dtype), energy, energies
+
+
+# ---------------------------------------------------------------------- #
+# Standard Hamiltonians
+# ---------------------------------------------------------------------- #
+
+_SX = np.array([[0.0, 1.0], [1.0, 0.0]])
+_SZ = np.array([[1.0, 0.0], [0.0, -1.0]])
+_SY_IM = np.array([[0.0, -1.0], [1.0, 0.0]])  # i * sigma_y (real)
+_ID = np.eye(2)
+
+
+def tfim_mpo(n_sites, j=1.0, h=1.0, dtype=jnp.float64):
+    """Transverse-field Ising chain ``H = -J sum Z Z - h sum X`` (W=3)."""
+    w = np.zeros((2, 2, 3, 3))
+    w[:, :, 0, 0] = _ID
+    w[:, :, 2, 2] = _ID
+    w[:, :, 0, 1] = _SZ
+    w[:, :, 1, 2] = -j * _SZ
+    w[:, :, 0, 2] = -h * _SX
+    cores = jnp.asarray(
+        np.broadcast_to(w, (n_sites, 2, 2, 3, 3)), dtype
+    )
+    left = jnp.asarray(np.array([1.0, 0.0, 0.0]), dtype)
+    right = jnp.asarray(np.array([0.0, 0.0, 1.0]), dtype)
+    return MPO(cores, left, right)
+
+
+def heisenberg_mpo(n_sites, jx=1.0, jz=1.0, dtype=jnp.float64):
+    """XXZ Heisenberg chain
+    ``H = sum Jx (X X + Y Y) + Jz Z Z`` (W=5, real representation:
+    ``Y Y = -(iY)(iY)``)."""
+    w = np.zeros((2, 2, 5, 5))
+    w[:, :, 0, 0] = _ID
+    w[:, :, 4, 4] = _ID
+    w[:, :, 0, 1] = _SX
+    w[:, :, 1, 4] = jx * _SX
+    w[:, :, 0, 2] = _SY_IM
+    w[:, :, 2, 4] = -jx * _SY_IM
+    w[:, :, 0, 3] = _SZ
+    w[:, :, 3, 4] = jz * _SZ
+    cores = jnp.asarray(np.broadcast_to(w, (n_sites, 2, 2, 5, 5)), dtype)
+    left = jnp.asarray(np.array([1.0, 0, 0, 0, 0]), dtype)
+    right = jnp.asarray(np.array([0, 0, 0, 0, 1.0]), dtype)
+    return MPO(cores, left, right)

@@ -1,0 +1,86 @@
+"""DMRG ground-state search vs exact diagonalization of small spin chains."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contractn_tpu.models import MPS
+from contractn_tpu.models.dmrg import dmrg, heisenberg_mpo, tfim_mpo
+
+SX = np.array([[0.0, 1.0], [1.0, 0.0]])
+SY = np.array([[0.0, -1.0j], [1.0j, 0.0]])
+SZ = np.array([[1.0, 0.0], [0.0, -1.0]])
+
+
+def _op_at(op, site, n):
+    mats = [np.eye(2)] * n
+    mats[site] = op
+    out = mats[0]
+    for m in mats[1:]:
+        out = np.kron(out, m)
+    return out
+
+
+def dense_tfim(n, j=1.0, h=1.0):
+    ham = np.zeros((2 ** n, 2 ** n))
+    for i in range(n - 1):
+        ham -= j * _op_at(SZ, i, n) @ _op_at(SZ, i + 1, n)
+    for i in range(n):
+        ham -= h * _op_at(SX, i, n)
+    return ham
+
+
+def dense_heisenberg(n, jx=1.0, jz=1.0):
+    ham = np.zeros((2 ** n, 2 ** n), complex)
+    for i in range(n - 1):
+        ham += jx * _op_at(SX, i, n) @ _op_at(SX, i + 1, n)
+        ham += jx * (_op_at(SY, i, n) @ _op_at(SY, i + 1, n)).real
+        ham += jz * _op_at(SZ, i, n) @ _op_at(SZ, i + 1, n)
+    return ham.real
+
+
+def test_mpo_matches_dense_tfim():
+    """The TFIM MPO's expectation equals the dense Hamiltonian's."""
+    n = 5
+    mps = MPS.random(jax.random.PRNGKey(0), n, 2, 4, dtype=jnp.float64)
+    from tests.test_models import dense_mps_vector
+
+    psi = dense_mps_vector(mps)
+    ham = dense_tfim(n)
+    expect = psi @ ham @ psi
+    mpo = tfim_mpo(n)
+    val, log = mpo.expectation(mps)
+    assert np.isclose(float(val) * np.exp(float(log)), expect, rtol=1e-9)
+
+
+def test_dmrg_tfim_ground_energy():
+    n = 6
+    e_exact = float(np.linalg.eigvalsh(dense_tfim(n))[0])
+    mps0 = MPS.random(jax.random.PRNGKey(1), n, 2, 8, dtype=jnp.float64)
+    ground, energy, trace = dmrg(tfim_mpo(n), mps0, max_bond=8, sweeps=3)
+    assert np.isclose(energy, e_exact, rtol=1e-8)
+    # energies are monotone-ish and the state reproduces the energy
+    v, log = tfim_mpo(n).expectation(ground)
+    nrm_v, nrm_log = ground.norm_squared()
+    e_check = (float(v) * np.exp(float(log))) / (
+        float(nrm_v) * np.exp(float(nrm_log))
+    )
+    assert np.isclose(e_check, e_exact, rtol=1e-7)
+
+
+def test_dmrg_heisenberg_ground_energy():
+    n = 6
+    e_exact = float(np.linalg.eigvalsh(dense_heisenberg(n))[0])
+    mps0 = MPS.random(jax.random.PRNGKey(2), n, 2, 8, dtype=jnp.float64)
+    _, energy, _ = dmrg(heisenberg_mpo(n), mps0, max_bond=8, sweeps=3)
+    assert np.isclose(energy, e_exact, rtol=1e-8)
+
+
+def test_dmrg_truncated_bond_is_variational():
+    """With a too-small bond the energy is above, but close to, exact."""
+    n = 8
+    e_exact = float(np.linalg.eigvalsh(dense_tfim(n))[0])
+    mps0 = MPS.random(jax.random.PRNGKey(3), n, 2, 4, dtype=jnp.float64)
+    _, energy, _ = dmrg(tfim_mpo(n), mps0, max_bond=4, sweeps=3)
+    assert energy >= e_exact - 1e-10  # variational bound
+    assert energy - e_exact < 1e-3  # TFIM is weakly entangled
