@@ -63,6 +63,41 @@ def _embed(mats, phys_first):
     return jnp.asarray(out), jnp.asarray(e)
 
 
+def _boundary_sweep(tensor_grid, chi):
+    """Core sweep over a grid of full ``(up, left, down, right)`` arrays.
+
+    Returns the split-format ``(mantissa, log)`` scalar value.
+    """
+    rows = len(tensor_grid)
+    cols = len(tensor_grid[0])
+
+    # Row 0 as a boundary MPS over its down-bonds
+    mats = [np.moveaxis(tensor_grid[0][c][0], 1, 0) for c in range(cols)]
+    cores, e = _embed(mats, (mats[0].shape[0],))
+    boundary = MPS(cores, e, e)
+    total_log = 0.0
+
+    for r in range(1, rows - 1):
+        mats = [
+            np.transpose(tensor_grid[r][c], (2, 0, 1, 3))  # (down, up, l, r)
+            for c in range(cols)
+        ]
+        cores, e = _embed(mats, mats[0].shape[:2])
+        row_mpo = MPO(cores, e, e)
+        boundary = apply_mpo_to_mps(row_mpo, boundary)
+        if chi is not None and boundary.bond_dim > chi:
+            boundary, log_norm, _ = compress(boundary, max_bond=chi)
+            total_log += log_norm
+
+    # Last row as an MPS over its up-bonds; value = <last_row | boundary>
+    mats = [tensor_grid[rows - 1][c][:, :, 0] for c in range(cols)]
+    cores, e = _embed(mats, (mats[0].shape[0],))
+    closing = MPS(cores, e, e)
+
+    val, log = closing.inner(boundary)
+    return val, log + total_log
+
+
 def boundary_contract(tn, grid, chi=None, split_format=True):
     """Contract a closed PEPS grid by boundary-MPS sweeping.
 
@@ -82,39 +117,58 @@ def boundary_contract(tn, grid, chi=None, split_format=True):
         raise ValueError(
             "boundary_contract expects a closed grid (phys_dim=None)"
         )
+    tensor_grid = [
+        [_padded_site(grid, r, c, rows, cols) for c in range(cols)]
+        for r in range(rows)
+    ]
+    val, log = _boundary_sweep(tensor_grid, chi)
+    if split_format:
+        return val, log
+    from ..ops.stabilize import destabilize
 
-    # Row 0 as a boundary MPS over its down-bonds
-    mats = []
-    for c in range(cols):
-        t = _padded_site(grid, 0, c, rows, cols)[0]  # (left, down, right)
-        mats.append(np.moveaxis(t, 1, 0))  # (down, left, right)
-    d0 = mats[0].shape[0]
-    cores, e = _embed(mats, (d0,))
-    boundary = MPS(cores, e, e)
-    total_log = 0.0
+    return destabilize(val, log)
 
-    for r in range(1, rows - 1):
-        mats = []
+
+def peps_norm(tn, grid, chi=None, split_format=True):
+    """``<P|P>`` of an OPEN PEPS (physical modes) via the double layer.
+
+    Each double-layer site is ``T (x) conj(T)`` with the physical index
+    contracted, giving a closed grid with squared bond dimensions that the
+    boundary sweep contracts at polynomial cost.  This is how 2D quantum
+    state norms / expectation values are actually computed at scale.
+    """
+    rows, cols = len(grid), len(grid[0])
+    expected_ndim = {
+        (True, True): 2, (True, False): 3, (False, True): 3,
+        (False, False): 4,
+    }
+    tensor_grid = []
+    for r in range(rows):
+        row_list = []
         for c in range(cols):
-            t = _padded_site(grid, r, c, rows, cols)  # (up, left, down, right)
-            mats.append(np.transpose(t, (2, 0, 1, 3)))  # (down, up, wl, wr)
-        cores, e = _embed(mats, mats[0].shape[:2])
-        row_mpo = MPO(cores, e, e)
-        boundary = apply_mpo_to_mps(row_mpo, boundary)
-        if chi is not None and boundary.bond_dim > chi:
-            boundary, log_norm, _ = compress(boundary, max_bond=chi)
-            total_log += log_norm
-
-    # Last row as an MPS over its up-bonds; value = <last_row | boundary>
-    mats = []
-    for c in range(cols):
-        t = _padded_site(grid, rows - 1, c, rows, cols)[:, :, 0]
-        mats.append(t)  # (up, left, right)
-    cores, e = _embed(mats, (mats[0].shape[0],))
-    closing = MPS(cores, e, e)
-
-    val, log = closing.inner(boundary)
-    log = log + total_log
+            node = grid[r][c]
+            corner = (r in (0, rows - 1), c in (0, cols - 1))
+            if node.ndim != expected_ndim[corner] + 1:
+                raise ValueError(
+                    "peps_norm expects an open grid (phys_dim set)"
+                )
+            t = np.asarray(node.tensor)
+            # pad the four virtual bonds (phys stays last)
+            if r == 0:
+                t = t[None]
+            if c == 0:
+                t = t[:, None]
+            if r == rows - 1:
+                t = t[:, :, None]
+            if c == cols - 1:
+                t = t[:, :, :, None]
+            dbl = np.einsum("uldrp,ULDRp->uUlLdDrR", t, np.conj(t))
+            s = t.shape
+            row_list.append(
+                dbl.reshape(s[0] ** 2, s[1] ** 2, s[2] ** 2, s[3] ** 2)
+            )
+        tensor_grid.append(row_list)
+    val, log = _boundary_sweep(tensor_grid, chi)
     if split_format:
         return val, log
     from ..ops.stabilize import destabilize

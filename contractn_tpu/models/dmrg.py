@@ -61,17 +61,76 @@ def _update_right(R, site, w):
     return jnp.einsum("aij,jwap->iwp", jnp.conj(site), t)
 
 
-def _local_ground_state(L, w1, w2, R):
-    """Dense ground state of the two-site effective Hamiltonian.
+# Above this two-site problem size the dense eigh is replaced by Lanczos
+_DENSE_EIGH_LIMIT = 1024
 
-    Returns ``(energy, theta)`` with theta of shape ``(d, d, Dl, Dr)``
-    (physical indices of the two sites, then the outer bonds).
+
+def _heff_matvec(L, w1, w2, R, theta):
+    """Apply the two-site effective Hamiltonian without materializing it.
+
+    Four small contractions, cost O(d^2 D^3 W) — the standard DMRG matvec.
+    ``theta``: (d, d, Dl, Dr) -> same shape.
     """
-    # H[(X,Y,i,k), (A,B,p,q)] = L[i,w,p] W1[X,A,w,v] W2[Y,B,v,u] R[k,u,q]
-    h = jnp.einsum("iwp,XAwv,YBvu,kuq->XYikABpq", L, w1, w2, R)
+    t = jnp.einsum("iwp,ABpq->iwABq", L, theta)
+    t = jnp.einsum("XAwv,iwABq->iXvBq", w1, t)
+    t = jnp.einsum("YBvu,iXvBq->iXYuq", w2, t)
+    return jnp.einsum("kuq,iXYuq->XYik", R, t)
+
+
+def _lanczos_ground(L, w1, w2, R, theta0, iters=24):
+    """Lowest eigenpair of H_eff by Lanczos with full reorthogonalization.
+
+    ``iters`` Krylov vectors suffice to machine precision here because each
+    DMRG site solve starts from the previous sweep's (already near-optimal)
+    block.  Returns ``(energy, theta)``.
+    """
+    shape = theta0.shape
+    v = theta0.reshape(-1)
+    v = v / jnp.maximum(jnp.linalg.norm(v), 1e-300)
+    basis = [v]
+    alphas, betas = [], []
+    for _ in range(iters):
+        hv = _heff_matvec(L, w1, w2, R, basis[-1].reshape(shape)).reshape(-1)
+        alpha = jnp.vdot(basis[-1], hv)
+        alphas.append(alpha)
+        hv = hv - alpha * basis[-1]
+        if len(basis) > 1:
+            hv = hv - betas[-1] * basis[-2]
+        # full reorthogonalization (cheap at this Krylov size)
+        for b in basis:
+            hv = hv - jnp.vdot(b, hv) * b
+        beta = jnp.linalg.norm(hv)
+        if float(beta) < 1e-12:
+            break
+        betas.append(beta)
+        basis.append(hv / beta)
+    k = len(alphas)
+    tri = np.zeros((k, k), np.asarray(alphas[0]).real.dtype)
+    for i, a in enumerate(alphas):
+        tri[i, i] = float(jnp.real(a))
+    for i, b in enumerate(betas[: k - 1]):
+        tri[i, i + 1] = tri[i + 1, i] = float(b)
+    vals, vecs = np.linalg.eigh(tri)
+    coeff = vecs[:, 0]
+    theta = sum(c * b for c, b in zip(coeff, basis[:k]))
+    theta = theta / jnp.maximum(jnp.linalg.norm(theta), 1e-300)
+    return float(vals[0]), theta.reshape(shape)
+
+
+def _local_ground_state(L, w1, w2, R, theta0=None):
+    """Ground state of the two-site effective Hamiltonian.
+
+    Dense eigh below ``_DENSE_EIGH_LIMIT``; environment-matvec Lanczos
+    above it (scales to production bond dimensions).  Returns
+    ``(energy, theta)`` with theta of shape ``(d, d, Dl, Dr)``.
+    """
     d = w1.shape[0]
     dl, dr = L.shape[0], R.shape[0]
     dim = d * d * dl * dr
+    if dim > _DENSE_EIGH_LIMIT and theta0 is not None:
+        return _lanczos_ground(L, w1, w2, R, theta0)
+    # H[(X,Y,i,k), (A,B,p,q)] = L[i,w,p] W1[X,A,w,v] W2[Y,B,v,u] R[k,u,q]
+    h = jnp.einsum("iwp,XAwv,YBvu,kuq->XYikABpq", L, w1, w2, R)
     hmat = h.reshape(dim, dim)
     hmat = 0.5 * (hmat + jnp.conj(hmat.T))  # enforce hermiticity
     vals, vecs = jnp.linalg.eigh(hmat)
@@ -136,16 +195,18 @@ def dmrg(mpo, mps0, max_bond=None, sweeps=4):
     for _ in range(sweeps):
         # left -> right
         for i in range(n - 1):
+            theta0 = jnp.einsum("apj,bjq->abpq", sites[i], sites[i + 1])
             energy, theta = _local_ground_state(
-                L[i], ws[i], ws[i + 1], R[i + 2]
+                L[i], ws[i], ws[i + 1], R[i + 2], theta0
             )
             t1, t2 = _split_theta(theta, max_bond, to_left=True)
             sites[i], sites[i + 1] = t1, t2
             L[i + 1] = _update_left(L[i], sites[i], ws[i])
         # right -> left
         for i in range(n - 2, -1, -1):
+            theta0 = jnp.einsum("apj,bjq->abpq", sites[i], sites[i + 1])
             energy, theta = _local_ground_state(
-                L[i], ws[i], ws[i + 1], R[i + 2]
+                L[i], ws[i], ws[i + 1], R[i + 2], theta0
             )
             t1, t2 = _split_theta(theta, max_bond, to_left=False)
             sites[i], sites[i + 1] = t1, t2

@@ -42,6 +42,37 @@ def test_boundary_truncated_is_close():
     assert np.isclose(approx, exact, rtol=1e-3)
 
 
+def test_peps_norm_matches_dense():
+    from contractn_tpu.models.boundary import peps_norm
+
+    rng = np.random.default_rng(2)
+    tn, grid = peps_tn(2, 3, bond_dim=2, phys_dim=2, rng=rng)
+    amps = np.asarray(tn.contract(backend="numpy")).reshape(-1)
+    exact = float(np.sum(amps ** 2))
+    val, log = peps_norm(tn, grid, chi=None)
+    assert np.isclose(float(val) * np.exp(float(log)), exact, rtol=1e-8)
+
+
+def test_peps_norm_truncated_3x3():
+    from contractn_tpu.models.boundary import peps_norm
+
+    rng = np.random.default_rng(3)
+    tn, grid = peps_tn(3, 3, bond_dim=2, phys_dim=2, rng=rng)
+    amps = np.asarray(tn.contract(backend="numpy")).reshape(-1)
+    exact = float(np.sum(amps ** 2))
+    val, log = peps_norm(tn, grid, chi=8)
+    approx = float(val) * np.exp(float(log))
+    assert np.isclose(approx, exact, rtol=1e-2)
+
+
+def test_peps_norm_rejects_closed_grid():
+    from contractn_tpu.models.boundary import peps_norm
+
+    tn, grid = peps_tn(3, 3, bond_dim=2)
+    with pytest.raises(ValueError):
+        peps_norm(tn, grid)
+
+
 def test_boundary_large_grid_no_overflow():
     """8x8 all-ones grid: value is 2^(#bonds) = 2^112 — far beyond f64
     comfort for naive accumulation chains; split format stays exact."""

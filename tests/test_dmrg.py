@@ -76,6 +76,42 @@ def test_dmrg_heisenberg_ground_energy():
     assert np.isclose(energy, e_exact, rtol=1e-8)
 
 
+def test_lanczos_matches_dense_local_solve():
+    """Environment-matvec Lanczos agrees with the dense eigh solve."""
+    import importlib
+
+    dm = importlib.import_module("contractn_tpu.models.dmrg")
+
+    n = 6
+    mps0 = MPS.random(jax.random.PRNGKey(5), n, 2, 8, dtype=jnp.float64)
+    mpo = tfim_mpo(n)
+    sites = dm._ragged_sites(mps0)
+    ws = [mpo.cores[i] for i in range(n)]
+    L = mpo.left[None, :, None].astype(jnp.float64)
+    R = mpo.right[None, :, None].astype(jnp.float64)
+    for i in range(n - 1, 1, -1):
+        R = dm._update_right(R, sites[i], ws[i])
+    theta0 = jnp.einsum("apj,bjq->abpq", sites[0], sites[1])
+    e_dense, _ = dm._local_ground_state(L, ws[0], ws[1], R)
+    e_lcz, theta = dm._lanczos_ground(L, ws[0], ws[1], R, theta0, iters=30)
+    assert np.isclose(e_lcz, e_dense, rtol=1e-9)
+    # returned vector is a true eigenvector: H theta = E theta
+    htheta = dm._heff_matvec(L, ws[0], ws[1], R, theta)
+    assert np.allclose(
+        np.asarray(htheta), e_lcz * np.asarray(theta), atol=1e-7
+    )
+
+
+def test_dmrg_large_bond_uses_lanczos():
+    """Bond 20 pushes the two-site dim past the dense limit (3200 > 1024):
+    the Lanczos path engages and still matches exact diagonalization."""
+    n = 8
+    e_exact = float(np.linalg.eigvalsh(dense_tfim(n))[0])
+    mps0 = MPS.random(jax.random.PRNGKey(6), n, 2, 20, dtype=jnp.float64)
+    _, energy, _ = dmrg(tfim_mpo(n), mps0, max_bond=20, sweeps=3)
+    assert np.isclose(energy, e_exact, rtol=1e-7)
+
+
 def test_dmrg_truncated_bond_is_variational():
     """With a too-small bond the energy is above, but close to, exact."""
     n = 8
