@@ -21,11 +21,14 @@ these deliberate upgrades over the reference:
   :mod:`contractn_tpu.compiler`) instead of an interpreted opt_einsum loop.
 """
 
+import heapq
 from collections import Counter
+
+from opt_einsum import get_symbol
 
 from .edges import Edge
 from .nodes import Node
-from .symbols import allocate_symbols, check_symbol
+from .symbols import check_symbol, symbol_index
 from .utils.errors import TNError, check_valid_tensor
 
 
@@ -43,6 +46,12 @@ class TN:
         self._pair_keys = {}
         # symbol -> number of edges currently carrying it
         self._symbol_counts = Counter()
+        # Incremental gap-reuse allocator: min-heap of candidate free
+        # indices below the high-water mark (lazily validated on pop).
+        # Same allocation order as the reference's full-scan version
+        # (utils.py:44-63) but O(log n) per symbol instead of O(n).
+        self._free_idxs = []
+        self._next_idx = 0
         self._dang_id = 0
         self._num_cores = 0
         self._type_counts = Counter()
@@ -165,7 +174,7 @@ class TN:
         self._incident[n1].append(edge_id)
         if n2 != n1:
             self._incident[n2].append(edge_id)
-        self._symbol_counts[edge_symbol] += 1
+        self._claim_symbol(edge_symbol)
 
         node1.edge_names[idx1] = edge_id
         node2.edge_names[idx2] = edge_id
@@ -176,12 +185,48 @@ class TN:
 
         return edge_id
 
+    def _claim_symbol(self, symbol):
+        """Mark one more edge as carrying ``symbol``."""
+        self._symbol_counts[symbol] += 1
+        if self._symbol_counts[symbol] == 1:
+            idx = symbol_index(symbol)
+            if idx >= self._next_idx:
+                # user-specified symbol past the high-water mark: every
+                # skipped index becomes a reusable gap
+                for i in range(self._next_idx, idx):
+                    heapq.heappush(self._free_idxs, i)
+                self._next_idx = idx + 1
+
+    def _release_symbol(self, symbol):
+        """Drop one carrier of ``symbol``; recycle its index when unused."""
+        self._symbol_counts[symbol] -= 1
+        if self._symbol_counts[symbol] == 0:
+            del self._symbol_counts[symbol]
+            heapq.heappush(self._free_idxs, symbol_index(symbol))
+
+    def _allocate_symbols(self, num_new):
+        """``num_new`` fresh symbols: recycled gaps first, then extension."""
+        out = []
+        taken = set()
+        while len(out) < num_new:
+            symbol = None
+            while self._free_idxs:
+                idx = heapq.heappop(self._free_idxs)
+                s = get_symbol(idx)
+                if s not in self._symbol_counts and s not in taken:
+                    symbol = s
+                    break
+            if symbol is None:
+                symbol = get_symbol(self._next_idx)
+                self._next_idx += 1
+            out.append(symbol)
+            taken.add(symbol)
+        return tuple(out)
+
     def _drop_edge(self, edge_id):
         """Unregister an edge (symbol count, incidence, registry)."""
         edge = self._edges.pop(edge_id)
-        self._symbol_counts[edge.symbol] -= 1
-        if self._symbol_counts[edge.symbol] == 0:
-            del self._symbol_counts[edge.symbol]
+        self._release_symbol(edge.symbol)
         n1, n2 = edge_id[:2]
         self._incident[n1].remove(edge_id)
         if n2 != n1:
@@ -283,7 +328,7 @@ class TN:
             if not e.dangler:
                 self._drop_edge(e.name)
 
-        new_symbols = allocate_symbols(set(self._symbol_counts), len(affected))
+        new_symbols = self._allocate_symbols(len(affected))
         for (node, idx), sym in zip(affected, new_symbols):
             self._new_dangler(node, idx, sym)
 
@@ -342,7 +387,7 @@ class TN:
                 raise TNError("Copy (hyperedge) nodes must have positive degree")
             return ()
         num_new = 1 if node_type == "hyper" else degree
-        new_symbols = allocate_symbols(set(self._symbol_counts), num_new)
+        new_symbols = self._allocate_symbols(num_new)
         return new_symbols if num_new == degree else new_symbols * degree
 
     def _copy_cluster(self, start_name):
@@ -394,10 +439,8 @@ class TN:
             for eid in set(incident):
                 edge = self._edges[eid]
                 if edge.symbol != best:
-                    self._symbol_counts[edge.symbol] -= 1
-                    if self._symbol_counts[edge.symbol] == 0:
-                        del self._symbol_counts[edge.symbol]
-                    self._symbol_counts[best] += 1
+                    self._release_symbol(edge.symbol)
+                    self._claim_symbol(best)
                     edge._symbol = best
 
     # ------------------------------------------------------------------ #

@@ -110,10 +110,8 @@ def _restore_symbols(tn, symbols):
         for idx, sym in enumerate(syms):
             edge = node[idx]
             if edge.symbol != sym:
-                tn._symbol_counts[edge.symbol] -= 1
-                if tn._symbol_counts[edge.symbol] == 0:
-                    del tn._symbol_counts[edge.symbol]
-                tn._symbol_counts[sym] += 1
+                tn._release_symbol(edge.symbol)
+                tn._claim_symbol(sym)
                 edge._symbol = sym
 
 

@@ -224,6 +224,36 @@ def test_contract_kwargs_validation():
         contract("a->ab", np.ones(2))  # output index with unknown dim
 
 
+def test_complex_operands():
+    """Complex tensors flow through contraction and split format (the
+    mantissa stays complex, the log register is real)."""
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((3, 4)) + 1j * rng.standard_normal((3, 4))
+    b = rng.standard_normal((4, 2)) + 1j * rng.standard_normal((4, 2))
+    out = np.asarray(contract("ab,bc->ac", a, b))
+    assert np.allclose(out, a @ b, rtol=1e-12)
+    mant, log = contract("ab,bc->ac", a, b, split_format=True)
+    assert np.iscomplexobj(np.asarray(mant))
+    assert not np.iscomplexobj(np.asarray(log))
+    assert np.allclose(
+        np.asarray(mant) * np.exp(np.asarray(log)), a @ b, rtol=1e-12
+    )
+
+
+def test_complex_chain_fast_path():
+    rng = np.random.default_rng(12)
+    tn = TN()
+    prev = tn.add_dense_node(np.ones(3) + 0.5j * np.ones(3))
+    for _ in range(30):
+        mat = rng.standard_normal((3, 3)) + 1j * rng.standard_normal((3, 3))
+        node = tn.add_dense_node(mat)
+        tn.connect_nodes(prev, node, -1, 0)
+        prev = node
+    v1 = np.asarray(tn.contract())
+    v2 = tn.contract(backend="numpy")
+    assert np.allclose(v1, v2, rtol=1e-10)
+
+
 def test_contract_dtype_and_nojit():
     tn = build_mps((2,), (2, 2))
     out64 = tn.contract(dtype=np.float64)
