@@ -447,9 +447,14 @@ def _build_jax_program(einstr, shapes, optimize, memory_limit, split_format):
         if not np.issubdtype(log_dtype, np.floating):
             log_dtype = jnp.result_type(float)
         log_scale = jnp.zeros((), log_dtype)
+        from ..ops.stabilize import dot_precision
+
         for inds, step_str in steps:
             tmp = [ops.pop(i) for i in inds]
-            new = jnp.einsum(step_str, *tmp)
+            new = jnp.einsum(
+                step_str, *tmp,
+                precision=dot_precision(*(t.dtype for t in tmp)),
+            )
             new, log_scale = stabilize(new, log_scale)
             ops.append(new)
         result = ops[0]

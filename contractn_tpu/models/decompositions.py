@@ -89,6 +89,39 @@ def tensor_ring_tn(tensors):
     return tn
 
 
+def random_regular_tn(num_nodes, degree, bond_dim, rng=None, scale=None):
+    """Random ``degree``-regular closed TN (BASELINE stretch config).
+
+    Every node is a random order-``degree`` tensor; edges pair up node
+    modes uniformly at random (configuration model, resampled until no
+    mode pairs with its own node twice in a way that leaves self-loops —
+    self-loops are allowed, parallel edges are allowed, exactly as in
+    random regular multigraphs).  These graphs have no low-treewidth
+    structure, so they exercise the contraction-path optimizer with
+    genuinely nontrivial orderings.
+
+    Returns ``(tn, nodes)``.
+    """
+    if (num_nodes * degree) % 2:
+        raise ValueError("num_nodes * degree must be even")
+    rng = rng or np.random.default_rng()
+    if scale is None:
+        scale = 1.0 / np.sqrt(bond_dim)
+    tn = TN()
+    nodes = [
+        tn.add_dense_node(
+            scale * rng.standard_normal((bond_dim,) * degree)
+        )
+        for _ in range(num_nodes)
+    ]
+    stubs = [(i, k) for i in range(num_nodes) for k in range(degree)]
+    rng.shuffle(stubs)
+    for a in range(0, len(stubs), 2):
+        (i1, k1), (i2, k2) = stubs[a], stubs[a + 1]
+        tn.connect_nodes(nodes[i1], nodes[i2], k1, k2)
+    return tn, nodes
+
+
 def matrix_chain_tn(matrices, left_vec=None, right_vec=None):
     """Vector-matrix-...-matrix chain (the reference's 1000-link example,
     ``README.md:63-77``), optionally capped with boundary vectors."""

@@ -74,12 +74,16 @@ class MPO:
         ).astype(mps.cores.dtype)
         log = jnp.zeros((), env.real.dtype)
 
+        from ..ops.stabilize import dot_precision
+
+        prec = dot_precision(mps.cores.dtype, self.cores.dtype)
+
         def step(carry, cores):
             env, log = carry
             a, w = cores  # (d, D, D), (d_out, d_in, W, W)
-            t = jnp.einsum("iwk,ekl->iwel", env, a)          # ket bond
-            t = jnp.einsum("dewv,iwel->idvl", w, t)          # phys + op bond
-            env = jnp.einsum("dij,idvl->jvl", jnp.conj(a), t)  # bra bond
+            t = jnp.einsum("iwk,ekl->iwel", env, a, precision=prec)
+            t = jnp.einsum("dewv,iwel->idvl", w, t, precision=prec)
+            env = jnp.einsum("dij,idvl->jvl", jnp.conj(a), t, precision=prec)
             env, log = _stab_step(env, log, 0)
             return (env, log), None
 

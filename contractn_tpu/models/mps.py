@@ -137,15 +137,17 @@ class MPS:
         is never formed.
         """
         from ..ops.scan import _stab_step
+        from ..ops.stabilize import dot_precision
 
+        prec = dot_precision(self.cores.dtype, other.cores.dtype)
         rho0 = jnp.outer(jnp.conj(self.left), other.left)
         log0 = jnp.zeros((), rho0.real.dtype)
 
         def step(carry, ab):
             rho, log = carry
             a, b = ab  # (d, D1, D1), (d, D2, D2)
-            x = jnp.einsum("ij,djk->dik", rho, b)
-            rho = jnp.einsum("dji,djk->ik", jnp.conj(a), x)
+            x = jnp.einsum("ij,djk->dik", rho, b, precision=prec)
+            rho = jnp.einsum("dji,djk->ik", jnp.conj(a), x, precision=prec)
             rho, log = _stab_step(rho, log, 0)
             return (rho, log), None
 

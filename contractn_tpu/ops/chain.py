@@ -24,7 +24,7 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-from .stabilize import stabilize_batched
+from .stabilize import dot_precision, stabilize_batched
 
 
 def _real_dtype(dtype):
@@ -67,7 +67,7 @@ def tree_chain_product(mats, logs=None):
         half = mats.shape[-3] // 2
         a = mats[..., 0::2, :, :]
         b = mats[..., 1::2, :, :]
-        prod = jnp.matmul(a, b)
+        prod = jnp.matmul(a, b, precision=dot_precision(mats.dtype))
         logs = logs[..., 0::2] + logs[..., 1::2]
         prod, logs = stabilize_batched(prod, logs, batch_ndim + 1)
         mats = prod
@@ -128,12 +128,13 @@ def stabilized_chain_product(mats, left=None, right=None):
         one is, ``(D, D)`` if neither (per batch element).
     """
     batch_ndim = mats.ndim - 3
+    prec = dot_precision(mats.dtype)
     result, log_scale = tree_chain_product(mats)
     if left is not None and right is not None:
-        vec = jnp.einsum("...i,...ij->...j", left, result)
-        result = jnp.einsum("...j,...j->...", vec, right)
+        vec = jnp.einsum("...i,...ij->...j", left, result, precision=prec)
+        result = jnp.einsum("...j,...j->...", vec, right, precision=prec)
     elif left is not None:
-        result = jnp.einsum("...i,...ij->...j", left, result)
+        result = jnp.einsum("...i,...ij->...j", left, result, precision=prec)
     elif right is not None:
-        result = jnp.einsum("...ij,...j->...i", result, right)
+        result = jnp.einsum("...ij,...j->...i", result, right, precision=prec)
     return stabilize_batched(result, log_scale, batch_ndim)

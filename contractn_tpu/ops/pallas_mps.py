@@ -58,11 +58,15 @@ def _mps_kernel(x_ref, core_ref, left_ref, right_ref,
 
     v = v_ref[chain]
     acc = acc_ref[chain]
+    # full-precision multiplies for f32 cores (TPU default is bf16 passes)
+    prec = (jax.lax.Precision.HIGHEST
+            if core_ref.dtype == jnp.float32 else None)
     for s in range(sites_per_step):
         # MXU: (B, D) @ (D, d*D) with f32 accumulation
         mat = core_ref[s]
         u = jnp.dot(
-            v.astype(mat.dtype), mat, preferred_element_type=jnp.float32
+            v.astype(mat.dtype), mat, preferred_element_type=jnp.float32,
+            precision=prec,
         )
         # VPU: weight by the site input (static lane slices, no reshape)
         xb = x_ref[s].astype(jnp.float32)  # (block_b, d)

@@ -16,7 +16,7 @@ follows is a cheap VPU reduction.  Materializing per-site matrices
 import jax
 import jax.numpy as jnp
 
-from .stabilize import MIN_NORM
+from .stabilize import MIN_NORM, dot_precision
 
 
 def _stab_step(state, log_scale, batch_ndim):
@@ -43,9 +43,11 @@ def scan_matrix_chain(mats, init=None):
     if init is None:
         init = jnp.eye(d, dtype=mats.dtype)
 
+    prec = dot_precision(mats.dtype)
+
     def step(carry, m):
         acc, log = carry
-        acc = acc @ m
+        acc = jnp.matmul(acc, m, precision=prec)
         acc, log = _stab_step(acc, log, 0)
         return (acc, log), None
 
@@ -81,11 +83,17 @@ def mps_evaluate(cores, left, right, x, stabilize_every=1):
     v0 = jnp.broadcast_to(left.astype(cores.dtype), (batch, bond_dim))
     log0 = jnp.zeros((batch,), _real(cores.dtype))
 
+    prec = dot_precision(cores.dtype)
+
     def step(carry, inputs):
         v, log, i = carry[0], carry[1], carry[2]
         core, xn = inputs  # (d, D, D), (B, d)
         # MXU: (B, D) @ (D, d*D)
-        u = v @ core.transpose(1, 0, 2).reshape(bond_dim, phys_dim * bond_dim)
+        u = jnp.matmul(
+            v,
+            core.transpose(1, 0, 2).reshape(bond_dim, phys_dim * bond_dim),
+            precision=prec,
+        )
         u = u.reshape(batch, phys_dim, bond_dim)
         # VPU: weight by the site input
         v = jnp.einsum("bd,bdk->bk", xn, u)
@@ -119,12 +127,14 @@ def mps_norm(cores, left, right):
     rho0 = jnp.outer(jnp.conj(left), left)
     log0 = jnp.zeros((), _real(cores.dtype))
 
+    prec = dot_precision(cores.dtype)
+
     def step(carry, core):
         rho, log = carry
         # X[d] = rho @ A[d]  -> one (D, D) x (D, d*D) GEMM
-        x = jnp.einsum("ij,djk->dik", rho, core)
+        x = jnp.einsum("ij,djk->dik", rho, core, precision=prec)
         # rho' = sum_d conj(A[d])^T X[d] -> one (D, d*D) x (d*D, D) GEMM
-        rho = jnp.einsum("dji,djk->ik", jnp.conj(core), x)
+        rho = jnp.einsum("dji,djk->ik", jnp.conj(core), x, precision=prec)
         rho, log = _stab_step(rho, log, 0)
         return (rho, log), None
 

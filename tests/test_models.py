@@ -154,6 +154,31 @@ def test_matrix_chain_builder_uses_fast_path():
     assert np.isclose(float(log), 40 * np.log(3.0), rtol=1e-12)
 
 
+def test_random_regular_tn_value():
+    """3-regular random TN (nontrivial path): jax engine vs numpy oracle."""
+    from contractn_tpu.models.decompositions import random_regular_tn
+
+    rng = np.random.default_rng(4)
+    tn, nodes = random_regular_tn(8, 3, bond_dim=3, rng=rng)
+    assert tn.num_dense == 8
+    assert all(not e.dangler for e in tn.edges())
+    v_jax = np.asarray(tn.contract())
+    v_np = tn.contract(backend="numpy")
+    assert np.allclose(v_jax, v_np, rtol=1e-9)
+    mant, log = tn.contract(split_format=True)
+    assert np.isclose(
+        float(mant) * np.exp(float(log)), float(v_np), rtol=1e-9
+    )
+
+
+def test_random_regular_tn_odd_stubs_rejected():
+    from contractn_tpu.models.decompositions import random_regular_tn
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        random_regular_tn(3, 3, 2)
+
+
 def test_peps_closed_network_value():
     """All-ones 3x3 PEPS with bond 2: value = 2^(#bonds)."""
     tn, grid = peps_tn(3, 3, bond_dim=2)
