@@ -87,7 +87,7 @@ class MPS:
     # -- contraction API ------------------------------------------------ #
 
     def evaluate(self, x, split_format=True, stabilize_every=1,
-                 kernel="scan"):
+                 kernel="scan", remat_segments=None):
         """Amplitudes ``psi(x_b)`` for a batch of inputs ``x: (B, N, d)``.
 
         Args:
@@ -98,6 +98,8 @@ class MPS:
             kernel: ``"scan"`` (XLA scan) or ``"pallas"`` (fused TPU kernel
                 with the carry resident in VMEM; falls back to interpreter
                 mode off-TPU).
+            remat_segments: checkpointed-segment count for sqrt(N)
+                backward-pass memory on long chains (scan kernel only).
         """
         if kernel == "pallas":
             from ..ops.pallas_mps import pallas_mps_evaluate
@@ -111,6 +113,7 @@ class MPS:
             amp, log = mps_evaluate(
                 self.cores, self.left, self.right, x,
                 stabilize_every=stabilize_every,
+                remat_segments=remat_segments,
             )
         return (amp, log) if split_format else destabilize(amp, log)
 

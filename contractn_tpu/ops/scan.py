@@ -57,7 +57,8 @@ def scan_matrix_chain(mats, init=None):
     return acc, log
 
 
-def mps_evaluate(cores, left, right, x, stabilize_every=1):
+def mps_evaluate(cores, left, right, x, stabilize_every=1,
+                 remat_segments=None):
     """Batched MPS evaluation: ``psi(x_b) = l^T (prod_n sum_d x[b,n,d] A_n[d]) r``.
 
     Args:
@@ -69,6 +70,11 @@ def mps_evaluate(cores, left, right, x, stabilize_every=1):
         stabilize_every: rescale cadence (1 = every site, matching the
             reference's per-step stabilization; larger values trade a bit of
             dynamic range for fewer VPU passes).
+        remat_segments: if set, the chain is scanned as that many
+            checkpointed segments — backward-pass memory drops from O(N)
+            stored carries to O(remat_segments + N/remat_segments) at the
+            cost of one extra forward recompute (the standard sqrt(N)
+            rematerialization trade for long sequences).
 
     Returns:
         ``(mantissa, log_scale)`` of shape ``(B,)`` each: the amplitude in
@@ -103,9 +109,24 @@ def mps_evaluate(cores, left, right, x, stabilize_every=1):
         log = jnp.where(do_stab, logs, log)
         return (v, log, i + 1), None
 
-    (v, log, _), _ = jax.lax.scan(
-        step, (v0, log0, jnp.zeros((), jnp.int32)), (cores, x.swapaxes(0, 1))
-    )
+    init = (v0, log0, jnp.zeros((), jnp.int32))
+    xs = (cores, x.swapaxes(0, 1))
+    if remat_segments and remat_segments > 1:
+        k = remat_segments
+        while n_sites % k:
+            k -= 1
+        seg = n_sites // k
+
+        @jax.checkpoint
+        def segment(carry, seg_xs):
+            return jax.lax.scan(step, carry, seg_xs)
+
+        seg_xs = jax.tree_util.tree_map(
+            lambda a: a.reshape((k, seg) + a.shape[1:]), xs
+        )
+        (v, log, _), _ = jax.lax.scan(segment, init, seg_xs)
+    else:
+        (v, log, _), _ = jax.lax.scan(step, init, xs)
     amp = v @ right.astype(cores.dtype)
     amp, log = _stab_step(amp, log, 1)
     return amp, log

@@ -25,6 +25,29 @@ from ..ops.chain import tree_chain_product
 from ..ops.stabilize import stabilize_batched
 
 
+def check_divisible(mesh, cores, x, dp_axis, sp_axis, tp_axis=None):
+    """Fail early with actionable messages instead of deep XLA errors."""
+    sp = mesh.shape.get(sp_axis, 1)
+    dp = mesh.shape.get(dp_axis, 1)
+    if cores.shape[0] % sp:
+        raise ValueError(
+            f"n_sites={cores.shape[0]} must divide by the '{sp_axis}' mesh "
+            f"axis (size {sp})"
+        )
+    if x.shape[0] % dp:
+        raise ValueError(
+            f"batch={x.shape[0]} must divide by the '{dp_axis}' mesh axis "
+            f"(size {dp})"
+        )
+    if tp_axis is not None:
+        tp = mesh.shape.get(tp_axis, 1)
+        if cores.shape[-1] % tp:
+            raise ValueError(
+                f"bond_dim={cores.shape[-1]} must divide by the "
+                f"'{tp_axis}' mesh axis (size {tp})"
+            )
+
+
 def segment_mps_forward(cores_seg, left, right, x_seg, axis_name="sp"):
     """Per-shard body: contract a site segment, combine across ``axis_name``.
 
@@ -64,6 +87,7 @@ def sharded_mps_forward(mesh, cores, left, right, x,
     and sites on ``sp``.  Returns split-format ``(amp, log)`` sharded over
     ``dp`` (replicated over ``sp``).
     """
+    check_divisible(mesh, cores, x, dp_axis, sp_axis)
     fn = jax.shard_map(
         lambda c, l, r, xx: segment_mps_forward(c, l, r, xx, sp_axis),
         mesh=mesh,

@@ -78,9 +78,15 @@ def make_sharded_train_step(mesh, lr=1e-2, dp_axis="dp", sp_axis="sp"):
         return sharded_loss(mps.cores, mps.left, mps.right, x, y)
 
     @jax.jit
-    def train_step(mps, x, y):
+    def _step(mps, x, y):
         loss, grads = jax.value_and_grad(full_loss)(mps, x, y)
         new_mps = jax.tree_util.tree_map(lambda p, g: p - lr * g, mps, grads)
         return new_mps, loss
+
+    def train_step(mps, x, y):
+        from .sharded import check_divisible
+
+        check_divisible(mesh, mps.cores, x, dp_axis, sp_axis)
+        return _step(mps, x, y)
 
     return train_step

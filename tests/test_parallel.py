@@ -75,6 +75,32 @@ def test_tp_train_step_matches_unsharded():
     )
 
 
+def test_sharded_shape_validation_messages():
+    mps, x = _setup(n_sites=7, phys_dim=2, bond_dim=4, batch=8)  # 7 % 2 != 0
+    mesh = make_mesh({"dp": 4, "sp": 2})
+    step = make_sharded_train_step(mesh)
+    y = jnp.zeros((8,), jnp.float64)
+    import pytest
+
+    with pytest.raises(ValueError, match="n_sites"):
+        step(mps, x, y)
+
+
+def test_remat_gradients_match():
+    """Checkpointed-segment gradients equal the plain-scan gradients."""
+    mps, x = _setup(n_sites=12, phys_dim=2, bond_dim=4, batch=4)
+
+    def loss(m, remat):
+        amp, log = m.evaluate(x, remat_segments=remat)
+        return jnp.sum(jnp.log(jnp.abs(amp) + 1e-30) + log)
+
+    g_plain = jax.jit(jax.grad(lambda m: loss(m, None)))(mps)
+    g_remat = jax.jit(jax.grad(lambda m: loss(m, 4)))(mps)
+    assert np.allclose(
+        np.asarray(g_plain.cores), np.asarray(g_remat.cores), rtol=1e-9
+    )
+
+
 def test_mesh_validation():
     import pytest
 
