@@ -1,6 +1,6 @@
 from .mps import MPS
 from .mpo import MPO
-from .canonical import compress, left_canonicalize, right_canonicalize
+from .canonical import compress, left_canonicalize, mps_add, right_canonicalize
 from .decompositions import cp_tn, tucker_tn, tensor_ring_tn, mps_tn
 from .features import one_hot, trig_features, fourier_features
 from .dmrg import dmrg, heisenberg_mpo, tfim_mpo
@@ -13,6 +13,7 @@ __all__ = [
     "compress",
     "left_canonicalize",
     "right_canonicalize",
+    "mps_add",
     "cp_tn",
     "tucker_tn",
     "tensor_ring_tn",

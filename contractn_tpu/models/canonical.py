@@ -54,6 +54,37 @@ def _rebuild(tensors, dtype):
     return MPS(jnp.asarray(cores), jnp.asarray(e0), jnp.asarray(e0))
 
 
+def mps_add(a, b, max_bond=None):
+    """Sum of two MPS: ``|a> + |b>`` via bond-wise direct sum.
+
+    Cores block-diagonalize (new bond = ``Da + Db``), boundary vectors
+    concatenate — an exact representation.  With ``max_bond`` set the sum
+    is immediately re-compressed (returning the normalized state with its
+    log-norm and truncation error, as :func:`compress` does); otherwise the
+    exact direct-sum MPS is returned.
+
+    Scalar multiples compose: scale a state by folding the factor into its
+    boundary (``MPS(cores, alpha * left, right)``), so ``a - b`` is
+    ``mps_add(a, MPS(b.cores, -b.left, b.right))``.
+    """
+    if a.n_sites != b.n_sites or a.phys_dim != b.phys_dim:
+        raise ValueError("mps_add needs matching n_sites and phys_dim")
+    n, d = a.n_sites, a.phys_dim
+    da, db = a.bond_dim, b.bond_dim
+    bond = da + db
+    dtype = np.result_type(np.asarray(a.cores).dtype,
+                           np.asarray(b.cores).dtype)
+    cores = np.zeros((n, d, bond, bond), dtype)
+    cores[:, :, :da, :da] = np.asarray(a.cores)
+    cores[:, :, da:, da:] = np.asarray(b.cores)
+    left = np.concatenate([np.asarray(a.left), np.asarray(b.left)])
+    right = np.concatenate([np.asarray(a.right), np.asarray(b.right)])
+    out = MPS(jnp.asarray(cores), jnp.asarray(left), jnp.asarray(right))
+    if max_bond is not None:
+        return compress(out, max_bond=max_bond)
+    return out
+
+
 def left_canonicalize(mps):
     """QR sweep: returns ``(canonical_mps, log_norm)``.
 

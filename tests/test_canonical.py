@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from contractn_tpu.models import MPS
 from contractn_tpu.models.canonical import compress, left_canonicalize
@@ -68,6 +69,33 @@ def test_compress_truncates_and_reports_error():
     # sweeps make discarded weight additive in the 2-norm)
     assert rel <= err * 3 + 1e-9
     assert comp.bond_dim <= 2
+
+
+def test_mps_add_exact_and_compressed():
+    from contractn_tpu.models.canonical import mps_add
+    from contractn_tpu.models import MPS as _MPS
+    import jax.numpy as _jnp
+
+    a = random_mps(jax.random.PRNGKey(10), n=5, d=2, D=3)
+    b = random_mps(jax.random.PRNGKey(11), n=5, d=2, D=2)
+    s = mps_add(a, b)
+    assert s.bond_dim == 5
+    expect = dense_mps_vector(a) + dense_mps_vector(b)
+    assert np.allclose(dense_mps_vector(s), expect, rtol=1e-10)
+
+    # subtraction via boundary scaling: a - a = 0
+    neg = _MPS(a.cores, -a.left, a.right)
+    z = mps_add(a, neg)
+    assert np.allclose(dense_mps_vector(z), 0.0, atol=1e-12)
+
+    # compressed sum stays close
+    comp, log_norm, err = mps_add(a, b, max_bond=4)
+    approx = dense_mps_vector(comp) * np.exp(log_norm)
+    rel = np.linalg.norm(approx - expect) / np.linalg.norm(expect)
+    assert rel <= err * 3 + 1e-9
+
+    with pytest.raises(ValueError):
+        mps_add(a, random_mps(jax.random.PRNGKey(12), n=6, d=2, D=2))
 
 
 def test_compress_keeps_uniform_stacked_form():
