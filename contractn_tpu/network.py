@@ -566,6 +566,31 @@ class TN:
         )
         return fun(self.params, inputs)
 
+    def draw(self, max_nodes=50):
+        """Compact text rendering of the layout (for quick inspection).
+
+        One line per core node: type, shape, and each mode's einsum symbol
+        with its peer (``*`` marks an open/dangling mode).
+        """
+        lines = [repr(self)]
+        for i, node in enumerate(self.nodes(as_iter=True)):
+            if i >= max_nodes:
+                lines.append(f"  ... ({self.num_cores - max_nodes} more)")
+                break
+            modes = []
+            for k in range(node.ndim):
+                edge = node[k]
+                other = edge.name[1] if edge.name[0] == node.name \
+                    else edge.name[0]
+                peer = "*" if self._nodes[other].dangler else other
+                modes.append(f"{edge.symbol}:{peer}")
+            shape = "x".join(str(s) for s in node.shape)
+            lines.append(
+                f"  {node.name} [{node.node_type} {shape or 'scalar'}] "
+                + " ".join(modes)
+            )
+        return "\n".join(lines)
+
     def to_networkx(self):
         """Export the layout as a ``networkx.MultiGraph`` for inspection.
 

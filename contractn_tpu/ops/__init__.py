@@ -1,4 +1,20 @@
-from .stabilize import MIN_NORM, stabilize, destabilize
-from .chain import stabilized_chain_product
+from .stabilize import MIN_NORM, dot_precision, stabilize, destabilize
+from .chain import (
+    stabilized_chain_product,
+    stabilized_hadamard_product,
+    tree_chain_product,
+)
+from .scan import mps_evaluate, mps_norm, scan_matrix_chain
 
-__all__ = ["MIN_NORM", "stabilize", "destabilize", "stabilized_chain_product"]
+__all__ = [
+    "MIN_NORM",
+    "dot_precision",
+    "stabilize",
+    "destabilize",
+    "stabilized_chain_product",
+    "stabilized_hadamard_product",
+    "tree_chain_product",
+    "mps_evaluate",
+    "mps_norm",
+    "scan_matrix_chain",
+]
