@@ -29,7 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 import opt_einsum as oe
 
-from ..ops.chain import stabilized_chain_product, stabilized_hadamard_product
+from ..ops.chain import (
+    stabilized_chain_product,
+    stabilized_hadamard_product,
+    stabilized_ring_product,
+)
 from ..ops.stabilize import MIN_NORM, destabilize, stabilize
 from ..utils.errors import TNError
 
@@ -325,6 +329,42 @@ def _detect_chain(einstr, shapes):
     return (hi - lo, first_is_vec, last_is_vec)
 
 
+def _detect_ring(einstr, shapes):
+    """Recognize cyclic matrix products ``"ab,bc,...,za->"`` (a trace).
+
+    All terms are 2-index, consecutive terms share their adjacent symbol,
+    the last term closes on the first, output is empty, and all matrices
+    share one square shape.  Returns True when matched.
+    """
+    terms, output = _parse(einstr)
+    if output != "" or len(terms) < _CHAIN_THRESHOLD:
+        return None
+    d = shapes[0][0] if shapes[0] else None
+    if any(len(s) != 2 or s != (d, d) for s in shapes):
+        return None
+    for i, t in enumerate(terms):
+        if len(t) != 2 or len(set(t)) != 2:
+            return None
+        if i > 0 and t[0] != terms[i - 1][-1]:
+            return None
+    if terms[0][0] != terms[-1][-1]:
+        return None
+    return True
+
+
+def _build_ring_program(split_format):
+    def pack(tensors):
+        return [_stack(tensors)]
+
+    def run(mats):
+        result, log_scale = stabilized_ring_product(mats)
+        if split_format:
+            return result, log_scale
+        return destabilize(result, log_scale)
+
+    return pack, run
+
+
 def _build_chain_program(first_is_vec, last_is_vec, split_format):
     """Chain program as (host-side pack, jittable core).
 
@@ -431,6 +471,8 @@ def _build_jax_program(einstr, shapes, optimize, memory_limit, split_format):
         hadamard = _detect_hadamard(reduced, shapes)
         if hadamard is not None:
             return _build_hadamard_program(hadamard, split_format)
+        if _detect_ring(reduced, shapes):
+            return _build_ring_program(split_format)
 
     steps = _find_steps(
         reduced, shapes, _resolve_optimize(reduced, shapes, optimize),

@@ -75,6 +75,20 @@ def tree_chain_product(mats, logs=None):
     return mats[..., 0, :, :], logs[..., 0]
 
 
+def stabilized_ring_product(mats):
+    """Trace of a cyclic matrix product, ``tr(M_1 ... M_N)``, in split form.
+
+    Tree-reduces the ring's matrices like an open chain, then closes the
+    loop with a stabilized trace.  Args/batching as
+    :func:`tree_chain_product`.  Returns ``(mantissa, log)`` scalars (per
+    batch element).
+    """
+    batch_ndim = mats.ndim - 3
+    prod, log = tree_chain_product(mats)
+    tr = jnp.trace(prod, axis1=-2, axis2=-1)
+    return stabilize_batched(tr, log, batch_ndim)
+
+
 def stabilized_hadamard_product(stack, sum_output=False):
     """Elementwise product of N same-shape tensors with per-level rescaling.
 

@@ -172,6 +172,40 @@ def test_hadamard_fast_path_detection_and_parity():
     assert np.allclose(out, np.prod(np.stack(vecs), axis=0), rtol=1e-10)
 
 
+def test_ring_fast_path_trace():
+    """Cyclic matrix product (trace) reroutes to the stabilized ring tree."""
+    import opt_einsum as oe
+    from contractn_tpu.compiler.engine import _detect_ring
+
+    n = 24
+    syms = [oe.get_symbol(i) for i in range(n)]
+    terms = [syms[i] + syms[(i + 1) % n] for i in range(n)]
+    einstr = ",".join(terms) + "->"
+    rng = np.random.default_rng(13)
+    mats = [rng.standard_normal((4, 4)) * 0.5 for _ in range(n)]
+    shapes = tuple(m.shape for m in mats)
+    assert _detect_ring(einstr, shapes)
+    fast = float(np.asarray(contract(einstr, *mats)))
+    acc = np.eye(4)
+    for m in mats:
+        acc = acc @ m
+    assert np.isclose(fast, np.trace(acc), rtol=1e-10)
+    mant, log = contract(einstr, *mats, split_format=True)
+    assert np.isclose(
+        float(mant) * np.exp(float(log)), np.trace(acc), rtol=1e-10
+    )
+
+
+@pytest.mark.parametrize("strategy", ["greedy", "dp", "branch-2"])
+def test_optimize_strategies(strategy):
+    rng = np.random.default_rng(14)
+    mats = [rng.standard_normal((3, 3)) for _ in range(5)]
+    einstr = "ab,bc,cd,de,ef->af"
+    out = np.asarray(contract(einstr, *mats, optimize=strategy))
+    ref = contract(einstr, *mats, backend="numpy")
+    assert np.allclose(out, ref, rtol=1e-10)
+
+
 def test_long_product_overflow_resistance():
     """1000 factors of 10: plain overflows f64? No — split format is exact."""
     vecs = [np.full((2,), 10.0) for _ in range(500)]
