@@ -1,6 +1,14 @@
 from .mps import MPS
 from .mpo import MPO
-from .canonical import compress, left_canonicalize, mps_add, right_canonicalize
+from .boundary import apply_mpo_to_mps
+from .canonical import (
+    compress,
+    compress_mpo,
+    imaginary_time_step,
+    left_canonicalize,
+    mps_add,
+    right_canonicalize,
+)
 from .decompositions import cp_tn, tucker_tn, tensor_ring_tn, mps_tn
 from .features import one_hot, trig_features, fourier_features
 from .dmrg import dmrg, heisenberg_mpo, tfim_mpo
@@ -14,6 +22,9 @@ __all__ = [
     "left_canonicalize",
     "right_canonicalize",
     "mps_add",
+    "apply_mpo_to_mps",
+    "compress_mpo",
+    "imaginary_time_step",
     "cp_tn",
     "tucker_tn",
     "tensor_ring_tn",

@@ -54,6 +54,45 @@ def _rebuild(tensors, dtype):
     return MPS(jnp.asarray(cores), jnp.asarray(e0), jnp.asarray(e0))
 
 
+def compress_mpo(mpo, max_bond=None, cutoff=0.0):
+    """SVD-compress an MPO's operator bonds.
+
+    An MPO is an MPS whose physical index is the ``(d_out, d_in)`` pair, so
+    the state-compression machinery applies verbatim after a reshape.
+    Returns ``(compressed_mpo, log_norm, truncation_error)`` — the operator
+    is Frobenius-normalized with its scale in ``log_norm``.
+    """
+    from .mpo import MPO
+
+    n, do, di, w, _ = mpo.cores.shape
+    as_mps = MPS(mpo.cores.reshape(n, do * di, w, w), mpo.left, mpo.right)
+    comp, log_norm, err = compress(as_mps, max_bond=max_bond, cutoff=cutoff)
+    w2 = comp.bond_dim
+    out = MPO(comp.cores.reshape(n, do, di, w2, w2), comp.left, comp.right)
+    return out, log_norm, err
+
+
+def imaginary_time_step(mps, mpo, tau, max_bond):
+    """One power-method step toward the MPO's ground state:
+    ``|psi'> = normalize[(1 - tau H) |psi>]``, compressed to ``max_bond``.
+
+    Composes three framework primitives — exact MPO application, MPS
+    addition, SVD compression — into the simplest imaginary-time/power
+    iteration.  Returns ``(new_mps, energy_estimate)`` where the energy is
+    the Rayleigh quotient of the *input* state.
+    """
+    from .boundary import apply_mpo_to_mps
+
+    h_psi = apply_mpo_to_mps(mpo, mps)
+    # Rayleigh quotient <psi|H|psi>/<psi|psi> from split-format pieces
+    num_v, num_l = mpo.expectation(mps)
+    den_v, den_l = mps.norm_squared()
+    energy = float(num_v) / float(den_v) * float(jnp.exp(num_l - den_l))
+    scaled = MPS(h_psi.cores, -tau * h_psi.left, h_psi.right)
+    new_mps, _, _ = mps_add(mps, scaled, max_bond=max_bond)
+    return new_mps, energy
+
+
 def mps_add(a, b, max_bond=None):
     """Sum of two MPS: ``|a> + |b>`` via bond-wise direct sum.
 
