@@ -197,6 +197,33 @@ class Node:
         except ValueError:
             raise TNError(f"Edge {edge!r} is not incident to node '{self.name}'")
 
+    @property
+    def dict(self):
+        """Attribute-dict snapshot (migration compat).
+
+        The reference stores node state in a networkx attribute dict and
+        exposes it as ``node.dict`` (reference ``nodes.py:177-182``); here
+        state lives on the object, so this returns a read-only snapshot
+        with the same keys.  Mutate nodes through their typed properties
+        (e.g. the ``tensor`` setter), not through this view.
+        """
+        out = {
+            "node_type": self._node_type,
+            "edge_names": list(self.edge_names),
+            "tn_node": self,
+        }
+        if self._node_type == "dense":
+            out["tensor"] = self._tensor
+        elif self._node_type == "clone":
+            out["base_node"] = self._base_node
+        elif self._node_type == "hyper":
+            out["degree"] = self._degree
+            out["dim"] = self._dim
+        elif self._node_type == "input":
+            out["_shape"] = self._shape
+            out["var_axes"] = self._var_axes
+        return out
+
     # ------------------------------------------------------------------ #
     # Shape logic
     # ------------------------------------------------------------------ #
