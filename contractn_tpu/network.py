@@ -335,6 +335,102 @@ class TN:
         if any(node.is_copy for node, _ in affected):
             self._cleanup_edge_symbols()
 
+    def merge_nodes(self, node1, node2, name=None):
+        """Contract two dense nodes into one, in place (coarse-graining).
+
+        All direct bonds between the pair (including parallel edges) are
+        summed over and each node's internal self-loops are traced; every
+        other mode survives on the merged node in order (``node1``'s modes
+        then ``node2``'s), keeping its bond to its old peer.  Indices
+        shared with the pair only through a copy-tensor cluster are NOT
+        contracted — they remain hyperedge legs of the merged node.
+
+        Returns the new dense node (named ``name`` or auto).  Note that
+        dangler identities are refreshed, so the einsum output order may
+        change.
+        """
+        import jax.numpy as jnp
+
+        from .ops.stabilize import dot_precision
+
+        if not isinstance(node1, Node):
+            node1 = self[node1]
+        if not isinstance(node2, Node):
+            node2 = self[node2]
+        if node1 is node2:
+            raise TNError("merge_nodes needs two distinct nodes")
+        for n in (node1, node2):
+            if n.node_type != "dense":
+                raise TNError(
+                    f"merge_nodes only contracts dense nodes; '{n.name}' "
+                    f"is '{n.node_type}'"
+                )
+
+        # Letter per EDGE (not per symbol): direct pair bonds/self-loops
+        # share a letter across their two modes; everything else is unique
+        alphabet = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        letters = {}
+
+        def letter_of(edge_id):
+            if edge_id not in letters:
+                if len(letters) >= len(alphabet):
+                    raise TNError(
+                        "merge_nodes supports at most 52 distinct edges"
+                    )
+                letters[edge_id] = alphabet[len(letters)]
+            return letters[edge_id]
+
+        pair = {node1.name, node2.name}
+        sub1 = "".join(letter_of(e) for e in node1.edge_names)
+        sub2 = "".join(letter_of(e) for e in node2.edge_names)
+        survivors = []  # (letter, peer_name_or_None, peer_idx)
+        for node in (node1, node2):
+            for idx, edge_id in enumerate(node.edge_names):
+                if set(edge_id[:2]) <= pair:
+                    continue  # contracted: pair bond or internal self-loop
+                other = (edge_id[1] if edge_id[0] == node.name
+                         else edge_id[0])
+                peer = self._nodes[other]
+                if peer.dangler:
+                    survivors.append((letter_of(edge_id), None, None))
+                else:
+                    survivors.append(
+                        (letter_of(edge_id), other, peer.index(edge_id))
+                    )
+        out_letters = "".join(s[0] for s in survivors)
+        t1 = jnp.asarray(node1.tensor)
+        t2 = jnp.asarray(node2.tensor)
+        merged = jnp.einsum(
+            f"{sub1},{sub2}->{out_letters}", t1, t2,
+            precision=dot_precision(t1.dtype, t2.dtype),
+        )
+
+        # Graph surgery through the invariant-preserving primitives:
+        # break every bond of the pair, drop the pair, add the merged node
+        bonds = {
+            self._edges[e]
+            for n in (node1, node2)
+            for e in n.edge_names
+            if not self._edges[e].dangler
+        }
+        if bonds:
+            self.remove_edges_from(bonds)
+        for n in (node1, node2):
+            for e in list(n.edge_names):
+                self._drop_dangler(
+                    e[1] if e[0] == n.name else e[0]
+                )
+            del self._incident[n.name]
+            del self._nodes[n.name]
+            self._num_cores -= 1
+            self._type_counts["dense"] -= 1
+
+        new_node = self.add_dense_node(merged, name=name)
+        for mode, (_, peer_name, peer_idx) in enumerate(survivors):
+            if peer_name is not None:
+                self.connect_nodes(new_node, self[peer_name], mode, peer_idx)
+        return new_node
+
     def get_edge(self, edge_id):
         """Resolve an ``(n1, n2, key)`` id (either node order) to its Edge."""
         if edge_id in self._edges:
@@ -350,7 +446,13 @@ class TN:
 
     def _new_node_name(self, name=None):
         if name is None:
-            name = f"node_{self._num_cores}"
+            # reference naming ("node_{num_cores}", ctn.py:231-240); probe
+            # upward for TNs whose core count shrank (e.g. merge_nodes)
+            k = self._num_cores
+            name = f"node_{k}"
+            while name in self._nodes:
+                k += 1
+                name = f"node_{k}"
         if not isinstance(name, str):
             raise TypeError(f"Node names must be strings, got {name!r}")
         if name in self._nodes:
