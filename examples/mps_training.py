@@ -18,7 +18,7 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, n_sites, phys_dim))
     y = jnp.sin(jnp.arange(batch) / batch)
 
-    step = make_train_step(lr=5e-3)
+    step = make_train_step(lr=2e-3)
     for i in range(20):
         mps, loss = step(mps, x, y)
         if i % 5 == 0:
@@ -27,7 +27,7 @@ def main():
     n_dev = len(jax.devices())
     if n_dev >= 2 and n_dev % 2 == 0:
         mesh = make_mesh({"dp": n_dev // 2, "sp": 2})
-        sharded = make_sharded_train_step(mesh, lr=5e-3)
+        sharded = make_sharded_train_step(mesh, lr=2e-3)
         mps, loss = sharded(mps, x, y)
         print(f"sharded step on {mesh.shape}: loss {float(loss):.5f}")
 
