@@ -64,6 +64,52 @@ class MPS:
         return cls(cores, left, right)
 
     @classmethod
+    def from_dense(cls, vector, phys_dim, max_bond=None, cutoff=0.0):
+        """Encode a dense ``(phys_dim**n,)`` state as an MPS (exact unless
+        truncated by ``max_bond``/``cutoff``).
+
+        Sequential left-to-right SVD (the standard tensor-train
+        decomposition); returns the MPS in the framework's uniform stacked
+        form.  Bond dimensions grow at most as ``min(d^k, d^(n-k))``.
+        """
+        vector = jnp.asarray(vector)
+        n = 0
+        size = vector.size
+        while phys_dim ** n < size:
+            n += 1
+        if phys_dim ** n != size:
+            raise ValueError(
+                f"Vector of size {size} is not phys_dim**n for "
+                f"phys_dim={phys_dim}"
+            )
+        from .dmrg import _rebuild_uniform
+
+        tensors = []
+        rest = vector.reshape(1, -1)
+        r_prev = 1
+        for _ in range(n - 1):
+            mat = rest.reshape(r_prev * phys_dim, -1)
+            u, s, vh = jnp.linalg.svd(mat, full_matrices=False)
+            k = s.shape[0]
+            if max_bond is not None:
+                k = min(k, max_bond)
+            if cutoff > 0:
+                above = int(jnp.sum(s > cutoff * s[0]))
+                k = min(k, max(above, 1))
+            u, s, vh = u[:, :k], s[:k], vh[:k]
+            tensors.append(
+                u.reshape(r_prev, phys_dim, k).transpose(1, 0, 2)
+            )
+            rest = s[:, None] * vh
+            r_prev = k
+        tensors.append(
+            rest.reshape(r_prev, phys_dim, 1).transpose(1, 0, 2)
+        )
+        import numpy as np
+
+        return _rebuild_uniform(tensors, np.asarray(vector).dtype)
+
+    @classmethod
     def constant(cls, n_sites, phys_dim, bond_dim, fill=1.0,
                  dtype=jnp.float64):
         cores = jnp.full((n_sites, phys_dim, bond_dim, bond_dim), fill, dtype)

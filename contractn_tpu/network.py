@@ -668,6 +668,17 @@ class TN:
         )
         return fun(self.params, inputs)
 
+    def copy(self):
+        """Independent copy of this TN (topology rebuilt, parameters shared).
+
+        Parameter tensors are immutable arrays shared by reference; the
+        graph structure is reconstructed through the checkpoint spec, so
+        mutating the copy's layout never affects the original.
+        """
+        from .utils.checkpoint import tn_from_spec, tn_spec
+
+        return tn_from_spec(tn_spec(self), self.params)
+
     def draw(self, max_nodes=50):
         """Compact text rendering of the layout (for quick inspection).
 

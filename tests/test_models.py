@@ -154,6 +154,23 @@ def test_matrix_chain_builder_uses_fast_path():
     assert np.isclose(float(log), 40 * np.log(3.0), rtol=1e-12)
 
 
+def test_mps_from_dense_roundtrip():
+    rng = np.random.default_rng(6)
+    psi = rng.standard_normal(2 ** 6)
+    mps = MPS.from_dense(psi, phys_dim=2)
+    assert np.allclose(dense_mps_vector(mps), psi, rtol=1e-10)
+    # truncated encoding of a low-rank state is exact
+    prod = np.kron(np.kron(np.array([1.0, 2.0]), np.array([3.0, 1.0])),
+                   np.kron(np.array([1.0, 1.0]), np.array([0.5, 2.0])))
+    small = MPS.from_dense(prod, phys_dim=2, max_bond=1, cutoff=1e-12)
+    assert small.bond_dim == 1
+    assert np.allclose(dense_mps_vector(small), prod, rtol=1e-10)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        MPS.from_dense(np.ones(6), phys_dim=2)
+
+
 def test_random_regular_tn_value():
     """3-regular random TN (nontrivial path): jax engine vs numpy oracle."""
     from contractn_tpu.models.decompositions import random_regular_tn

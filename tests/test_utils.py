@@ -46,6 +46,19 @@ def test_save_load_npz(tmp_path):
     assert np.allclose(v1, v2, rtol=1e-12)
 
 
+def test_tn_copy_independent():
+    tn = build_mixed_tn()
+    dup = tn.copy()
+    assert dup.einsum_str == tn.einsum_str
+    v1 = np.asarray(tn.contract(backend="numpy"))
+    assert np.allclose(np.asarray(dup.contract(backend="numpy")), v1)
+    # layout mutations don't leak back
+    bond = [e for e in dup.edges() if not e.dangler][0]
+    dup.remove_edge(bond)
+    assert dup.einsum_str != tn.einsum_str
+    assert np.allclose(np.asarray(tn.contract(backend="numpy")), v1)
+
+
 def test_contraction_info():
     tn = build_mixed_tn()
     info = tn.contraction_info()
