@@ -94,7 +94,10 @@ def _boundary_sweep(tensor_grid, chi):
     cores, e = _embed(mats, (mats[0].shape[0],))
     closing = MPS(cores, e, e)
 
-    val, log = closing.inner(boundary)
+    # Bilinear pairing, NOT the Hermitian inner product: the closing row's
+    # tensors enter the network as-is, so no conjugation anywhere (complex
+    # grids would otherwise contract to the wrong value).
+    val, log = closing.inner(boundary, conjugate=False)
     return val, log + total_log
 
 

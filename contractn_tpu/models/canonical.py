@@ -31,6 +31,18 @@ def _site_tensors(mps):
     return tensors
 
 
+def _single_site_normalized(mps):
+    """The n_sites == 1 degenerate case of every sweep: absorb BOTH
+    boundaries into the one site and normalize.  Returns
+    ``(MPS with core (1, d, 1, 1), log_norm)``."""
+    v = jnp.einsum("i,dij,j->d", mps.left, mps.cores[0], mps.right)
+    nrm = jnp.linalg.norm(v)
+    log_norm = float(jnp.log(jnp.maximum(nrm, 1e-300)))
+    core = (v / jnp.maximum(nrm, 1e-300)).reshape(1, -1, 1, 1)
+    e = jnp.ones((1,), core.dtype)
+    return MPS(core, e, e), log_norm
+
+
 def _rebuild(tensors, dtype):
     """Uniform stacked MPS from ragged site tensors (zero-padded bonds).
 
@@ -132,6 +144,8 @@ def left_canonicalize(mps):
     ``log_norm`` with the last site normalized, so
     ``<psi|psi> = exp(2 * log_norm)``.
     """
+    if mps.n_sites == 1:
+        return _single_site_normalized(mps)
     tensors = _site_tensors(mps)
     n = len(tensors)
     log_norm = 0.0
@@ -163,6 +177,8 @@ def right_canonicalize(mps):
     exact autoregressive sampling (:func:`contractn_tpu.models.sampling`).
     Returns ``(canonical_mps, log_norm)`` with the first site normalized.
     """
+    if mps.n_sites == 1:
+        return _single_site_normalized(mps)
     tensors = _site_tensors(mps)
     n = len(tensors)
     log_norm = 0.0
@@ -209,6 +225,9 @@ def compress(mps, max_bond=None, cutoff=0.0):
     """
     if max_bond is not None and max_bond < 1:
         raise ValueError(f"max_bond must be >= 1, got {max_bond}")
+    if mps.n_sites == 1:
+        out, log_norm = _single_site_normalized(mps)
+        return out, log_norm, 0.0
     canonical, log_norm = left_canonicalize(mps)
     tensors = _site_tensors(canonical)
     n = len(tensors)

@@ -178,32 +178,39 @@ class MPS:
         val, log = self.norm_squared()
         return jnp.log(jnp.abs(val)) + log
 
-    def inner(self, other, split_format=True):
+    def inner(self, other, split_format=True, conjugate=True):
         """Stabilized overlap ``<self|other>`` of two MPS with equal ``N, d``.
 
         The mixed transfer operator ``rho' = sum_d conj(A[d])^T rho B[d]``
         is applied as two GEMMs per site — the ``(D1*D2)^2`` transfer matrix
         is never formed.
+
+        Args:
+            conjugate: take ``self`` as a bra (default).  With ``False``
+                the plain bilinear pairing ``(self, other)`` is computed —
+                no complex conjugation anywhere — which is what closed-
+                network contractions (e.g. the boundary-MPS sweep) need.
         """
         from ..ops.scan import _stab_step
         from ..ops.stabilize import dot_precision
 
+        cj = jnp.conj if conjugate else (lambda t: t)
         prec = dot_precision(self.cores.dtype, other.cores.dtype)
-        rho0 = jnp.outer(jnp.conj(self.left), other.left)
+        rho0 = jnp.outer(cj(self.left), other.left)
         log0 = jnp.zeros((), rho0.real.dtype)
 
         def step(carry, ab):
             rho, log = carry
             a, b = ab  # (d, D1, D1), (d, D2, D2)
             x = jnp.einsum("ij,djk->dik", rho, b, precision=prec)
-            rho = jnp.einsum("dji,djk->ik", jnp.conj(a), x, precision=prec)
+            rho = jnp.einsum("dji,djk->ik", cj(a), x, precision=prec)
             rho, log = _stab_step(rho, log, 0)
             return (rho, log), None
 
         (rho, log), _ = jax.lax.scan(
             step, (rho0, log0), (self.cores, other.cores)
         )
-        val = jnp.conj(self.right) @ rho @ other.right
+        val = cj(self.right) @ rho @ other.right
         val, log = _stab_step(val, log, 0)
         return (val, log) if split_format else destabilize(val, log)
 
@@ -217,6 +224,12 @@ class MPS:
 
         tn = TN()
         n = self.n_sites
+        if n == 1:
+            only = np.einsum("i,dij,j->d", np.asarray(self.left),
+                             np.asarray(self.cores[0]),
+                             np.asarray(self.right))
+            tn.add_dense_node(only)
+            return tn
         first = np.einsum("i,dij->dj", np.asarray(self.left),
                           np.asarray(self.cores[0]))
         last = np.einsum("dij,j->di", np.asarray(self.cores[-1]),

@@ -8,6 +8,7 @@ layer is an accelerator, never a hard dependency.
 """
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -17,21 +18,35 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "pathopt.cpp")
 _LIB = os.path.join(_DIR, "libpathopt.so")
+_STAMP = _LIB + ".srchash"  # sha256 of the source the .so was built from
 
 _lock = threading.Lock()
 _lib = None
 _load_failed = False
 
 
-def _build():
+def _src_hash():
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _build(src_hash):
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB,
     ]
     subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    with open(_STAMP, "w") as f:
+        f.write(src_hash)
 
 
 def _load():
-    """Load (building if needed) the native library; None when unavailable."""
+    """Load (building if needed) the native library; None when unavailable.
+
+    Staleness is decided by a content hash of ``pathopt.cpp`` recorded at
+    build time (never mtimes, which are all checkout time after a fresh
+    clone), so the library in use is always one compiled from the reviewed
+    source on this machine — prebuilt binaries are never trusted.
+    """
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
@@ -39,10 +54,13 @@ def _load():
         if _lib is not None or _load_failed:
             return _lib
         try:
-            if not os.path.exists(_LIB) or (
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
-            ):
-                _build()
+            src_hash = _src_hash()
+            stamp = None
+            if os.path.exists(_STAMP):
+                with open(_STAMP) as f:
+                    stamp = f.read().strip()
+            if not os.path.exists(_LIB) or stamp != src_hash:
+                _build(src_hash)
             lib = ctypes.CDLL(_LIB)
             lib.ctn_greedy_path.restype = ctypes.c_int32
             lib.ctn_greedy_path.argtypes = [

@@ -365,6 +365,15 @@ class TN:
                     f"merge_nodes only contracts dense nodes; '{n.name}' "
                     f"is '{n.node_type}'"
                 )
+        # A clone whose base disappears would leave the TN un-contractible
+        for other in self.nodes(as_iter=True, copy_nodes=True, danglers=False):
+            if other.node_type == "clone" and other.base_node in (node1,
+                                                                  node2):
+                raise TNError(
+                    f"Cannot merge '{other.base_node.name}': it is the base "
+                    f"of clone node '{other.name}'. Remove or re-base the "
+                    "clone first."
+                )
 
         # Letter per EDGE (not per symbol): direct pair bonds/self-loops
         # share a letter across their two modes; everything else is unique

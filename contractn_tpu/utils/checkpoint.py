@@ -45,11 +45,20 @@ def tn_spec(tn):
         if edge.dangler:
             continue
         n1, n2 = edge.nodes
+        if n1.name == n2.name:
+            # Self-loop (trace) edge: ONE node holds this edge id at two
+            # distinct mode positions; Node.index would return the first
+            # one for both ends, producing an unreconstructable spec.
+            idxs = [i for i, en in enumerate(n1.edge_names)
+                    if en == edge.name]
+            index1, index2 = idxs[0], idxs[1]
+        else:
+            index1, index2 = n1.index(edge), n2.index(edge)
         bonds.append({
             "node1": n1.name,
-            "index1": n1.index(edge),
+            "index1": index1,
             "node2": n2.name,
-            "index2": n2.index(edge),
+            "index2": index2,
             "symbol": edge.symbol,
         })
 

@@ -152,3 +152,41 @@ def test_compress_keeps_uniform_stacked_form():
     x = jax.random.normal(jax.random.PRNGKey(7), (4, 7, 2), jnp.float64)
     amp, log = comp.evaluate(x)
     assert np.all(np.isfinite(np.asarray(log)))
+
+
+def test_single_site_mps_everything():
+    """n_sites == 1 must work through to_tn, canonicalize, compress —
+    regression for the round-1 advisor's low finding."""
+    import jax
+    import jax.numpy as jnp
+
+    from contractn_tpu.models import MPS
+    from contractn_tpu.models.canonical import (
+        compress,
+        left_canonicalize,
+        right_canonicalize,
+    )
+
+    mps = MPS.random(jax.random.PRNGKey(3), 1, 4, 3, dtype=jnp.float64)
+    dense = np.einsum(
+        "i,dij,j->d", np.asarray(mps.left), np.asarray(mps.cores[0]),
+        np.asarray(mps.right),
+    )
+    tn = mps.to_tn()
+    assert np.allclose(np.asarray(tn.contract(backend="numpy")), dense)
+
+    for fn in (left_canonicalize, right_canonicalize):
+        canon, log_norm = fn(mps)
+        got = np.einsum(
+            "i,dij,j->d", np.asarray(canon.left),
+            np.asarray(canon.cores[0]), np.asarray(canon.right),
+        ) * np.exp(log_norm)
+        assert np.allclose(got, dense, rtol=1e-10)
+
+    comp, log_norm, err = compress(mps, max_bond=2)
+    assert err == 0.0
+    got = np.einsum(
+        "i,dij,j->d", np.asarray(comp.left), np.asarray(comp.cores[0]),
+        np.asarray(comp.right),
+    ) * np.exp(log_norm)
+    assert np.allclose(got, dense, rtol=1e-10)

@@ -78,3 +78,18 @@ def test_merge_validation():
         tn.merge_nodes(n, n)
     with pytest.raises(TNError):
         tn.merge_nodes(n, hub)
+
+
+def test_merge_rejects_clone_base():
+    import pytest
+
+    from contractn_tpu import TN
+    from contractn_tpu.utils.errors import TNError
+
+    tn = TN()
+    a = tn.add_dense_node(np.eye(2))
+    b = tn.add_dense_node(np.eye(2))
+    tn.add_duplicate_node(a)
+    tn.connect_nodes(a, b, 1, 0)
+    with pytest.raises(TNError, match="base of clone"):
+        tn.merge_nodes(a, b)

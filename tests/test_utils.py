@@ -112,3 +112,32 @@ def test_timings_registry():
     finally:
         Timings.enabled = False
         Timings.reset()
+
+
+def test_spec_roundtrip_self_loop(tmp_path):
+    """Trace edges must record both mode positions — regression for the
+    round-1 advisor's medium finding (TN.copy / save_tn crashed)."""
+    import numpy as np
+
+    from contractn_tpu import TN
+    from contractn_tpu.utils.checkpoint import load_tn, save_tn
+
+    tn = TN()
+    t = np.random.default_rng(0).standard_normal((3, 2, 3))
+    a = tn.add_dense_node(t)
+    b = tn.add_dense_node(np.random.default_rng(1).standard_normal((2,)))
+    tn.connect_nodes(a, a, 0, 2)  # self-loop (partial trace)
+    tn.connect_nodes(a, b, 1, 0)
+    expected = float(np.asarray(tn.contract(backend="numpy")))
+
+    copied = tn.copy()
+    assert np.isclose(
+        float(np.asarray(copied.contract(backend="numpy"))), expected
+    )
+    path = tmp_path / "selfloop.npz"
+    save_tn(path, tn)
+    loaded = load_tn(path)
+    assert loaded.einsum_str == tn.einsum_str
+    assert np.isclose(
+        float(np.asarray(loaded.contract(backend="numpy"))), expected
+    )
