@@ -20,6 +20,7 @@ import numpy as np
 from .canonical import compress
 from .mpo import MPO
 from .mps import MPS
+from ..ops.stabilize import peinsum
 
 
 def apply_mpo_to_mps(mpo, mps):
@@ -28,7 +29,7 @@ def apply_mpo_to_mps(mpo, mps):
     a = mps.cores  # (N, di, D, D)
     n, do, di, wb, _ = w.shape
     bond = a.shape[-1]
-    new = jnp.einsum("nabwv,nbij->nawivj", w, a).reshape(
+    new = peinsum("nabwv,nbij->nawivj", w, a).reshape(
         n, do, wb * bond, wb * bond
     )
     left = jnp.kron(mpo.left, mps.left)

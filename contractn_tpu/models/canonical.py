@@ -15,6 +15,7 @@ by shape), appropriate for a preprocessing pass.
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.stabilize import peinsum
 from .mps import MPS
 
 
@@ -22,12 +23,12 @@ def _site_tensors(mps):
     """Absorb boundary vectors: [(d, D), (d, D, D) x (N-2), (d, D)]."""
     cores = mps.cores
     n = cores.shape[0]
-    first = jnp.einsum("i,dij->dj", mps.left, cores[0])
+    first = peinsum("i,dij->dj", mps.left, cores[0])
     tensors = [first]
     for i in range(1, n - 1):
         tensors.append(cores[i])
     if n > 1:
-        tensors.append(jnp.einsum("dij,j->di", cores[-1], mps.right))
+        tensors.append(peinsum("dij,j->di", cores[-1], mps.right))
     return tensors
 
 
@@ -35,7 +36,7 @@ def _single_site_normalized(mps):
     """The n_sites == 1 degenerate case of every sweep: absorb BOTH
     boundaries into the one site and normalize.  Returns
     ``(MPS with core (1, d, 1, 1), log_norm)``."""
-    v = jnp.einsum("i,dij,j->d", mps.left, mps.cores[0], mps.right)
+    v = peinsum("i,dij,j->d", mps.left, mps.cores[0], mps.right)
     nrm = jnp.linalg.norm(v)
     log_norm = float(jnp.log(jnp.maximum(nrm, 1e-300)))
     core = (v / jnp.maximum(nrm, 1e-300)).reshape(1, -1, 1, 1)
@@ -159,7 +160,7 @@ def left_canonicalize(mps):
         log_norm += float(jnp.log(scale))
         tensors[i] = q.reshape(t.shape[:-1] + (q.shape[-1],))
         nxt = tensors[i + 1]
-        tensors[i + 1] = jnp.einsum(
+        tensors[i + 1] = peinsum(
             "ki,di...->dk...", r, nxt
         )
     last = tensors[-1]
@@ -202,7 +203,7 @@ def right_canonicalize(mps):
                 q.T.reshape(k, t.shape[0], t.shape[2]), 0, 1
             )  # (d, k, Dout)
         carry = r.T  # (Din, k): absorb into the left neighbor's last axis
-        tensors[i - 1] = jnp.einsum("...i,ik->...k", tensors[i - 1], carry)
+        tensors[i - 1] = peinsum("...i,ik->...k", tensors[i - 1], carry)
     first = tensors[0]
     nrm = jnp.linalg.norm(first)
     log_norm += float(jnp.log(jnp.maximum(nrm, 1e-300)))
@@ -256,7 +257,7 @@ def compress(mps, max_bond=None, cutoff=0.0):
                 vh.reshape(k, t.shape[0], t.shape[2]), 0, 1
             )  # (d, k, Dout)
         carry = u * s[None, :]  # (Din, k)
-        tensors[i - 1] = jnp.einsum("...i,ik->...k", tensors[i - 1], carry)
+        tensors[i - 1] = peinsum("...i,ik->...k", tensors[i - 1], carry)
     # Renormalize (truncation removes weight from the state)
     first = tensors[0]
     nrm = jnp.linalg.norm(first)

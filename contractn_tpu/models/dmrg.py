@@ -14,9 +14,11 @@ The reference has no optimization capability at all — this is an additive
 model-family feature.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.stabilize import dot_precision, peinsum
 from .mps import MPS
 from .mpo import MPO
 
@@ -26,8 +28,8 @@ def _ragged_sites(mps):
     ``Din[0] = Dout[-1] = 1``."""
     cores = mps.cores
     n, d, D, _ = cores.shape
-    first = jnp.einsum("i,dij->dj", mps.left, cores[0])[:, None, :]
-    last = jnp.einsum("dij,j->di", cores[-1], mps.right)[:, :, None]
+    first = peinsum("i,dij->dj", mps.left, cores[0])[:, None, :]
+    last = peinsum("dij,j->di", cores[-1], mps.right)[:, :, None]
     return [first] + [cores[i] for i in range(1, n - 1)] + (
         [last] if n > 1 else []
     )
@@ -49,16 +51,16 @@ def _rebuild_uniform(tensors, dtype):
 
 def _update_left(L, site, w):
     """L' after absorbing one site: ``L (i, w, p)`` bra x op x ket."""
-    t = jnp.einsum("iwp,bpq->iwbq", L, site)
-    t = jnp.einsum("abwv,iwbq->iavq", w, t)
-    return jnp.einsum("aij,iavq->jvq", jnp.conj(site), t)
+    t = peinsum("iwp,bpq->iwbq", L, site)
+    t = peinsum("abwv,iwbq->iavq", w, t)
+    return peinsum("aij,iavq->jvq", jnp.conj(site), t)
 
 
 def _update_right(R, site, w):
     """R' after absorbing one site from the right: ``R (j, u, q)``."""
-    t = jnp.einsum("juq,bpq->jubp", R, site)
-    t = jnp.einsum("abwv,jvbp->jwap", w, t)
-    return jnp.einsum("aij,jwap->iwp", jnp.conj(site), t)
+    t = peinsum("juq,bpq->jubp", R, site)
+    t = peinsum("abwv,jvbp->jwap", w, t)
+    return peinsum("aij,jwap->iwp", jnp.conj(site), t)
 
 
 # Above this two-site problem size the dense eigh is replaced by Lanczos
@@ -71,50 +73,83 @@ def _heff_matvec(L, w1, w2, R, theta):
     Four small contractions, cost O(d^2 D^3 W) — the standard DMRG matvec.
     ``theta``: (d, d, Dl, Dr) -> same shape.
     """
-    t = jnp.einsum("iwp,ABpq->iwABq", L, theta)
-    t = jnp.einsum("XAwv,iwABq->iXvBq", w1, t)
-    t = jnp.einsum("YBvu,iXvBq->iXYuq", w2, t)
-    return jnp.einsum("kuq,iXYuq->XYik", R, t)
+    t = peinsum("iwp,ABpq->iwABq", L, theta)
+    t = peinsum("XAwv,iwABq->iXvBq", w1, t)
+    t = peinsum("YBvu,iXvBq->iXYuq", w2, t)
+    return peinsum("kuq,iXYuq->XYik", R, t)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _lanczos_ground_device(L, w1, w2, R, theta0, iters):
+    """Device-side Lanczos: ONE jitted program, zero host syncs.
+
+    A ``lax.fori_loop`` builds ``iters`` Krylov vectors with full
+    reorthogonalization (a single (k, dim) GEMM per step — MXU-shaped).
+    Early Krylov exhaustion (``beta ~ 0`` — common in DMRG, where each
+    site solve starts near-optimal) is handled branchlessly: exhausted
+    steps contribute a zero vector and their diagonal entry is pushed to
+    ``+1e30`` so the tridiagonal eigensolve never selects them.  The
+    round-1 implementation synced ``float(beta)`` to the host every
+    iteration (~28 ms RTT each on the axon tunnel).
+    """
+    shape = theta0.shape
+    dim = theta0.size
+    dt = theta0.dtype
+    rdt = jnp.zeros((), dt).real.dtype
+    prec = dot_precision(dt)
+
+    v0 = theta0.reshape(-1)
+    v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-300)
+    basis0 = jnp.zeros((iters + 1, dim), dt).at[0].set(v0)
+    alphas0 = jnp.full((iters,), jnp.inf, rdt)
+    betas0 = jnp.zeros((iters,), rdt)
+
+    def body(j, carry):
+        basis, alphas, betas, exhausted = carry
+        v = basis[j]
+        hv = _heff_matvec(L, w1, w2, R, v.reshape(shape)).reshape(-1)
+        alpha = jnp.real(
+            jnp.einsum("d,d->", jnp.conj(v), hv, precision=prec)
+        )
+        # Full reorthogonalization against rows 0..j (later rows are zero,
+        # so masking is implicit); one (k, dim) GEMM pair.
+        proj = jnp.einsum("kd,d->k", jnp.conj(basis), hv, precision=prec)
+        hv = hv - jnp.einsum("k,kd->d", proj, basis, precision=prec)
+        beta = jnp.linalg.norm(hv)
+        alive = jnp.logical_and(~exhausted, beta > 1e-12)
+        nxt = jnp.where(alive, hv / jnp.maximum(beta, 1e-300),
+                        jnp.zeros_like(hv))
+        basis = basis.at[j + 1].set(nxt)
+        # Exhausted steps: alpha -> +1e30 pushes them out of the minimum
+        alphas = alphas.at[j].set(
+            jnp.where(exhausted, jnp.asarray(1e30, rdt), alpha)
+        )
+        betas = betas.at[j].set(jnp.where(alive, beta, 0.0))
+        return basis, alphas, betas, ~alive
+
+    basis, alphas, betas, _ = jax.lax.fori_loop(
+        0, iters, body, (basis0, alphas0, betas0, jnp.asarray(False))
+    )
+    tri = (jnp.diag(alphas)
+           + jnp.diag(betas[: iters - 1], 1)
+           + jnp.diag(betas[: iters - 1], -1))
+    vals, vecs = jnp.linalg.eigh(tri)
+    coeff = vecs[:, 0].astype(dt)
+    theta = jnp.einsum("k,kd->d", coeff, basis[:iters], precision=prec)
+    theta = theta / jnp.maximum(jnp.linalg.norm(theta), 1e-300)
+    return vals[0], theta.reshape(shape)
 
 
 def _lanczos_ground(L, w1, w2, R, theta0, iters=24):
-    """Lowest eigenpair of H_eff by Lanczos with full reorthogonalization.
+    """Lowest eigenpair of H_eff by Lanczos (device-side; see above).
 
-    ``iters`` Krylov vectors suffice to machine precision here because each
-    DMRG site solve starts from the previous sweep's (already near-optimal)
-    block.  Returns ``(energy, theta)``.
+    Returns ``(energy, theta)`` with one host sync total (the energy).
     """
-    shape = theta0.shape
-    v = theta0.reshape(-1)
-    v = v / jnp.maximum(jnp.linalg.norm(v), 1e-300)
-    basis = [v]
-    alphas, betas = [], []
-    for _ in range(iters):
-        hv = _heff_matvec(L, w1, w2, R, basis[-1].reshape(shape)).reshape(-1)
-        alpha = jnp.vdot(basis[-1], hv)
-        alphas.append(alpha)
-        hv = hv - alpha * basis[-1]
-        if len(basis) > 1:
-            hv = hv - betas[-1] * basis[-2]
-        # full reorthogonalization (cheap at this Krylov size)
-        for b in basis:
-            hv = hv - jnp.vdot(b, hv) * b
-        beta = jnp.linalg.norm(hv)
-        if float(beta) < 1e-12:
-            break
-        betas.append(beta)
-        basis.append(hv / beta)
-    k = len(alphas)
-    tri = np.zeros((k, k), np.asarray(alphas[0]).real.dtype)
-    for i, a in enumerate(alphas):
-        tri[i, i] = float(jnp.real(a))
-    for i, b in enumerate(betas[: k - 1]):
-        tri[i, i + 1] = tri[i + 1, i] = float(b)
-    vals, vecs = np.linalg.eigh(tri)
-    coeff = vecs[:, 0]
-    theta = sum(c * b for c, b in zip(coeff, basis[:k]))
-    theta = theta / jnp.maximum(jnp.linalg.norm(theta), 1e-300)
-    return float(vals[0]), theta.reshape(shape)
+    energy, theta = _lanczos_ground_device(L, w1, w2, R, theta0, iters)
+    return float(energy), theta
 
 
 def _local_ground_state(L, w1, w2, R, theta0=None):
@@ -130,7 +165,7 @@ def _local_ground_state(L, w1, w2, R, theta0=None):
     if dim > _DENSE_EIGH_LIMIT and theta0 is not None:
         return _lanczos_ground(L, w1, w2, R, theta0)
     # H[(X,Y,i,k), (A,B,p,q)] = L[i,w,p] W1[X,A,w,v] W2[Y,B,v,u] R[k,u,q]
-    h = jnp.einsum("iwp,XAwv,YBvu,kuq->XYikABpq", L, w1, w2, R)
+    h = peinsum("iwp,XAwv,YBvu,kuq->XYikABpq", L, w1, w2, R)
     hmat = h.reshape(dim, dim)
     hmat = 0.5 * (hmat + jnp.conj(hmat.T))  # enforce hermiticity
     vals, vecs = jnp.linalg.eigh(hmat)
@@ -153,9 +188,9 @@ def _split_theta(theta, max_bond, to_left):
     s = s / jnp.maximum(jnp.linalg.norm(s), 1e-300)
     if to_left:  # left-to-right sweep: left site is the isometry
         t1 = u.reshape(d, dl, k)
-        t2 = jnp.einsum("k,kx->kx", s, vh).reshape(k, d, dr).transpose(1, 0, 2)
+        t2 = peinsum("k,kx->kx", s, vh).reshape(k, d, dr).transpose(1, 0, 2)
     else:  # right-to-left: right site is the isometry
-        t1 = jnp.einsum("xk,k->xk", u, s).reshape(d, dl, k)
+        t1 = peinsum("xk,k->xk", u, s).reshape(d, dl, k)
         t2 = vh.reshape(k, d, dr).transpose(1, 0, 2)
     return t1, t2
 
@@ -195,7 +230,7 @@ def dmrg(mpo, mps0, max_bond=None, sweeps=4):
     for _ in range(sweeps):
         # left -> right
         for i in range(n - 1):
-            theta0 = jnp.einsum("apj,bjq->abpq", sites[i], sites[i + 1])
+            theta0 = peinsum("apj,bjq->abpq", sites[i], sites[i + 1])
             energy, theta = _local_ground_state(
                 L[i], ws[i], ws[i + 1], R[i + 2], theta0
             )
@@ -204,7 +239,7 @@ def dmrg(mpo, mps0, max_bond=None, sweeps=4):
             L[i + 1] = _update_left(L[i], sites[i], ws[i])
         # right -> left
         for i in range(n - 2, -1, -1):
-            theta0 = jnp.einsum("apj,bjq->abpq", sites[i], sites[i + 1])
+            theta0 = peinsum("apj,bjq->abpq", sites[i], sites[i + 1])
             energy, theta = _local_ground_state(
                 L[i], ws[i], ws[i + 1], R[i + 2], theta0
             )

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from ..ops.scan import _stab_step
 from ..ops.stabilize import destabilize
+from ..ops.stabilize import peinsum
 
 
 @jax.tree_util.register_pytree_node_class
@@ -69,7 +70,7 @@ class MPO:
         2. op:    ``W[d,d',w,w'] . *``  over ``(d', w)``
         3. bra:   ``conj(A[d]) . *``    over ``(d, i)``
         """
-        env = jnp.einsum(
+        env = peinsum(
             "i,w,k->iwk", jnp.conj(mps.left), self.left, mps.left
         ).astype(mps.cores.dtype)
         log = jnp.zeros((), env.real.dtype)
@@ -88,7 +89,7 @@ class MPO:
             return (env, log), None
 
         (env, log), _ = jax.lax.scan(step, (env, log), (mps.cores, self.cores))
-        val = jnp.einsum(
+        val = peinsum(
             "iwk,i,w,k->", env, jnp.conj(mps.right), self.right, mps.right
         )
         val, log = _stab_step(val, log, 0)

@@ -210,7 +210,8 @@ class MPS:
         (rho, log), _ = jax.lax.scan(
             step, (rho0, log0), (self.cores, other.cores)
         )
-        val = cj(self.right) @ rho @ other.right
+        val = jnp.einsum("i,ij,j->", cj(self.right), rho, other.right,
+                         precision=prec)
         val, log = _stab_step(val, log, 0)
         return (val, log) if split_format else destabilize(val, log)
 

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .canonical import right_canonicalize
+from ..ops.stabilize import peinsum
 
 
 def sample_canonical(mps_rc, key, num_samples):
@@ -35,7 +36,8 @@ def sample_canonical(mps_rc, key, num_samples):
         v, logp = carry
         core, k = inp
         mat = core.transpose(1, 0, 2).reshape(bond, phys_dim * bond)
-        u = (v @ mat).reshape(num_samples, phys_dim, bond)
+        u = peinsum("bi,ik->bk", v, mat).reshape(
+            num_samples, phys_dim, bond)
         weight = jnp.sum(jnp.abs(u) ** 2, axis=2)  # (B, d)
         total = jnp.sum(weight, axis=1, keepdims=True)
         logits = jnp.log(weight + 1e-300)

@@ -102,7 +102,7 @@ def mps_evaluate(cores, left, right, x, stabilize_every=1,
         )
         u = u.reshape(batch, phys_dim, bond_dim)
         # VPU: weight by the site input
-        v = jnp.einsum("bd,bdk->bk", xn, u)
+        v = jnp.einsum("bd,bdk->bk", xn, u, precision=prec)
         do_stab = (i % stabilize_every) == 0
         vs, logs = _stab_step(v, log, 1)
         v = jnp.where(do_stab, vs, v)
@@ -127,7 +127,8 @@ def mps_evaluate(cores, left, right, x, stabilize_every=1,
         (v, log, _), _ = jax.lax.scan(segment, init, seg_xs)
     else:
         (v, log, _), _ = jax.lax.scan(step, init, xs)
-    amp = v @ right.astype(cores.dtype)
+    amp = jnp.einsum("bi,i->b", v, right.astype(cores.dtype),
+                     precision=prec)
     amp, log = _stab_step(amp, log, 1)
     return amp, log
 
@@ -160,7 +161,8 @@ def mps_norm(cores, left, right):
         return (rho, log), None
 
     (rho, log), _ = jax.lax.scan(step, (rho0, log0), cores)
-    val = jnp.conj(right) @ rho @ right
+    val = jnp.einsum("i,ij,j->", jnp.conj(right), rho, right,
+                     precision=prec)
     return _stab_step(val, log, 0)
 
 

@@ -41,6 +41,20 @@ def dot_precision(*dtypes):
     return None
 
 
+def peinsum(subscripts, *operands, **kwargs):
+    """``jnp.einsum`` with the package precision invariant applied.
+
+    Every contraction in this package must request full precision for
+    f32/f64/complex operands (CLAUDE.md invariant; TPUs otherwise run
+    f32 matmuls as bf16 passes).  This wrapper derives the precision from
+    the operand dtypes so call sites cannot forget it — the lint test
+    ``tests/test_precision_lint.py`` rejects bare ``jnp.einsum`` calls.
+    """
+    ops = [jnp.asarray(o) for o in operands]
+    kwargs.setdefault("precision", dot_precision(*(o.dtype for o in ops)))
+    return jnp.einsum(subscripts, *ops, **kwargs)
+
+
 def stabilize(tensor, log_scale):
     """Move the scale of ``tensor`` into ``log_scale``; mean|out| becomes 1.
 

@@ -23,6 +23,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..ops.chain import tree_chain_product
 from ..ops.stabilize import stabilize_batched
+from ..ops.stabilize import peinsum
 
 
 def check_divisible(mesh, cores, x, dp_axis, sp_axis, tp_axis=None):
@@ -62,7 +63,7 @@ def segment_mps_forward(cores_seg, left, right, x_seg, axis_name="sp"):
         replicated across ``axis_name``.
     """
     # Site matrices for this segment: one einsum, (B, N_local, D, D)
-    mats = jnp.einsum("bnd,ndij->bnij", x_seg, cores_seg)
+    mats = peinsum("bnd,ndij->bnij", x_seg, cores_seg)
     seg, seg_log = tree_chain_product(mats)  # (B, D, D), (B,)
 
     n_seg = jax.lax.axis_size(axis_name)
@@ -73,9 +74,9 @@ def segment_mps_forward(cores_seg, left, right, x_seg, axis_name="sp"):
     v = jnp.broadcast_to(left.astype(seg.dtype), (batch, left.shape[0]))
     log = jnp.sum(all_log, axis=0)
     for k in range(n_seg):  # n_sp is small and static: unrolled fold
-        v = jnp.einsum("bi,bij->bj", v, all_seg[k])
+        v = peinsum("bi,bij->bj", v, all_seg[k])
         v, log = stabilize_batched(v, log, 1)
-    amp = v @ right.astype(seg.dtype)
+    amp = peinsum("bi,i->b", v, right.astype(seg.dtype))
     return stabilize_batched(amp, log, 1)
 
 

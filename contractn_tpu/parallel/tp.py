@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..ops.stabilize import stabilize_batched
+from ..ops.stabilize import dot_precision, peinsum
 
 
 def tp_segment_product(mats_local, tp_axis):
@@ -41,7 +42,8 @@ def tp_segment_product(mats_local, tp_axis):
 
     def step(carry, m_local):
         p, log = carry
-        z_local = jnp.matmul(p, m_local)  # (B, D, D/tp)
+        z_local = jnp.matmul(p, m_local,
+                             precision=dot_precision(p.dtype))
         p = jax.lax.all_gather(z_local, tp_axis, axis=-1, tiled=True)
         p, log = stabilize_batched(p, log, 1)
         return (p, log), None
@@ -60,7 +62,7 @@ def segment_mps_forward_3d(cores_local, left, right, x_local,
     log)`` of shape ``(B_local,)``, replicated over ``sp`` and ``tp``.
     """
     # Column-sharded site matrices, one einsum
-    mats_local = jnp.einsum("bnd,ndij->bnij", x_local, cores_local)
+    mats_local = peinsum("bnd,ndij->bnij", x_local, cores_local)
     seg, seg_log = tp_segment_product(mats_local, tp_axis)  # replicated cols
 
     n_seg = jax.lax.axis_size(sp_axis)
@@ -71,9 +73,9 @@ def segment_mps_forward_3d(cores_local, left, right, x_local,
     v = jnp.broadcast_to(left.astype(seg.dtype), (batch, left.shape[0]))
     log = jnp.sum(all_log, axis=0)
     for k in range(n_seg):
-        v = jnp.einsum("bi,bij->bj", v, all_seg[k])
+        v = peinsum("bi,bij->bj", v, all_seg[k])
         v, log = stabilize_batched(v, log, 1)
-    amp = v @ right.astype(seg.dtype)
+    amp = peinsum("bi,i->b", v, right.astype(seg.dtype))
     return stabilize_batched(amp, log, 1)
 
 

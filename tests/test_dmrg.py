@@ -120,3 +120,70 @@ def test_dmrg_truncated_bond_is_variational():
     _, energy, _ = dmrg(tfim_mpo(n), mps0, max_bond=4, sweeps=3)
     assert energy >= e_exact - 1e-10  # variational bound
     assert energy - e_exact < 1e-3  # TFIM is weakly entangled
+
+
+def test_lanczos_matches_dense_eigh(monkeypatch):
+    """The device-side Lanczos path must agree with dense eigh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import importlib
+
+    dmrg_mod = importlib.import_module("contractn_tpu.models.dmrg")
+
+    # Random Hermitian environment pieces on a mid-size problem
+    key = jax.random.PRNGKey(0)
+    d, w, dl, dr = 2, 3, 6, 6
+    kl, kw1, kw2, kr, kt = jax.random.split(key, 5)
+    L = jax.random.normal(kl, (dl, w, dl), jnp.float64)
+    L = 0.5 * (L + L.transpose(2, 1, 0))
+    R = jax.random.normal(kr, (dr, w, dr), jnp.float64)
+    R = 0.5 * (R + R.transpose(2, 1, 0))
+    w1 = jax.random.normal(kw1, (d, d, w, w), jnp.float64)
+    w1 = 0.5 * (w1 + w1.transpose(1, 0, 2, 3))
+    w2 = jax.random.normal(kw2, (d, d, w, w), jnp.float64)
+    w2 = 0.5 * (w2 + w2.transpose(1, 0, 2, 3))
+    theta0 = jax.random.normal(kt, (d, d, dl, dr), jnp.float64)
+
+    e_dense, _ = dmrg_mod._local_ground_state(L, w1, w2, R)
+    e_lcz, theta = dmrg_mod._lanczos_ground(L, w1, w2, R, theta0, iters=60)
+    assert np.isclose(e_lcz, e_dense, rtol=1e-8)
+    assert np.isclose(float(jnp.linalg.norm(theta)), 1.0, rtol=1e-10)
+    # Rayleigh quotient of the returned vector matches the eigenvalue
+    hv = dmrg_mod._heff_matvec(L, w1, w2, R, theta)
+    rq = float(jnp.vdot(theta.reshape(-1), hv.reshape(-1)))
+    assert np.isclose(rq, e_dense, rtol=1e-8)
+
+
+def test_lanczos_early_exhaustion_exact_start():
+    """Starting AT an eigenvector exhausts the Krylov space immediately;
+    the masked tridiagonal solve must still return that eigenpair."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import importlib
+
+    dmrg_mod = importlib.import_module("contractn_tpu.models.dmrg")
+
+    key = jax.random.PRNGKey(1)
+    d, w, dl, dr = 2, 3, 4, 4
+    kl, kw1, kw2, kr = jax.random.split(key, 4)
+    L = jax.random.normal(kl, (dl, w, dl), jnp.float64)
+    L = 0.5 * (L + L.transpose(2, 1, 0))
+    R = jax.random.normal(kr, (dr, w, dr), jnp.float64)
+    R = 0.5 * (R + R.transpose(2, 1, 0))
+    w1 = jax.random.normal(kw1, (d, d, w, w), jnp.float64)
+    w1 = 0.5 * (w1 + w1.transpose(1, 0, 2, 3))
+    w2 = jax.random.normal(kw2, (d, d, w, w), jnp.float64)
+    w2 = 0.5 * (w2 + w2.transpose(1, 0, 2, 3))
+
+    e_dense, theta_dense = dmrg_mod._local_ground_state(L, w1, w2, R)
+    e_lcz, theta = dmrg_mod._lanczos_ground(
+        L, w1, w2, R, theta_dense, iters=24
+    )
+    assert np.isclose(e_lcz, e_dense, rtol=1e-8)
+    overlap = abs(float(jnp.vdot(theta.reshape(-1),
+                                 theta_dense.reshape(-1))))
+    assert np.isclose(overlap, 1.0, rtol=1e-8)
