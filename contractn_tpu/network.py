@@ -275,7 +275,7 @@ class TN:
 
         self._drop_dangler(dang1)
         self._drop_dangler(dang2)
-        self._init_edge(node1, node2, index1, index2, edge_symbol)
+        return self._init_edge(node1, node2, index1, index2, edge_symbol)
 
     def remove_edge(self, edge):
         """Break a single bond, restoring dangling modes on both ends."""

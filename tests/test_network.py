@@ -1,224 +1,270 @@
-"""TN topology invariants: connect/remove, copy clusters, einstrings.
+"""Topology-level TN invariants (hypothesis-randomized).
 
-Mirrors the reference's ``test_ctn.py`` invariants and closes its coverage
-gaps: name-based connect (reference defect D2), copy-cluster symbol
-unification through bonds, and removal round-trips.
+Built around two generators — ``chain_tn`` and ``clique_tn`` — plus a
+single ``audit`` helper that re-derives the expected global state (node/
+edge/dangler/symbol counts, neighbor sets, mode bookkeeping) from the
+bond list itself, so every wiring test checks the full contract instead
+of hand-picked numbers.  Randomization follows the reference's strategy
+(SURVEY.md §4: sizes 2-6, dense vs copy nodes, negative-index variants)
+and additionally covers the reference's blind spots: name-based connect
+(defect D2), removal round-trips by Edge object and by id, and copy-
+cluster symbol unification across bonds.
 """
 
 from itertools import combinations
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from contractn_tpu import TN, TNError
-from tests.test_nodes import assert_index_inverse
+from tests.test_nodes import check_mode_bookkeeping
+
+sizes = st.integers(min_value=2, max_value=6)
+flags = st.booleans()
+
+BOND = 2
 
 
-@pytest.mark.parametrize("node_type", ["dense", "hyper"])
-@pytest.mark.parametrize("graph_topology", ["path", "complete"])
-@pytest.mark.parametrize("num_nodes", [2, 4, 6])
-@pytest.mark.parametrize("neg_indices", [False, True])
-def test_connect_nodes(node_type, graph_topology, num_nodes, neg_indices):
+def chain_tn(n, kind):
+    """Open chain of ``n`` order-3 nodes: mode 0 dangles, 2-1 bonds."""
     tn = TN()
-    bond_dim, input_dim = 2, 3
-
-    if graph_topology == "path":
-        if node_type == "dense":
-            make = lambda: tn.add_dense_node(  # noqa: E731
-                np.ones((input_dim, bond_dim, bond_dim))
-            )
-        else:
-            make = lambda: tn.add_copy_node(3, dim=bond_dim)  # noqa: E731
-        node_list = [make() for _ in range(num_nodes)]
-        for i in range(num_nodes - 1):
-            indices = (-1, -2) if neg_indices else (2, 1)
-            tn.connect_nodes(node_list[i], node_list[i + 1], *indices)
-
-        assert len(tn.nodes()) == tn.num_cores == num_nodes
-        assert tn.num_duplicate == tn.num_input == 0
-        assert len(tn.nodes(danglers=True)) == 2 * num_nodes + 2
-        assert len(tn.edges()) == 2 * num_nodes + 1
-        if node_type == "dense":
-            assert tn.num_copy == 0
-            assert tn.num_dense == num_nodes
-            assert len(tn.edge_symbols) == 2 * num_nodes + 1
-        else:
-            assert tn.num_dense == 0
-            assert tn.num_copy == num_nodes
-            assert len(tn.edge_symbols) == 1
-
-        for i, node in enumerate(node_list):
-            full_neighbors = set(node.neighbors)
-            neighbor_set = set(node_list[i - 1:i] + node_list[i + 1:i + 2])
-            assert len(full_neighbors - neighbor_set) == 1 + int(
-                i in (0, num_nodes - 1)
-            )
-            assert neighbor_set.issubset(full_neighbors)
-
-    else:  # complete graph
-        if node_type == "dense":
-            shape = (input_dim,) + (bond_dim,) * (num_nodes - 1)
-            make = lambda: tn.add_dense_node(np.ones(shape))  # noqa: E731
-        else:
-            make = lambda: tn.add_copy_node(num_nodes, dim=bond_dim)  # noqa: E731
-        node_list = [make() for _ in range(num_nodes)]
-        for i, j in combinations(range(num_nodes), 2):
-            indices = (
-                (j - num_nodes, i + 1 - num_nodes) if neg_indices else (j, i + 1)
-            )
-            tn.connect_nodes(node_list[i], node_list[j], *indices)
-
-        assert len(tn.nodes()) == tn.num_cores == num_nodes
-        assert tn.num_duplicate == tn.num_input == 0
-        assert len(tn.edges()) == (num_nodes ** 2 + num_nodes) / 2
-        assert len(tn.nodes(danglers=True)) == 2 * num_nodes
-        if node_type == "dense":
-            assert tn.num_copy == 0
-            assert tn.num_dense == num_nodes
-            assert len(tn.edge_symbols) == (num_nodes ** 2 + num_nodes) / 2
-        else:
-            assert tn.num_dense == 0
-            assert tn.num_copy == num_nodes
-            assert len(tn.edge_symbols) == 1
-
-        for i, node in enumerate(node_list):
-            full_neighbors = set(node.neighbors)
-            neighbor_set = set(node_list[:i] + node_list[i + 1:])
-            assert len(full_neighbors) == len(neighbor_set) + 1
-            assert neighbor_set.issubset(full_neighbors)
-
-    # Symbol unification must be idempotent
-    tn._cleanup_edge_symbols()
-    assert_index_inverse(tn)
-
-
-def test_connect_nodes_by_name():
-    """Name-based connect works (broken in the reference — defect D2)."""
-    tn = TN()
-    a = tn.add_dense_node(np.ones((2, 2)), name="a")
-    tn.add_dense_node(np.ones((2, 2)), name="b")
-    tn.connect_nodes("a", "b", 1, 0)
-    assert set(n.name for n in a.neighbors if not n.dangler) == {"b"}
-    es = tn.einsum_str
-    assert es.count(",") == 1
-
-
-def test_connect_already_bonded_mode_raises():
-    tn = TN()
-    a = tn.add_dense_node(np.ones((2, 2)))
-    b = tn.add_dense_node(np.ones((2, 2)))
-    c = tn.add_dense_node(np.ones((2, 2)))
-    tn.connect_nodes(a, b, 1, 0)
-    with pytest.raises(TNError):
-        tn.connect_nodes(a, c, 1, 0)
-
-
-def test_connect_dim_mismatch_raises():
-    tn = TN()
-    a = tn.add_dense_node(np.ones((2, 3)))
-    b = tn.add_dense_node(np.ones((4, 5)))
-    with pytest.raises(TNError):
-        tn.connect_nodes(a, b, 1, 0)
-
-
-def test_variable_dim_merge():
-    tn = TN()
-    copy = tn.add_copy_node(3)  # variable dims
-    vec = tn.add_dense_node(np.ones(7))
-    tn.connect_nodes(copy, vec, 0, 0)
-    edge = vec[0]
-    assert edge.dim == 7
-    assert not edge.var_dim
-
-
-@pytest.mark.parametrize("num_nodes", [2, 4, 6])
-@pytest.mark.parametrize("single_edges", [False, True])
-@pytest.mark.parametrize("use_names", [False, True])
-def test_remove_edges(num_nodes, single_edges, use_names):
-    """Fully connect a TN, remove everything, verify only danglers remain."""
-    tn = TN()
-    node_list = [
-        tn.add_dense_node(np.ones((2,) * (num_nodes - 1)))
-        for _ in range(num_nodes)
-    ]
-    for i, j in combinations(range(num_nodes), 2):
-        tn.connect_nodes(node_list[i], node_list[j], j - 1, i)
-
-    if single_edges:
-        for e in tn.edges():
-            tn.remove_edge(e.name if use_names else e)
+    if kind == "dense":
+        nodes = [tn.add_dense_node(np.ones((3, BOND, BOND)))
+                 for _ in range(n)]
     else:
-        tn.remove_edges_from(
-            [e.name for e in tn.edges()] if use_names else tn.edges()
+        nodes = [tn.add_copy_node(3, dim=BOND) for _ in range(n)]
+    bonds = [(i, 2, i + 1, 1) for i in range(n - 1)]
+    return tn, nodes, bonds
+
+
+def clique_tn(n, kind):
+    """Complete graph on ``n`` order-``n`` nodes; mode 0 dangles."""
+    tn = TN()
+    if kind == "dense":
+        shape = (3,) + (BOND,) * (n - 1)
+        nodes = [tn.add_dense_node(np.ones(shape)) for _ in range(n)]
+    else:
+        nodes = [tn.add_copy_node(n, dim=BOND) for _ in range(n)]
+    # node i uses mode j for its bond to j (j > i), mode k+1 for k < i
+    bonds = [(i, j, j, i + 1) for i, j in combinations(range(n), 2)]
+    return tn, nodes, bonds
+
+
+def wire(tn, nodes, bonds, negative=False):
+    for i, mi, j, mj in bonds:
+        ndim_i, ndim_j = nodes[i].ndim, nodes[j].ndim
+        if negative:
+            tn.connect_nodes(nodes[i], nodes[j], mi - ndim_i, mj - ndim_j)
+        else:
+            tn.connect_nodes(nodes[i], nodes[j], mi, mj)
+
+
+def audit(tn, nodes, bonds, kind):
+    """Re-derive and assert the complete global state from the bond list."""
+    n = len(nodes)
+    n_bonds = len(bonds)
+    open_modes = sum(nd.ndim for nd in nodes) - 2 * n_bonds
+
+    assert tn.num_cores == len(tn.nodes()) == n
+    assert len(tn.edges()) == n_bonds + open_modes
+    danglers = [x for x in tn.nodes(danglers=True) if x.dangler]
+    assert len(danglers) == open_modes
+    if kind == "dense":
+        assert (tn.num_dense, tn.num_copy) == (n, 0)
+        # every edge keeps its own symbol
+        assert len(tn.edge_symbols) == n_bonds + open_modes
+    else:
+        assert (tn.num_dense, tn.num_copy) == (0, n)
+        # a connected copy cluster collapses to ONE symbol
+        assert len(tn.edge_symbols) == 1
+
+    # neighbor sets derived from the bond list
+    expect = {i: set() for i in range(n)}
+    for i, _, j, _ in bonds:
+        expect[i].add(nodes[j])
+        expect[j].add(nodes[i])
+    for i, node in enumerate(nodes):
+        got = set(node.neighbors)
+        got_danglers = {x for x in got if x.dangler}
+        assert got - got_danglers == expect[i]
+        assert len(got_danglers) == node.ndim - sum(
+            1 for b in bonds if i in (b[0], b[2])
         )
+    check_mode_bookkeeping(tn)
 
-    assert tn.num_dense == tn.num_cores == num_nodes
-    assert tn.num_duplicate == tn.num_copy == tn.num_input == 0
-    assert len(tn.edges()) == len(tn.edge_symbols) == num_nodes * (num_nodes - 1)
+
+@settings(max_examples=20, deadline=None)
+@given(n=sizes, kind=st.sampled_from(["dense", "hyper"]), neg=flags,
+       topology=st.sampled_from(["chain", "clique"]))
+def test_wiring_invariants(n, kind, neg, topology):
+    build = chain_tn if topology == "chain" else clique_tn
+    tn, nodes, bonds = build(n, kind)
+    wire(tn, nodes, bonds, negative=neg)
+    audit(tn, nodes, bonds, kind)
+    # symbol unification must be a fixed point
+    tn._cleanup_edge_symbols()
+    audit(tn, nodes, bonds, kind)
+
+
+@settings(max_examples=20, deadline=None)
+@given(n=sizes, one_by_one=flags, by_id=flags)
+def test_unwire_restores_open_network(n, one_by_one, by_id):
+    """Wiring then removing every bond must round-trip to all-danglers,
+    with every freed mode re-terminated and freshly symbolled."""
+    tn, nodes, bonds = clique_tn(n, "dense")
+    wire(tn, nodes, bonds)
+
+    live = [e for e in tn.edges() if not e.dangler]
+    targets = [e.name for e in live] if by_id else live
+    if one_by_one:
+        for t in targets:
+            tn.remove_edge(t)
+    else:
+        tn.remove_edges_from(targets)
+
+    audit(tn, nodes, [], "dense")
     assert all(e.dangler for e in tn.edges())
-    assert_index_inverse(tn)
+    # removal must not leak symbols: each open mode has exactly one
+    assert len(tn.edge_symbols) == sum(nd.ndim for nd in nodes)
 
 
-def test_remove_edge_from_copy_cluster_keeps_unified_symbols():
-    """After breaking a copy-node bond, the cluster still has one symbol."""
+@settings(max_examples=20, deadline=None)
+@given(n=sizes)
+def test_rewire_after_removal_is_equivalent(n):
+    """remove + reconnect reproduces a freshly wired network's einsum
+    semantics (same contracted value)."""
+    rng = np.random.default_rng(n)
+    tn = TN()
+    nodes = [tn.add_dense_node(rng.standard_normal((BOND, BOND)))
+             for _ in range(n)]
+    for i in range(n - 1):
+        tn.connect_nodes(nodes[i], nodes[i + 1], 1, 0)
+    want = np.asarray(tn.contract(backend="numpy"))
+
+    mid = nodes[n // 2]
+    bond = next(e for e in mid.edges if not e.dangler)
+    a, b = bond.nodes
+    ia = [k for k, en in enumerate(a.edge_names) if en == bond.name][0]
+    ib = [k for k, en in enumerate(b.edge_names) if en == bond.name][-1]
+    tn.remove_edge(bond)
+    tn.connect_nodes(a, b, ia, ib)
+    got = np.asarray(tn.contract(backend="numpy"))
+    assert np.allclose(got, want, rtol=1e-10)
+
+
+# -- copy-cluster symbol policy ------------------------------------------ #
+
+
+def test_copy_cluster_single_symbol_through_bonds():
+    """Bonding dense nodes into a copy hub pulls them into its symbol."""
+    tn = TN()
+    hub = tn.add_copy_node(3, dim=2)
+    spokes = [tn.add_dense_node(np.ones(2)) for _ in range(3)]
+    for k, sp in enumerate(spokes):
+        tn.connect_nodes(hub, sp, k, 0)
+    cluster_sym = set(hub.edge_symbols)
+    assert len(cluster_sym) == 1
+    assert all(sp.edge_symbols[0] in cluster_sym for sp in spokes)
+
+
+def test_copy_cluster_unification_beats_user_symbols():
+    """Unification wins even when the hub's symbol sorts late (the
+    reference's D4 family left such bonds inconsistently labeled)."""
+    tn = TN()
+    vec = tn.add_dense_node(np.ones(2))
+    hub = tn.add_copy_node(3, edge_symbols="z")
+    tn.connect_nodes(hub, vec, 0, 0)
+    assert len(set(hub.edge_symbols)) == 1
+    assert vec.edge_symbols[0] == hub.edge_symbols[0]
+
+
+def test_breaking_copy_bond_keeps_cluster_unified():
     tn = TN()
     hub = tn.add_copy_node(3, dim=2)
     vecs = [tn.add_dense_node(np.ones(2)) for _ in range(3)]
-    for i, v in enumerate(vecs):
-        tn.connect_nodes(hub, v, i, 0)
-    bond = hub[0]
-    tn.remove_edge(bond)
-    # hub's remaining (incl. restored dangler) edges all share one symbol
+    for k, v in enumerate(vecs):
+        tn.connect_nodes(hub, v, k, 0)
+    tn.remove_edge(hub[0])
     assert len(set(hub.edge_symbols)) == 1
-    assert_index_inverse(tn)
+    check_mode_bookkeeping(tn)
 
 
-def test_copy_node_einstring_structure():
-    """CP-decomposition einstring regression (reference ``test_ctn.py:145``)."""
-    cp = TN()
-    hub = cp.add_copy_node(3)
-    for i in range(3):
-        mat = cp.add_dense_node(np.eye(4, 10))
-        cp.connect_nodes(hub, mat, i, 0)
-    inputs, output = cp.einsum_str.split("->")
-    inputs = inputs.split(",")
-    assert len(set(s[0] for s in inputs)) == 1
-    assert len(set(s[1] for s in inputs)) == 3
-    assert output == "".join(s[1] for s in inputs)
-
-
-def test_hyper_bond_symbol_consistency_with_user_symbols():
-    """A copy cluster's symbol must cover bonds to dense nodes too.
-
-    In the reference, connecting a copy node whose symbol sorts *after* the
-    dense node's symbol could leave the bond labeled differently from the
-    cluster (defect family D4); here all incident edges are unified.
-    """
+def test_cp_hub_einstring_shape():
+    """CP decomposition: one shared hub symbol + per-factor outputs."""
     tn = TN()
-    vec = tn.add_dense_node(np.ones(2))  # symbol 'a'
-    hub = tn.add_copy_node(3, edge_symbols="z")
-    tn.connect_nodes(hub, vec, 0, 0)
-    symbols = set(hub.edge_symbols)
-    assert len(symbols) == 1
-    assert vec.edge_symbols[0] in symbols
+    hub = tn.add_copy_node(3)
+    for k in range(3):
+        tn.connect_nodes(hub, tn.add_dense_node(np.eye(4, 10)), k, 0)
+    lhs, out = tn.einsum_str.split("->")
+    terms = lhs.split(",")
+    hub_syms = {t[0] for t in terms}
+    free_syms = [t[1] for t in terms]
+    assert len(hub_syms) == 1          # the hyperedge
+    assert len(set(free_syms)) == 3    # three factor outputs
+    assert out == "".join(free_syms)   # dangler creation order
 
 
-def test_params_order_and_pytree():
+# -- error paths and small contracts -------------------------------------- #
+
+
+def test_connect_by_name_matches_connect_by_node():
+    """String names are first-class (the reference's D2 made them crash)."""
+    by_node, by_name = TN(), TN()
+    for tn, use_names in ((by_node, False), (by_name, True)):
+        m1 = tn.add_dense_node(np.arange(4.0).reshape(2, 2), name="m1")
+        m2 = tn.add_dense_node(np.arange(4.0, 8.0).reshape(2, 2), name="m2")
+        if use_names:
+            tn.connect_nodes("m1", "m2", 1, 0)
+        else:
+            tn.connect_nodes(m1, m2, 1, 0)
+    assert by_node.einsum_str == by_name.einsum_str
+    assert np.allclose(
+        np.asarray(by_node.contract(backend="numpy")),
+        np.asarray(by_name.contract(backend="numpy")),
+    )
+
+
+def test_connect_rejects_bonded_mode_and_dim_mismatch():
     tn = TN()
-    t1, t2 = np.ones((2, 2)), np.zeros((3,))
-    tn.add_dense_node(t1)
-    tn.add_copy_node(2)
-    tn.add_dense_node(t2)
-    params = tn.params
-    assert len(params) == 2
-    assert params[0] is t1 and params[1] is t2
-
-
-def test_getitem_contains():
-    tn = TN()
-    node = tn.add_dense_node(np.ones(2), name="x")
-    assert "x" in tn
-    assert node in tn
-    assert tn["x"] is node
+    a = tn.add_dense_node(np.ones((2, 2)))
+    b = tn.add_dense_node(np.ones((2, 4)))
+    c = tn.add_dense_node(np.ones((4, 2)))
+    tn.connect_nodes(a, b, 1, 0)
     with pytest.raises(TNError):
-        tn["missing"]
+        tn.connect_nodes(a, c, 1, 1)  # mode 1 of a already bonded
+    with pytest.raises(TNError):
+        tn.connect_nodes(b, c, 1, 1)  # 4 vs 2
+
+
+def test_bond_dim_resolution_with_variable_modes():
+    tn = TN()
+    hub = tn.add_copy_node(2)  # dims unknown (-1)
+    vec = tn.add_dense_node(np.ones(7))
+    edge_id = tn.connect_nodes(hub, vec, 0, 0)
+    edge = tn.get_edge(edge_id)
+    assert edge.dim == 7 and not edge.var_dim
+    assert hub[1].var_dim  # the unbonded mode stays variable
+
+
+def test_dense_param_registry():
+    tn = TN()
+    first = np.ones((2, 2))
+    second = np.zeros(3)
+    tn.add_dense_node(first)
+    tn.add_copy_node(2)
+    tn.add_input_node((4,))
+    tn.add_dense_node(second)
+    assert len(tn.params) == 2
+    assert tn.params[0] is first
+    assert tn.params[1] is second
+
+
+def test_lookup_protocols():
+    tn = TN()
+    node = tn.add_dense_node(np.ones(2), name="probe")
+    assert "probe" in tn and node in tn
+    assert tn["probe"] is node
+    with pytest.raises(TNError):
+        tn["ghost"]
