@@ -297,7 +297,6 @@ def _detect_chain(einstr, shapes):
         return None
     first_is_vec = len(shapes[0]) == 1
     last_is_vec = len(shapes[-1]) == 1
-    mats = shapes[1:-1]
     lo = 1 if first_is_vec else 0
     hi = len(terms) - 1 if last_is_vec else len(terms)
     mats = shapes[lo:hi]

@@ -67,8 +67,13 @@ def contraction_info(tn, optimize="auto", inputs_shapes=None,
         param_shapes[i] if kind == "param" else inputs_shapes[i]
         for kind, i in slots
     )
+    from ..compiler.engine import _freeze, _resolve_optimize
+
+    opt = _resolve_optimize(einstr, shapes, _freeze(optimize))
+    if isinstance(opt, tuple):  # explicit path, thaw for opt_einsum
+        opt = [tuple(p) for p in opt]
     path, info = oe.contract_path(
-        einstr, *shapes, shapes=True, optimize=optimize,
+        einstr, *shapes, shapes=True, optimize=opt,
         memory_limit=memory_limit,
     )
     return ContractionInfo(

@@ -196,14 +196,51 @@ def test_ring_fast_path_trace():
     )
 
 
-@pytest.mark.parametrize("strategy", ["greedy", "dp", "branch-2"])
+# The reference documents 9 strategies (/root/reference/contractn/ctn.py:
+# 362-367) plus explicit paths; all pass through to opt_einsum, plus this
+# framework's additive "native-greedy" (C++ optimizer).  Every strategy
+# must produce oracle-identical VALUES (paths change cost, never results).
+ALL_STRATEGIES = [
+    "auto", "auto-hq", "optimal", "dp", "greedy", "random-greedy",
+    "random-greedy-128", "branch-all", "branch-2", "native-greedy",
+]
+
+
+@pytest.mark.parametrize("strategy", ALL_STRATEGIES)
 def test_optimize_strategies(strategy):
+    # Mixed-rank network (not a pure chain) so strategies pick real paths
     rng = np.random.default_rng(14)
-    mats = [rng.standard_normal((3, 3)) for _ in range(5)]
-    einstr = "ab,bc,cd,de,ef->af"
-    out = np.asarray(contract(einstr, *mats, optimize=strategy))
-    ref = contract(einstr, *mats, backend="numpy")
+    t3 = rng.standard_normal((3, 4, 5))
+    m1 = rng.standard_normal((3, 6))
+    m2 = rng.standard_normal((4, 6))
+    m3 = rng.standard_normal((5, 2))
+    v = rng.standard_normal((2,))
+    einstr = "abc,ax,bx,cy,y->"
+    out = np.asarray(
+        contract(einstr, t3, m1, m2, m3, v, optimize=strategy)
+    )
+    ref = contract(einstr, t3, m1, m2, m3, v, backend="numpy")
     assert np.allclose(out, ref, rtol=1e-10)
+
+
+def test_native_greedy_path_quality():
+    """The C++ greedy optimizer's path cost must be within a small factor
+    of opt_einsum's greedy on a random 3-regular graph."""
+    from contractn_tpu.models.decompositions import random_regular_tn
+    from contractn_tpu.native import native_available
+    from contractn_tpu.utils.introspect import contraction_info
+
+    if not native_available():
+        pytest.skip("no C++ toolchain in this environment")
+    rng = np.random.default_rng(5)
+    tn, _ = random_regular_tn(12, 3, 4, rng=rng)
+    oe_cost = contraction_info(tn, optimize="greedy").flops
+    native_cost = contraction_info(tn, optimize="native-greedy").flops
+    assert native_cost <= 4.0 * oe_cost
+    # and the value is still exact
+    a = np.asarray(tn.contract(optimize="native-greedy"))
+    b = np.asarray(tn.contract(backend="numpy"))
+    assert np.allclose(a, b, rtol=1e-10)
 
 
 def test_long_product_overflow_resistance():
