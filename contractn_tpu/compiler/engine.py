@@ -479,6 +479,32 @@ def _build_jax_program(einstr, shapes, optimize, memory_limit, split_format):
     )
     unique_out = _parse(reduced)[1]
 
+    def epilogue(result, log_scale):
+        if full_out is not None:
+            result = _embed_diagonal(result, unique_out, full_out)
+            # Re-normalize: embedding inserts zeros, changing the mean |elem|
+            result, log_scale = stabilize(result, log_scale)
+        if split_format:
+            return result, log_scale
+        return destabilize(result, log_scale)
+
+    # Shape-bucketed lowering: long regular step runs (levels of identical
+    # pair contractions, linear recurrences) become ONE batched einsum or
+    # ONE lax.scan each, so graph->HLO compile time is O(#buckets), not
+    # O(#steps).  Returns None for short/irregular paths.
+    from .lowering import build_bucketed_runner, log_dtype_of, plan_program
+
+    plan, result_id = plan_program(steps, len(shapes), shapes)
+    if plan is not None:
+        bpack, brun = build_bucketed_runner(
+            plan, result_id, len(shapes), log_dtype_of, _stack
+        )
+
+        def run_bucketed(*args):
+            return epilogue(*brun(*args))
+
+        return bpack, run_bucketed
+
     def pack(tensors):
         return [jnp.asarray(t) for t in tensors]
 
@@ -498,14 +524,7 @@ def _build_jax_program(einstr, shapes, optimize, memory_limit, split_format):
             )
             new, log_scale = stabilize(new, log_scale)
             ops.append(new)
-        result = ops[0]
-        if full_out is not None:
-            result = _embed_diagonal(result, unique_out, full_out)
-            # Re-normalize: embedding inserts zeros, changing the mean |elem|
-            result, log_scale = stabilize(result, log_scale)
-        if split_format:
-            return result, log_scale
-        return destabilize(result, log_scale)
+        return epilogue(ops[0], log_scale)
 
     return pack, run
 

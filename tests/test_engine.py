@@ -423,3 +423,76 @@ def test_unicode_symbols_beyond_52():
     out_jax = np.asarray(tn.contract())
     out_np = tn.contract(backend="numpy")
     assert np.allclose(out_jax, out_np, rtol=1e-10)
+
+
+def test_bucketed_lowering_plan_and_parity():
+    """Long regular paths lower to batch/scan buckets with oracle parity."""
+    import opt_einsum as oe
+
+    from contractn_tpu.compiler.engine import _find_steps
+    from contractn_tpu.compiler.lowering import plan_program
+
+    rng = np.random.default_rng(3)
+    n = 60
+    mats = [rng.standard_normal((5, 5)) * 0.5 for _ in range(n)]
+    terms = [oe.get_symbol(i) + oe.get_symbol(i + 1) for i in range(n)]
+    einstr = ",".join(terms) + "->" + oe.get_symbol(0) + oe.get_symbol(n)
+    shapes = tuple(m.shape for m in mats)
+
+    steps = _find_steps(einstr, shapes, "greedy", None)
+    plan, result_id = plan_program(steps, n, shapes)
+    assert plan is not None
+    kinds = [item["kind"] for item in plan]
+    assert "batch" in kinds and "scan" in kinds
+    # the plan collapses ~n steps into a handful of items
+    assert len(plan) < 10
+
+    ref_m, ref_l = contract(einstr, *mats, split_format=True,
+                            backend="numpy", optimize="greedy")
+    m, log = contract(einstr, *mats, split_format=True, optimize="greedy")
+    assert np.allclose(np.asarray(m), ref_m, rtol=1e-10)
+    assert np.isclose(float(log), float(ref_l), rtol=1e-12)
+
+
+def test_bucketed_lowering_mixed_dims_parity():
+    """Shape changes split buckets but never change values."""
+    import opt_einsum as oe
+
+    rng = np.random.default_rng(4)
+    n = 48
+    dims = [3 if (i // 12) % 2 == 0 else 5 for i in range(n + 1)]
+    mats = [rng.standard_normal((dims[i], dims[i + 1])) * 0.5
+            for i in range(n)]
+    terms = [oe.get_symbol(i) + oe.get_symbol(i + 1) for i in range(n)]
+    einstr = ",".join(terms) + "->" + oe.get_symbol(0) + oe.get_symbol(n)
+    ref = contract(einstr, *mats, split_format=True, backend="numpy")
+    got = contract(einstr, *mats, split_format=True)
+    assert np.allclose(np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-10)
+    assert np.isclose(float(got[1]), float(ref[1]), rtol=1e-12)
+
+
+def test_bucketed_lowering_gradients_flow():
+    """Buckets (gather + scan) must be differentiable end to end."""
+    import jax
+    import jax.numpy as jnp
+    import opt_einsum as oe
+
+    n = 24
+    terms = [oe.get_symbol(i) + oe.get_symbol(i + 1) for i in range(n)]
+    einstr = ",".join(terms) + "->" + oe.get_symbol(0) + oe.get_symbol(n)
+    rng = np.random.default_rng(5)
+    mats = [jnp.asarray(rng.standard_normal((3, 3)) * 0.5)
+            for i in range(n)]
+
+    def loss(m0):
+        val, log = contract(einstr, m0, *mats[1:], split_format=True)
+        return jnp.sum(val ** 2) + log
+
+    g = jax.grad(loss)(mats[0])
+    eps = 1e-6
+    probe = np.zeros((3, 3))
+    probe[1, 2] = 1.0
+    num = (loss(mats[0] + eps * probe) - loss(mats[0] - eps * probe)) / (
+        2 * eps
+    )
+    assert np.isclose(float(g[1, 2]), float(num), rtol=1e-4)
