@@ -14,6 +14,7 @@ from .features import one_hot, trig_features, fourier_features
 from .dmrg import dmrg, heisenberg_mpo, tfim_mpo
 from .peps import peps_tn
 from .sampling import sample, sample_canonical
+from .tdvp import tdvp_evolve, tdvp_step
 
 __all__ = [
     "MPS",
@@ -35,6 +36,8 @@ __all__ = [
     "heisenberg_mpo",
     "sample",
     "sample_canonical",
+    "tdvp_step",
+    "tdvp_evolve",
     "one_hot",
     "trig_features",
     "fourier_features",

@@ -133,7 +133,7 @@ class MPS:
     # -- contraction API ------------------------------------------------ #
 
     def evaluate(self, x, split_format=True, stabilize_every=1,
-                 kernel="scan", remat_segments=None):
+                 kernel="scan", remat_segments=None, sites_per_step=1):
         """Amplitudes ``psi(x_b)`` for a batch of inputs ``x: (B, N, d)``.
 
         Args:
@@ -146,6 +146,10 @@ class MPS:
                 mode off-TPU).
             remat_segments: checkpointed-segment count for sqrt(N)
                 backward-pass memory on long chains (scan kernel only).
+            sites_per_step: fuse this many sites per scan step (halves the
+                dependent-GEMM depth per doubling; the TPU throughput
+                winner is 2 — see :func:`~contractn_tpu.ops.scan.
+                mps_evaluate_fused`).  Requires ``N % sites_per_step == 0``.
         """
         if kernel == "pallas":
             from ..ops.pallas_mps import pallas_mps_evaluate
@@ -154,6 +158,14 @@ class MPS:
             amp, log = pallas_mps_evaluate(
                 self.cores, self.left, self.right, x,
                 interpret=not on_tpu,
+            )
+        elif sites_per_step > 1:
+            from ..ops.scan import mps_evaluate_fused
+
+            amp, log = mps_evaluate_fused(
+                self.cores, self.left, self.right, x,
+                sites_per_step=sites_per_step,
+                stabilize_every=stabilize_every,
             )
         else:
             amp, log = mps_evaluate(

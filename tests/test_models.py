@@ -237,3 +237,20 @@ def test_vmapped_batched_evaluate(small_mps):
         acc = acc @ m
     expect = acc @ np.asarray(small_mps.right)
     assert np.isclose(float(amp[b]) * np.exp(float(log[b])), expect, rtol=1e-9)
+
+
+def test_fused_evaluate_matches_site_scan():
+    """k-site fused evaluation is exact vs the per-site scan (all k)."""
+    import jax
+    import jax.numpy as jnp
+
+    from contractn_tpu.models import MPS
+
+    mps = MPS.random(jax.random.PRNGKey(2), 12, 2, 5, dtype=jnp.float64)
+    x = jax.random.normal(jax.random.PRNGKey(3), (7, 12, 2), jnp.float64)
+    base = mps.evaluate(x, split_format=False)
+    for k in (2, 3, 4, 6):
+        fused = mps.evaluate(x, split_format=False, sites_per_step=k)
+        assert np.allclose(np.asarray(fused), np.asarray(base), rtol=1e-10)
+    with pytest.raises(ValueError):
+        mps.evaluate(x, sites_per_step=5)  # 12 % 5 != 0

@@ -1,0 +1,87 @@
+"""Two-site TDVP: real-time propagator parity and imaginary-time flow."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from contractn_tpu.models import MPS, tdvp_evolve, tdvp_step, tfim_mpo
+from tests.test_models import dense_mps_vector
+
+_SX = np.array([[0.0, 1.0], [1.0, 0.0]])
+_SZ = np.array([[1.0, 0.0], [0.0, -1.0]])
+
+
+def dense_tfim(n, j=1.0, h=1.0):
+    dim = 2 ** n
+    ham = np.zeros((dim, dim))
+
+    def kron_at(op, sites):
+        out = np.eye(1)
+        for s in range(n):
+            out = np.kron(out, op[sites.index(s)] if s in sites
+                          else np.eye(2))
+        return out
+
+    for i in range(n - 1):
+        ham -= j * kron_at([_SZ, _SZ], [i, i + 1])
+    for i in range(n):
+        ham -= h * kron_at([_SX], [i])
+    return ham
+
+
+def test_real_time_matches_dense_expm():
+    """Exact-manifold real-time TDVP == dense exp(-iHt) on 4 sites."""
+    from scipy.linalg import expm  # torch env ships scipy? guard below
+
+    n, dt, steps = 4, 0.05, 4
+    mps = MPS.random(jax.random.PRNGKey(0), n, 2, 4, dtype=jnp.float64)
+    mpo = tfim_mpo(n)
+    psi0 = dense_mps_vector(mps)
+    psi0 = psi0 / np.linalg.norm(psi0)
+    want = expm(-1j * dense_tfim(n) * dt * steps) @ psi0
+
+    cur = mps
+    for _ in range(steps):
+        cur, _ = tdvp_step(mpo, cur, dt, max_bond=4)
+    got = dense_mps_vector(cur)
+    got = got / np.linalg.norm(got)
+    overlap = abs(np.vdot(want, got))
+    assert overlap > 1 - 1e-6
+
+
+def test_real_time_conserves_norm_and_energy():
+    n = 6
+    mps = MPS.random(jax.random.PRNGKey(1), n, 2, 6, dtype=jnp.float64)
+    mpo = tfim_mpo(n)
+    cur, e0 = tdvp_step(mpo, mps, 0.02, max_bond=6)
+    energies = [e0]
+    for _ in range(4):
+        cur, e = tdvp_step(mpo, cur, 0.02, max_bond=6)
+        energies.append(e)
+    nrm = float(np.linalg.norm(dense_mps_vector(cur)))
+    assert np.isclose(nrm, 1.0, rtol=1e-8)
+    assert np.allclose(energies, energies[0], rtol=1e-5)
+
+
+def test_imaginary_time_flows_to_ground_state():
+    from contractn_tpu.models import dmrg
+
+    n, bond = 8, 8
+    mpo = tfim_mpo(n)
+    mps0 = MPS.random(jax.random.PRNGKey(2), n, 2, bond, dtype=jnp.float64)
+    _, e_dmrg, _ = dmrg(mpo, mps0, max_bond=bond, sweeps=4)
+
+    cur, energies = tdvp_evolve(mpo, mps0, dt=0.1, n_steps=30,
+                                max_bond=bond, imaginary=True)
+    # monotone projector flow, converging at the spectral-gap rate
+    assert all(a >= b - 1e-9 for a, b in zip(energies, energies[1:]))
+    assert energies[-1] >= e_dmrg - 1e-6  # variational bound
+    assert np.isclose(energies[-1], e_dmrg, rtol=5e-3)
+
+
+def test_tdvp_rejects_single_site():
+    mps = MPS.random(jax.random.PRNGKey(3), 1, 2, 1, dtype=jnp.float64)
+    with pytest.raises(ValueError):
+        tdvp_step(tfim_mpo(1), mps, 0.1)
