@@ -1,35 +1,42 @@
-"""Benchmark harness: batched MPS-chain contraction throughput on TPU.
+"""Benchmark harness: the BASELINE.md config suite on real TPU hardware.
 
-Headline config (BASELINE.md): 1000-site bond-64 MPS, split-format, batched
-evaluation — the tensor-network analog of a long-sequence forward pass.  The
-useful-FLOP count is the FLOP-optimal vector-carry algorithm's
-(``B * N * 2 d D^2`` for the per-site boundary GEMM, plus the input
-weighting), and the kernel runs exactly that algorithm
-(:func:`contractn_tpu.ops.scan.mps_evaluate`).
+Prints one JSON line per config: {"metric", "value", "unit",
+"vs_baseline"} (vs_baseline is null where the reference publishes no
+comparable number).  The FIRST line is the headline throughput config.
 
-Timing protocol: this TPU is reached through a relay with ~28 ms round-trip
-latency and fully asynchronous dispatch (``block_until_ready`` returns before
-execution), so the benchmark runs K forward passes chained by a data
-dependency inside ONE jitted ``fori_loop`` and forces a single scalar
+Configs (BASELINE.md "Benchmark configs"):
+  1. batched MPS evaluate — 1000 sites x bond 64 x batch 4096, split
+     format, fused 2-site kernel (the round-2 winner; see
+     docs/ROOFLINE.md for the measured ceiling ladder: bare dependent-
+     GEMM chains of the same shapes reach 71-82 TFLOP/s on this chip,
+     so ~60 effective is ~74-85% of the proven ceiling).
+  2. README 1000-link 3x3 all-ones chain, split format, warm contract()
+  3. order-101 copy tensor (x) 100 vectors, full contract()
+  4. CP + Tucker rank-4 contractions
+  5. bond-64 MPO expectation vmapped over 1k MPS parameter sets
+  6. 4x4 PEPS (bond 2, closed) exact contraction
+  7. 300-node chain cold graph->HLO (build+compile+first run)
+
+Timing protocol: this TPU is reached through a relay with ~28 ms
+round-trip latency and fully asynchronous dispatch (block_until_ready
+returns before execution), so device-bound configs run K iterations
+chained by a data dependency inside ONE jitted fori_loop with a single
+scalar readback, and full-API configs dispatch K calls before one
 readback; the measured RTT of a trivial readback is subtracted.
-
-``vs_baseline`` compares effective throughput against the reference's
-measured 8.3 GFLOP/s on its bond-64 MPS config (BASELINE.md, container CPU).
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
 import sys
 import time
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
-from contractn_tpu.ops.scan import mps_evaluate
-
-REFERENCE_GFLOPS = 8.3  # BASELINE.md: bond-64 MPS, warm, container CPU
-K_INNER = 100  # forward passes per timed readback
+REFERENCE_GFLOPS = 8.3     # BASELINE.md: bond-64 MPS, warm, container CPU
+REF_CHAIN_MS = 39.4        # BASELINE.md: warm split-format 1000-link chain
+REF_COPY_MS = 5.44         # BASELINE.md: order-101 copy example, local run
 REPS = 4
 
 
@@ -45,13 +52,34 @@ def measure_rtt():
     return min(ts)
 
 
-def main():
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+def emit(metric, value, unit, vs_baseline=None):
+    print(json.dumps({
+        "metric": metric,
+        "value": value,
+        "unit": unit,
+        "vs_baseline": vs_baseline,
+    }))
+    sys.stdout.flush()
+
+
+def note(msg):
+    print(f"# {msg}", file=sys.stderr)
+    sys.stderr.flush()
+
+
+# --------------------------------------------------------------------- #
+# 1. Flagship: batched MPS evaluate (fused 2-site kernel)
+# --------------------------------------------------------------------- #
+
+
+def bench_flagship(rtt, on_tpu):
+    from contractn_tpu.ops.scan import mps_evaluate_fused
+
     if on_tpu:
         n_sites, phys_dim, bond_dim, batch = 1000, 2, 64, 4096
         dtype = jnp.bfloat16
-        k_inner = K_INNER
-    else:  # keep the harness runnable on CPU for smoke tests
+        k_inner = 100
+    else:  # smoke-test shapes off-TPU
         n_sites, phys_dim, bond_dim, batch = 100, 2, 16, 64
         dtype = jnp.float32
         k_inner = 2
@@ -70,11 +98,11 @@ def main():
     def bench_fn(cores, left, right, x):
         def body(_, carry):
             total, xc = carry
-            amp, log = mps_evaluate(cores, left, right, xc)
+            amp, log = mps_evaluate_fused(cores, left, right, xc,
+                                          sites_per_step=2)
             s = jnp.sum(amp.astype(jnp.float32)) + jnp.sum(
                 log.astype(jnp.float32)
             )
-            # data dependency so iterations cannot be collapsed or reordered
             xc = x + (s * 0.0).astype(x.dtype)
             return total + s, xc
 
@@ -83,36 +111,236 @@ def main():
         )
         return total
 
-    rtt = measure_rtt()
-    print(f"# readback RTT: {rtt*1e3:.1f} ms", file=sys.stderr)
-
     t0 = time.perf_counter()
     v = float(bench_fn(cores, left, right, x))
-    compile_s = time.perf_counter() - t0
-    print(f"# compile+first: {compile_s:.1f}s (value {v:.3g})", file=sys.stderr)
-
+    note(f"flagship compile+first: {time.perf_counter()-t0:.1f}s "
+         f"(value {v:.3g})")
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         float(bench_fn(cores, left, right, x))
         times.append(time.perf_counter() - t0)
     per_iter = (min(times) - rtt) / k_inner
-
     flops = batch * n_sites * (
         2 * phys_dim * bond_dim * bond_dim + 2 * phys_dim * bond_dim
     )
     tflops = flops / per_iter / 1e12
-    vs_baseline = tflops * 1e3 / REFERENCE_GFLOPS
+    note(f"flagship per-forward {per_iter*1e3:.3f} ms")
+    emit(
+        f"batched MPS evaluate (fused 2-site), {n_sites} sites x bond "
+        f"{bond_dim} x batch {batch}, split format, effective throughput",
+        round(tflops, 2), "TFLOP/s",
+        round(tflops * 1e3 / REFERENCE_GFLOPS, 1),
+    )
 
-    print(f"# per-forward {per_iter*1e3:.3f} ms over {REPS}x{k_inner} runs",
-          file=sys.stderr)
-    print(json.dumps({
-        "metric": "batched MPS evaluate, 1000 sites x bond 64 x batch 4096, "
-                  "split format, effective throughput",
-        "value": round(tflops, 2),
-        "unit": "TFLOP/s",
-        "vs_baseline": round(vs_baseline, 1),
-    }))
+
+# --------------------------------------------------------------------- #
+# Full-API configs: warm contract() wall time, K dispatches + 1 readback
+# --------------------------------------------------------------------- #
+
+
+def timed_api(fn, readback, rtt, k=20):
+    fn()  # warm (build + compile)
+    readback(fn())
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(k):
+            last = fn()
+        readback(last)
+        times.append(time.perf_counter() - t0)
+    return (min(times) - rtt) / k * 1e3  # ms per call
+
+
+def bench_chain(rtt):
+    from contractn_tpu import TN
+
+    tn = TN()
+    prev = tn.add_dense_node(np.ones((3, 3), np.float32))
+    for _ in range(999):
+        nxt = tn.add_dense_node(np.ones((3, 3), np.float32))
+        tn.connect_nodes(prev, nxt, 1, 0)
+        prev = nxt
+    vec = tn.add_dense_node(np.ones(3, np.float32))
+    tn.connect_nodes(prev, vec, 1, 0)
+
+    def run():
+        return tn.contract(split_format=True)
+
+    def readback(res):
+        m, log = res
+        lv = float(log)  # the one scalar sync
+        want = 1000 * np.log(3.0)
+        assert abs(lv - want) / want < 1e-4, (lv, want)
+
+    ms = timed_api(run, readback, rtt, k=10)
+    emit("README 1000-link 3x3 chain, split format, warm contract()",
+         round(ms, 3), "ms", round(REF_CHAIN_MS / ms, 1))
+
+
+def bench_copy101(rtt):
+    from contractn_tpu import TN
+
+    tn = TN()
+    hub = tn.add_copy_node(101, dim=2)
+    for i in range(100):
+        v = tn.add_dense_node(np.array([1.0, 0.99], np.float32))
+        tn.connect_nodes(hub, v, i, 0)
+
+    def run():
+        return tn.contract()
+
+    def readback(res):
+        out = np.asarray(res)
+        assert np.allclose(out, [1.0, 0.99 ** 100], rtol=1e-4), out
+
+    ms = timed_api(run, readback, rtt)
+    emit("order-101 copy tensor (x) 100 vectors, full contract()",
+         round(ms, 3), "ms", round(REF_COPY_MS / ms, 1))
+
+
+def bench_cp_tucker(rtt):
+    from contractn_tpu.models import cp_tn, tucker_tn
+
+    rng = np.random.default_rng(0)
+    facs = [rng.standard_normal((4, 6)).astype(np.float32)
+            for _ in range(3)]
+    cp = cp_tn(facs)
+    core = rng.standard_normal((4, 4, 4)).astype(np.float32)
+    tk = tucker_tn(core, facs)
+    want_cp = np.einsum("ac,ad,ae->cde", *facs)
+    want_tk = np.einsum("abc,ae,bf,cg->efg", core, *facs)
+
+    def run():
+        return cp.contract(), tk.contract()
+
+    def readback(res):
+        out_cp, out_tk = np.asarray(res[0]), np.asarray(res[1])
+        assert np.allclose(out_cp, want_cp, rtol=1e-3)
+        assert np.allclose(out_tk, want_tk, rtol=1e-3)
+
+    ms = timed_api(run, readback, rtt)
+    emit("CP + Tucker rank-4 contraction pair, warm contract()",
+         round(ms, 3), "ms", None)
+
+
+def bench_mpo_expectation(rtt, on_tpu):
+    from contractn_tpu.models import MPS, tfim_mpo
+
+    if on_tpu:
+        n_sites, bond, batch = 50, 64, 1000
+        dtype = jnp.bfloat16
+        k_inner = 10
+    else:
+        n_sites, bond, batch = 10, 8, 16
+        dtype = jnp.float32
+        k_inner = 2
+    mpo = tfim_mpo(n_sites, dtype=dtype)
+    key = jax.random.PRNGKey(1)
+    scale = 1.0 / (2 * bond) ** 0.5
+    cores = scale * jax.random.normal(
+        key, (batch, n_sites, 2, bond, bond), dtype
+    )
+    left = jnp.ones((bond,), dtype)
+    right = jnp.ones((bond,), dtype)
+
+    def one(c):
+        val, log = mpo.expectation(MPS(c, left, right))
+        return val.astype(jnp.float32) + log.astype(jnp.float32) * 1e-3
+
+    @jax.jit
+    def bench_fn(cores):
+        def body(_, carry):
+            total, cc = carry
+            s = jnp.sum(jax.vmap(one)(cc))
+            cc = cores + (s * 0.0).astype(cores.dtype)
+            return total + s, cc
+
+        total, _ = jax.lax.fori_loop(
+            0, k_inner, body, (jnp.zeros((), jnp.float32), cores)
+        )
+        return total
+
+    t0 = time.perf_counter()
+    float(bench_fn(cores))
+    note(f"mpo-exp compile+first: {time.perf_counter()-t0:.1f}s")
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        float(bench_fn(cores))
+        times.append(time.perf_counter() - t0)
+    per = (min(times) - rtt) / k_inner
+    w = 3  # TFIM MPO bond
+    flops_site = 4 * 2 * w * bond ** 3 + 2 * (2 * w * bond) ** 2
+    tflops = batch * n_sites * flops_site / per / 1e12
+    emit(
+        f"MPO expectation, bond-{bond} MPS vmapped over {batch} parameter "
+        "sets, split format",
+        round(per * 1e3, 3), "ms/batch",
+        None,
+    )
+    note(f"mpo-exp effective ~{tflops:.1f} TFLOP/s")
+
+
+def bench_peps(rtt):
+    from contractn_tpu.models import peps_tn
+
+    rng = np.random.default_rng(2)
+    tn, grid = peps_tn(4, 4, bond_dim=2, rng=rng)
+    want = None
+
+    def run():
+        return tn.contract(split_format=True)
+
+    def readback(res):
+        nonlocal want
+        m, log = res
+        got = float(m) * float(np.exp(float(log)))
+        if want is None:
+            want = float(np.asarray(
+                tn.contract(split_format=False, backend="numpy")
+            ))
+        assert abs(got - want) / abs(want) < 1e-3, (got, want)
+
+    ms = timed_api(run, readback, rtt)
+    emit("4x4 PEPS (bond 2, closed) exact contraction, warm contract()",
+         round(ms, 3), "ms", None)
+
+
+def bench_compile(on_tpu):
+    """Cold graph->HLO (+first run) for a fresh 300-node mixed chain."""
+    import opt_einsum as oe
+
+    from contractn_tpu import contract
+
+    rng = np.random.default_rng(3)
+    n = 300
+    mats = [rng.standard_normal((7, 7)).astype(np.float32) * 0.4
+            for _ in range(n)]
+    terms = [oe.get_symbol(i) + oe.get_symbol(i + 1) for i in range(n)]
+    einstr = ",".join(terms) + "->" + oe.get_symbol(0) + oe.get_symbol(n)
+    t0 = time.perf_counter()
+    m, log = contract(einstr, *mats, split_format=True, optimize="greedy")
+    jax.block_until_ready(m)
+    float(log)
+    ms = (time.perf_counter() - t0) * 1e3
+    emit("300-node chain, cold graph->HLO + first run (bucketed lowering)",
+         round(ms, 1), "ms", None)
+
+
+def main():
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    rtt = measure_rtt()
+    note(f"devices={jax.devices()} readback RTT {rtt*1e3:.1f} ms")
+
+    bench_flagship(rtt, on_tpu)
+    bench_chain(rtt)
+    bench_copy101(rtt)
+    bench_cp_tucker(rtt)
+    bench_mpo_expectation(rtt, on_tpu)
+    bench_peps(rtt)
+    bench_compile(on_tpu)
 
 
 if __name__ == "__main__":
