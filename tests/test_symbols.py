@@ -33,3 +33,43 @@ def test_invalid_symbols_rejected():
         check_symbol("ab")
     with pytest.raises(TypeError):
         check_symbol(3)
+
+
+# ---------------------------------------------------------------------- #
+# Differential test: the TN's incremental heap allocator must match the
+# reference-parity O(n) allocator above on random alloc/free histories.
+# allocate_symbols is the ORACLE here — the TN uses the O(log n) heap
+# (network.py) whose gap-reuse order this pins.
+# ---------------------------------------------------------------------- #
+
+
+def test_heap_allocator_matches_reference_oracle():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from contractn_tpu import TN
+    from contractn_tpu.symbols import allocate_symbols
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=6), min_size=1,
+                    max_size=25))
+    def run(ops):
+        tn = TN()
+        nodes = []
+        for op in ops:
+            if op <= 3:  # add a node of order op (0..3)
+                expected = allocate_symbols(tn.edge_symbols, op)
+                node = tn.add_dense_node(np.zeros((2,) * op))
+                assert node.edge_symbols == expected
+                nodes.append(node)
+            else:  # connect the first two dangling modes, if any exist
+                free = [
+                    (n, i) for n in nodes
+                    for i in range(n.ndim) if n[i].dangler
+                ]
+                if len(free) >= 2 and free[0][0] is not free[1][0]:
+                    (n1, i1), (n2, i2) = free[0], free[1]
+                    tn.connect_nodes(n1, n2, i1, i2)
+
+    run()
