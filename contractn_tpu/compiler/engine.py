@@ -89,12 +89,17 @@ def contract(*operands, **kwargs):
             "Did not understand the following kwargs: {}".format(sorted(kwargs))
         )
 
+    wrap = None
     if backend in ("torch", "tensorflow"):
-        raise TNError(
-            f"backend '{backend}' is not supported by this TPU-native build; "
-            "use backend='jax' (default) or backend='numpy' for the oracle path"
-        )
-    if backend not in ("auto", "jax", "numpy"):
+        # Interop backends: operands from these libraries are accepted on
+        # every path (engine._asarray), computation still runs through the
+        # ONE XLA engine, and results convert back to the requested array
+        # library.  The reference dispatched its interpreted loop into each
+        # library natively (einsum.py:24-28); here "backend" selects the
+        # result container only — autograd flows through JAX, not torch/tf
+        # (foreign tensors are detached on entry).
+        wrap = _result_wrapper(backend)
+    elif backend not in ("auto", "jax", "numpy"):
         raise TNError(f"Unknown backend '{backend}'")
 
     einstr = einstr.replace(" ", "")
@@ -115,7 +120,31 @@ def contract(*operands, **kwargs):
     pack, fn = _get_jax_program(
         einstr, shapes, dtypes, _freeze(optimize), memory_limit, split_format, use_jit
     )
-    return fn(*pack([_asarray(t, dtype) for t in tensors]))
+    result = fn(*pack([_asarray(t, dtype) for t in tensors]))
+    if wrap is not None:
+        if isinstance(result, tuple):
+            return tuple(wrap(r) for r in result)
+        return wrap(result)
+    return result
+
+
+def _result_wrapper(backend):
+    """Converter from device arrays to the requested library's tensors."""
+    if backend == "torch":
+        try:
+            import torch
+        except ImportError:
+            raise TNError(
+                "backend='torch' requested but torch is not installed"
+            )
+        return lambda r: torch.from_numpy(np.asarray(r))
+    try:
+        import tensorflow as tf
+    except ImportError:
+        raise TNError(
+            "backend='tensorflow' requested but tensorflow is not installed"
+        )
+    return lambda r: tf.convert_to_tensor(np.asarray(r))
 
 
 def _asarray(t, dtype):
@@ -131,6 +160,8 @@ def _asarray(t, dtype):
         return t if dtype is None else np.asarray(t, dtype)
     if isinstance(t, jnp.ndarray):
         return t if dtype is None else jnp.asarray(t, dtype=dtype)
+    if hasattr(t, "detach") and hasattr(t, "cpu"):  # torch tensors
+        t = t.detach().cpu()
     try:
         return np.asarray(t, dtype=dtype)
     except (TypeError, ValueError, RuntimeError):

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from contractn_tpu import TN, contract
+from contractn_tpu import TN, TNError, contract
 from contractn_tpu.compiler.engine import _detect_chain, _detect_hadamard
 
 
@@ -398,6 +398,44 @@ def test_torch_tensor_operands():
     tn.connect_nodes(a, b, 1, 0)
     out = np.asarray(tn.contract())
     assert np.allclose(out, [6.0, 6.0], rtol=1e-12)
+
+
+def test_torch_backend_round_trip():
+    """backend='torch' computes via XLA and returns torch tensors,
+    including requires_grad operands (detached on entry) and split
+    format pairs."""
+    torch = pytest.importorskip("torch")
+    tn = TN()
+    a = tn.add_dense_node(
+        torch.ones((2, 3), dtype=torch.float64, requires_grad=True)
+    )
+    b = tn.add_dense_node(torch.full((3,), 2.0, dtype=torch.float64))
+    tn.connect_nodes(a, b, 1, 0)
+    out = tn.contract(backend="torch")
+    assert isinstance(out, torch.Tensor)
+    assert np.allclose(out.numpy(), [6.0, 6.0], rtol=1e-12)
+    m, log = tn.contract(backend="torch", split_format=True)
+    assert isinstance(m, torch.Tensor) and isinstance(log, torch.Tensor)
+    assert np.allclose(
+        m.numpy() * np.exp(log.numpy()), [6.0, 6.0], rtol=1e-12
+    )
+
+
+def test_tensorflow_backend_gated():
+    """backend='tensorflow' works when TF is installed, raises an
+    actionable TNError otherwise (TF is not in this image)."""
+    tn = TN()
+    a = tn.add_dense_node(np.ones((2, 2)))
+    b = tn.add_dense_node(np.ones(2))
+    tn.connect_nodes(a, b, 1, 0)
+    try:
+        import tensorflow  # noqa: F401
+    except ImportError:
+        with pytest.raises(TNError, match="tensorflow is not installed"):
+            tn.contract(backend="tensorflow")
+    else:
+        out = tn.contract(backend="tensorflow")
+        assert np.allclose(np.asarray(out), [2.0, 2.0], rtol=1e-12)
 
 
 def test_self_loop_trace():
