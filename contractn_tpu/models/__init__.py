@@ -3,6 +3,7 @@ from .mpo import MPO
 from .boundary import apply_mpo_to_mps
 from .canonical import (
     compress,
+    compress_fixed,
     compress_mpo,
     imaginary_time_step,
     left_canonicalize,
@@ -20,6 +21,7 @@ __all__ = [
     "MPS",
     "MPO",
     "compress",
+    "compress_fixed",
     "left_canonicalize",
     "right_canonicalize",
     "mps_add",

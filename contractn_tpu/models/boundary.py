@@ -14,13 +14,21 @@ canonical compression — into the BASELINE stretch capability (4x4 PEPS and
 beyond).  The reference can only contract grids exactly through opt_einsum.
 """
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .canonical import compress
+from .canonical import (
+    _fixed_svd_sweep,
+    _left_qr_sweep,
+    compress,
+    compress_fixed,
+)
 from .mpo import MPO
 from .mps import MPS
-from ..ops.stabilize import peinsum
+from ..ops.stabilize import dot_precision, peinsum
 
 
 def apply_mpo_to_mps(mpo, mps):
@@ -64,10 +72,99 @@ def _embed(mats, phys_first):
     return jnp.asarray(out), jnp.asarray(e)
 
 
+@partial(jax.jit, static_argnums=(4,))
+def _absorb_rows_scanned(cores, left, right, w_rows, chi):
+    """Absorb a stack of interior rows into the boundary MPS — ONE
+    compiled program.
+
+    ``cores (C, dv, chi, chi)``: boundary at fixed bond ``chi``;
+    ``w_rows (R, C, dd, du, h, h)``: the interior rows as uniform MPO
+    stacks.  Per scanned row: exact MPO application (bond ``h * chi``),
+    scanned QR canonicalization, scanned fixed-``chi`` SVD truncation —
+    all static shapes, so the whole 2D sweep is a scan-of-scans with
+    zero host round-trips (the round-1 implementation dispatched O(rows
+    * cols) host-looped QR/SVD steps).
+
+    Returns ``(cores, left, right, log, err_sq)``.
+    """
+    r, c, dd, du, h, _ = w_rows.shape
+    dt = cores.dtype
+    prec = dot_precision(dt)
+    e_row = jnp.zeros((h,), dt).at[0].set(1.0)
+    rdt = jnp.zeros((), dt).real.dtype
+
+    def body(carry, w):
+        cores, left, right, log, err = carry
+        grown = jnp.einsum("nabwv,nbij->nawivj", w, cores,
+                           precision=prec).reshape(c, dd, h * chi, h * chi)
+        l2 = jnp.kron(e_row, left)
+        r2 = jnp.kron(e_row, right)
+        qs, e0, wv, log_qr = _left_qr_sweep(grown, l2, r2)
+        sites, nl, nr, log_svd, err_sq = _fixed_svd_sweep(qs, e0, wv, chi)
+        return (sites, nl, nr, log + log_qr + log_svd, err + err_sq), None
+
+    init = (cores, left, right, jnp.zeros((), rdt), jnp.zeros((), rdt))
+    (cores, left, right, log, err), _ = jax.lax.scan(body, init, w_rows)
+    return cores, left, right, log, err
+
+
+def _boundary_sweep_scanned(tensor_grid, chi):
+    """Device-side boundary sweep: host work is only the row embedding.
+
+    Requires all interior rows to share one (padded) shape — true for
+    uniform-bond PEPS grids; the caller falls back to the host sweep
+    otherwise.  Returns split-format ``(mantissa, log)``.
+    """
+    rows = len(tensor_grid)
+    cols = len(tensor_grid[0])
+
+    mats = [np.moveaxis(tensor_grid[0][c][0], 1, 0) for c in range(cols)]
+    cores0, e = _embed(mats, (mats[0].shape[0],))
+    boundary, log_norm, _ = compress_fixed(MPS(cores0, e, e), chi)
+    total_log = log_norm
+
+    row_stacks = []
+    for r in range(1, rows - 1):
+        mats = [
+            np.transpose(tensor_grid[r][c], (2, 0, 1, 3))  # (down, up, l, r)
+            for c in range(cols)
+        ]
+        cores, _ = _embed(mats, mats[0].shape[:2])
+        row_stacks.append(cores)
+    if row_stacks:
+        shapes = {tuple(s.shape) for s in row_stacks}
+        if len(shapes) != 1:
+            raise ValueError("interior rows are not uniform")  # caller guards
+        w_rows = jnp.stack(row_stacks)
+        cores, left, right, log, _ = _absorb_rows_scanned(
+            boundary.cores, boundary.left, boundary.right, w_rows, int(chi)
+        )
+        boundary = MPS(cores, left, right)
+        total_log = total_log + log
+
+    mats = [tensor_grid[rows - 1][c][:, :, 0] for c in range(cols)]
+    cores, e = _embed(mats, (mats[0].shape[0],))
+    closing = MPS(cores, e, e)
+    val, log = closing.inner(boundary, conjugate=False)
+    return val, log + total_log
+
+
+def _sweep_dispatch(tensor_grid, chi):
+    """Scanned device-side sweep when a fixed ``chi`` is given and the
+    grid is uniform; exact host sweep otherwise."""
+    if chi is not None and len(tensor_grid) >= 2:
+        try:
+            return _boundary_sweep_scanned(tensor_grid, chi)
+        except ValueError:
+            pass  # non-uniform interior rows: host path handles them
+    return _boundary_sweep(tensor_grid, chi)
+
+
 def _boundary_sweep(tensor_grid, chi):
     """Core sweep over a grid of full ``(up, left, down, right)`` arrays.
 
-    Returns the split-format ``(mantissa, log)`` scalar value.
+    Host-loop fallback (exact when ``chi`` is None; also used for
+    non-uniform grids).  Returns split-format ``(mantissa, log)``.
     """
     rows = len(tensor_grid)
     cols = len(tensor_grid[0])
@@ -125,7 +222,7 @@ def boundary_contract(tn, grid, chi=None, split_format=True):
         [_padded_site(grid, r, c, rows, cols) for c in range(cols)]
         for r in range(rows)
     ]
-    val, log = _boundary_sweep(tensor_grid, chi)
+    val, log = _sweep_dispatch(tensor_grid, chi)
     if split_format:
         return val, log
     from ..ops.stabilize import destabilize
@@ -172,7 +269,7 @@ def peps_norm(tn, grid, chi=None, split_format=True):
                 dbl.reshape(s[0] ** 2, s[1] ** 2, s[2] ** 2, s[3] ** 2)
             )
         tensor_grid.append(row_list)
-    val, log = _boundary_sweep(tensor_grid, chi)
+    val, log = _sweep_dispatch(tensor_grid, chi)
     if split_format:
         return val, log
     from ..ops.stabilize import destabilize

@@ -12,6 +12,8 @@ CPU/TPU; the per-site sweep is a host loop over N sites (each step jitted
 by shape), appropriate for a preprocessing pass.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -238,6 +240,89 @@ def right_canonicalize(mps):
         return _single_site_normalized(mps)
     qs, w, e0, log = _right_qr_sweep(mps.cores, mps.left, mps.right)
     return MPS(qs, w, e0), float(log)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _fixed_svd_sweep(cores, left, right, chi):
+    """Right-to-left SVD truncation to a STATIC bond ``chi``, scanned.
+
+    Input cores must be left-isometric (run :func:`_left_qr_sweep`
+    first) so per-bond truncation is globally optimal.  All shapes are
+    static — ``(N, d, Db, Db)`` in, ``(N, d, chi, chi)`` out — so the
+    whole sweep jits as one program and can run INSIDE another scan
+    (the device-side boundary-MPS sweep batches row absorptions this
+    way).  Effective ranks below ``chi`` appear as zero-padded bonds,
+    the framework's uniform-bond convention.
+
+    Returns ``(cores', new_left, new_right, log_norm, err_sq)`` where
+    the output state is normalized and ``err_sq`` is the total discarded
+    squared weight (relative, since the input is isometric+normalized).
+    """
+    n, d, db, _ = cores.shape
+    dt = _qr_dtype(cores.dtype)
+    cores = cores.astype(dt)
+    prec = dot_precision(dt)
+    rdt = jnp.zeros((), dt).real.dtype
+    k = min(db, d * chi)  # singular values per step (static)
+
+    # Carry: M (Db, chi) maps old right bond -> new right bond
+    m0 = jnp.zeros((db, chi), dt)
+    m0 = m0.at[:, 0].set(right.astype(dt))
+
+    def step(carry, a):
+        m, log, err = carry
+        t = jnp.einsum("dab,bc->dac", a, m, precision=prec)  # (d, Db, chi)
+        mat = t.swapaxes(0, 1).reshape(db, d * chi)
+        u, s, vh = jnp.linalg.svd(mat, full_matrices=False)  # k singulars
+        if k > chi:
+            # s is in the rescaled frame; exp(2*log) restores true units
+            # (bounded: the input is isometric + normalized, so log ~ 0)
+            err = err + jnp.sum(s[chi:] ** 2) * jnp.exp(2.0 * log)
+            u, s, vh = u[:, :chi], s[:chi], vh[:chi]
+        elif k < chi:
+            u = jnp.pad(u, ((0, 0), (0, chi - k)))
+            s = jnp.pad(s, (0, chi - k))
+            vh = jnp.pad(vh, ((0, chi - k), (0, 0)))
+        site = vh.reshape(chi, d, chi).swapaxes(0, 1)  # (d, chi, chi)
+        m = u * s[None, :]
+        scale = jnp.maximum(jnp.max(jnp.abs(m)), 1e-300)
+        return (m / scale, log + jnp.log(scale), err), site
+
+    init = (m0, jnp.zeros((), rdt), jnp.zeros((), rdt))
+    (m, log, err), sites = jax.lax.scan(
+        step, init, jnp.flip(cores, 0)
+    )
+    sites = jnp.flip(sites, 0)
+    new_left = jnp.einsum("a,ac->c", left.astype(dt), m, precision=prec)
+    nrm = jnp.maximum(jnp.linalg.norm(new_left), 1e-300)
+    e0 = jnp.zeros((chi,), dt).at[0].set(1.0)
+    return sites, new_left / nrm, e0, log + jnp.log(nrm), err
+
+
+def compress_fixed(mps, chi):
+    """Fully-jitted SVD compression to a STATIC uniform bond ``chi``.
+
+    The device-side counterpart of :func:`compress`: a scanned QR sweep
+    (left-canonicalize) followed by a scanned fixed-``chi`` SVD sweep —
+    two device dispatches total, no per-site host loops, shapes all
+    static (effective ranks below ``chi`` are zero-padded).  This is the
+    building block the boundary-MPS PEPS contraction scans over rows.
+
+    Returns ``(compressed_mps, log_norm, truncation_error)`` with the
+    state normalized, exactly like :func:`compress`.
+    """
+    if chi < 1:
+        raise ValueError(f"chi must be >= 1, got {chi}")
+    if mps.n_sites == 1:
+        out, log_norm = _single_site_normalized(mps)
+        return out, log_norm, 0.0
+    qs, e0, w, log_qr = _left_qr_sweep(mps.cores, mps.left, mps.right)
+    sites, new_left, new_right, log_svd, err_sq = _fixed_svd_sweep(
+        qs, e0, w, int(chi)
+    )
+    log_norm = float(log_qr) + float(log_svd)
+    return (MPS(sites, new_left, new_right), log_norm,
+            float(jnp.sqrt(err_sq)))
 
 
 def compress(mps, max_bond=None, cutoff=0.0):
