@@ -55,6 +55,10 @@ class TN:
         self._dang_id = 0
         self._num_cores = 0
         self._type_counts = Counter()
+        # Topology-mutation counter: invalidates the cached einstring /
+        # arg-packer spec (every structural primitive bumps it)
+        self._mutation = 0
+        self._spec_cache = None
 
     # ------------------------------------------------------------------ #
     # Node construction
@@ -103,8 +107,13 @@ class TN:
             "input", name, edge_symbols, shape=shape, var_axes=var_shape_axes
         )
 
+    def _bump(self):
+        """Record a topology mutation (invalidates cached compile specs)."""
+        self._mutation += 1
+
     def _init_node(self, node_type, name, edge_symbols, **kwargs):
         """Create a core node plus one dangler per mode; register everything."""
+        self._bump()
         if node_type == "dangler":
             raise TNError("Dangling nodes are created internally only")
         name = self._new_node_name(name)
@@ -140,6 +149,7 @@ class TN:
         variable adopts the concrete dimension, and two concrete dimensions
         must agree.
         """
+        self._bump()
         check_symbol(edge_symbol)
         for node, idx in ((node1, idx1), (node2, idx2)):
             if node.name not in self._nodes:
@@ -225,6 +235,7 @@ class TN:
 
     def _drop_edge(self, edge_id):
         """Unregister an edge (symbol count, incidence, registry)."""
+        self._bump()
         edge = self._edges.pop(edge_id)
         self._release_symbol(edge.symbol)
         n1, n2 = edge_id[:2]
@@ -235,6 +246,7 @@ class TN:
 
     def _drop_dangler(self, dang_name):
         """Remove a dangling node and its single edge."""
+        self._bump()
         node = self._nodes[dang_name]
         if not node.dangler:
             raise TNError(f"'{dang_name}' is not a dangling node")
@@ -433,6 +445,7 @@ class TN:
             del self._nodes[n.name]
             self._num_cores -= 1
             self._type_counts["dense"] -= 1
+            self._bump()
 
         new_node = self.add_dense_node(merged, name=name)
         for mode, (_, peer_name, peer_idx) in enumerate(survivors):
@@ -526,6 +539,7 @@ class TN:
         incident edges — including bonds to dense/input nodes — so the
         repeated-index invariant can never be violated (defect family D4).
         """
+        self._bump()  # symbol rewrites change the einstring
         if naughty_node is not None:
             clusters = [self._copy_cluster(naughty_node.name)]
         else:
@@ -633,9 +647,25 @@ class TN:
     @property
     def einsum_str(self):
         """Einsum-style string describing the TN's contraction."""
-        from .compiler.einstring import make_einstring
+        return self._compiled_spec()[0]
 
-        return make_einstring(self)
+    def _compiled_spec(self):
+        """Cached ``(einstring, arg_packer)`` for the current topology.
+
+        Rebuilding the einstring and packer costs O(nodes) of interpreted
+        Python per ``contract()`` call — dominant for warm re-contractions
+        of large networks (the README 1000-link chain).  The cache keys on
+        the mutation counter, which every structural primitive bumps.
+        """
+        if self._spec_cache is not None and \
+                self._spec_cache[0] == self._mutation:
+            return self._spec_cache[1], self._spec_cache[2]
+        from .compiler.einstring import make_arg_packer, make_einstring
+
+        einstr = make_einstring(self)
+        pack = make_arg_packer(self)
+        self._spec_cache = (self._mutation, einstr, pack)
+        return einstr, pack
 
     def make_contract_fun(self, optimize="auto", split_format=False, **kwargs):
         """Build a reusable ``contract_fun(params, inputs)`` for this layout.
@@ -648,12 +678,9 @@ class TN:
 
         Parity: reference ``ctn.py:349-387``.
         """
-        from .compiler.einstring import make_arg_packer
-        from .compiler.einstring import make_einstring
         from .compiler.engine import contract
 
-        einstr = make_einstring(self)
-        pack = make_arg_packer(self)
+        einstr, pack = self._compiled_spec()
 
         def contract_fun(params, inputs=()):
             operands = pack(params, inputs)

@@ -114,6 +114,7 @@ def tn_from_spec(spec, params):
 
 
 def _restore_symbols(tn, symbols):
+    tn._bump()  # direct symbol rewrites invalidate cached compile specs
     for name, syms in symbols.items():
         node = tn[name]
         for idx, sym in enumerate(syms):

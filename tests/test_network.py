@@ -268,3 +268,28 @@ def test_lookup_protocols():
     assert tn["probe"] is node
     with pytest.raises(TNError):
         tn["ghost"]
+
+
+def test_compiled_spec_cache_invalidation():
+    """The cached einstring/packer must refresh on ANY topology mutation:
+    adds, connects, removals, symbol cleanups, merges."""
+    tn = TN()
+    a = tn.add_dense_node(np.ones((2, 2)))
+    s1 = tn.einsum_str
+    b = tn.add_dense_node(np.ones((2, 2)))
+    s2 = tn.einsum_str
+    assert s1 != s2
+    tn.connect_nodes(a, b, 1, 0)
+    s3 = tn.einsum_str
+    assert s3 != s2
+    bond = next(e for e in tn.edges() if not e.dangler)
+    tn.remove_edge(bond)
+    s4 = tn.einsum_str
+    assert s4 != s3
+    hub = tn.add_copy_node(2, edge_symbols="z")
+    tn.connect_nodes(hub, a, 0, 1)
+    s5 = tn.einsum_str
+    assert s5 != s4
+    # contraction value tracks the live topology
+    v = np.asarray(tn.contract(backend="numpy"))
+    assert v.shape == (2, 2, 2, 2)
