@@ -12,7 +12,7 @@ from .canonical import (
 )
 from .decompositions import cp_tn, tucker_tn, tensor_ring_tn, mps_tn
 from .features import one_hot, trig_features, fourier_features
-from .dmrg import dmrg, heisenberg_mpo, tfim_mpo
+from .dmrg import dmrg, dmrg_excited, heisenberg_mpo, tfim_mpo
 from .peps import peps_tn
 from .sampling import sample, sample_canonical
 from .tdvp import tdvp_evolve, tdvp_step
@@ -34,6 +34,7 @@ __all__ = [
     "mps_tn",
     "peps_tn",
     "dmrg",
+    "dmrg_excited",
     "tfim_mpo",
     "heisenberg_mpo",
     "sample",

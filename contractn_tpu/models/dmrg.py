@@ -174,6 +174,92 @@ def _local_ground_state(L, w1, w2, R, theta0=None):
     return float(energy), theta
 
 
+def _ovl_left_update(lg, gsite, psisite):
+    """Overlap environment after absorbing one site from the left.
+
+    ``lg (Dg, D)``: ``<g|psi>`` partial contraction (bra ``g``
+    conjugated); ``gsite (d, Dg, Dg')``, ``psisite (d, D, D')``.
+    """
+    return peinsum("ab,dax,dby->xy", lg, jnp.conj(gsite), psisite)
+
+
+def _ovl_right_update(rg, gsite, psisite):
+    return peinsum("xy,dax,dby->ab", rg, jnp.conj(gsite), psisite)
+
+
+def _penalty_vector(lg, g1, g2, rg):
+    """The local two-site representation ``pg`` of ``|g>``:
+    ``<g|psi> = vdot(pg, theta)`` for the current environments.
+    Shape ``(d, d, Dl, Dr)`` matching theta."""
+    t = peinsum("ab,dax->dxb", jnp.conj(lg), g1)  # (d, Dg', D)
+    t = peinsum("dxb,exy->deby", t, g2)           # (d, d, Dg'', D)
+    return peinsum("deby,yq->debq", t, jnp.conj(rg))
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _lanczos_ground_penalized(L, w1, w2, R, theta0, iters, pgs, weights):
+    """Device-side Lanczos for ``H_eff + sum_k w_k |pg_k><pg_k|``.
+
+    Same machinery as :func:`_lanczos_ground_device` with a rank-k
+    penalty folded into the matvec (the standard orthogonality trick for
+    excited-state DMRG).  ``pgs (k, *theta.shape)``, ``weights (k,)``.
+    """
+    shape = theta0.shape
+    prec = dot_precision(theta0.dtype)
+
+    def matvec(t):
+        out = _heff_matvec(L, w1, w2, R, t)
+        ov = jnp.einsum("kx,x->k", jnp.conj(pgs.reshape(pgs.shape[0], -1)),
+                        t.reshape(-1), precision=prec)
+        out = out + jnp.einsum(
+            "k,kx->x", weights * ov, pgs.reshape(pgs.shape[0], -1),
+            precision=prec,
+        ).reshape(shape)
+        return out
+
+    from .tdvp import _lanczos_basis
+
+    basis, alphas, betas, _ = _lanczos_basis(matvec, theta0, iters)
+    alphas = jnp.minimum(alphas, jnp.asarray(1e30, alphas.dtype))
+    tri = (jnp.diag(alphas)
+           + jnp.diag(betas[:-1], 1)
+           + jnp.diag(betas[:-1], -1))
+    vals, vecs = jnp.linalg.eigh(tri)
+    coeff = vecs[:, 0].astype(theta0.dtype)
+    theta = jnp.einsum("k,kd->d", coeff, basis[:-1], precision=prec)
+    theta = theta / jnp.maximum(jnp.linalg.norm(theta), 1e-300)
+    return vals[0], theta.reshape(shape)
+
+
+def _local_ground_penalized(L, w1, w2, R, theta0, penalties):
+    """Lowest eigenpair of the penalized two-site problem.
+
+    ``penalties``: list of ``(weight, pg)``.  Dense below the eigh
+    limit, rank-k-augmented Lanczos above it.
+    """
+    if not penalties:
+        return _local_ground_state(L, w1, w2, R, theta0)
+    d = w1.shape[0]
+    dl, dr = L.shape[0], R.shape[0]
+    dim = d * d * dl * dr
+    if dim > _DENSE_EIGH_LIMIT and theta0 is not None:
+        pgs = jnp.stack([p for _, p in penalties])
+        weights = jnp.asarray([w for w, _ in penalties],
+                              pgs.real.dtype)
+        energy, theta = _lanczos_ground_penalized(
+            L, w1, w2, R, theta0, 24, pgs, weights
+        )
+        return float(energy), theta
+    h = peinsum("iwp,XAwv,YBvu,kuq->XYikABpq", L, w1, w2, R)
+    hmat = h.reshape(dim, dim)
+    hmat = 0.5 * (hmat + jnp.conj(hmat.T))
+    for w, pg in penalties:
+        v = pg.reshape(-1)
+        hmat = hmat + w * jnp.outer(v, jnp.conj(v))
+    vals, vecs = jnp.linalg.eigh(hmat)
+    return float(vals[0]), vecs[:, 0].reshape(d, d, dl, dr)
+
+
 def _split_theta(theta, max_bond, to_left):
     """SVD-split a two-site block into site tensors.
 
@@ -195,7 +281,8 @@ def _split_theta(theta, max_bond, to_left):
     return t1, t2
 
 
-def dmrg(mpo, mps0, max_bond=None, sweeps=4):
+def dmrg(mpo, mps0, max_bond=None, sweeps=4, orthogonal_to=(),
+         penalty=None):
     """Minimize ``<psi|H|psi> / <psi|psi>`` over MPS of bounded bond.
 
     Args:
@@ -204,6 +291,12 @@ def dmrg(mpo, mps0, max_bond=None, sweeps=4):
             bond.
         max_bond: bond-dimension cap (default: ``mps0.bond_dim``).
         sweeps: full left-right + right-left sweeps.
+        orthogonal_to: previously found MPS to stay orthogonal to —
+            minimizing over ``H + penalty * sum_g |g><g|`` finds excited
+            states (see :func:`dmrg_excited`).  States should be
+            normalized (e.g. earlier ``dmrg`` outputs).
+        penalty: orthogonality weight; must exceed the targeted energy
+            gap.  Default: ``10 * (1 + |E[mps0]|)``.
 
     Returns:
         ``(ground_mps, energy, energies)``: the optimized state (uniform
@@ -225,30 +318,93 @@ def dmrg(mpo, mps0, max_bond=None, sweeps=4):
     for i in range(n - 1, 0, -1):
         R[i] = _update_right(R[i + 1], sites[i], ws[i])
 
+    # Overlap environments against each orthogonality constraint
+    gs = [_ragged_sites(g) for g in orthogonal_to]
+    if gs and penalty is None:
+        num_v, num_l = mpo.expectation(mps0)
+        den_v, den_l = mps0.norm_squared()
+        e0 = abs(float(jnp.real(num_v / den_v))
+                 * float(jnp.exp(num_l - den_l)))
+        penalty = 10.0 * (1.0 + e0)
+    lg = [[None] * (n + 1) for _ in gs]
+    rg = [[None] * (n + 1) for _ in gs]
+    one = jnp.ones((1, 1), sites[0].dtype)
+    for k, g in enumerate(gs):
+        lg[k][0] = one
+        rg[k][n] = one
+        for i in range(n - 1, 0, -1):
+            rg[k][i] = _ovl_right_update(rg[k][i + 1], g[i], sites[i])
+
+    def penalties_at(i):
+        return [
+            (penalty, _penalty_vector(lg[k][i], gs[k][i], gs[k][i + 1],
+                                      rg[k][i + 2]))
+            for k in range(len(gs))
+        ]
+
     energies = []
     energy = np.inf
     for _ in range(sweeps):
         # left -> right
         for i in range(n - 1):
             theta0 = peinsum("apj,bjq->abpq", sites[i], sites[i + 1])
-            energy, theta = _local_ground_state(
-                L[i], ws[i], ws[i + 1], R[i + 2], theta0
+            energy, theta = _local_ground_penalized(
+                L[i], ws[i], ws[i + 1], R[i + 2], theta0, penalties_at(i)
             )
             t1, t2 = _split_theta(theta, max_bond, to_left=True)
             sites[i], sites[i + 1] = t1, t2
             L[i + 1] = _update_left(L[i], sites[i], ws[i])
+            for k, g in enumerate(gs):
+                lg[k][i + 1] = _ovl_left_update(lg[k][i], g[i], sites[i])
         # right -> left
         for i in range(n - 2, -1, -1):
             theta0 = peinsum("apj,bjq->abpq", sites[i], sites[i + 1])
-            energy, theta = _local_ground_state(
-                L[i], ws[i], ws[i + 1], R[i + 2], theta0
+            energy, theta = _local_ground_penalized(
+                L[i], ws[i], ws[i + 1], R[i + 2], theta0, penalties_at(i)
             )
             t1, t2 = _split_theta(theta, max_bond, to_left=False)
             sites[i], sites[i + 1] = t1, t2
             R[i + 1] = _update_right(R[i + 2], sites[i + 1], ws[i + 1])
+            for k, g in enumerate(gs):
+                rg[k][i + 1] = _ovl_right_update(rg[k][i + 2], g[i + 1],
+                                                 sites[i + 1])
         energies.append(energy)
 
     return _rebuild_uniform(sites, np.asarray(mps0.cores).dtype), energy, energies
+
+
+def dmrg_excited(mpo, mps0, n_states, max_bond=None, sweeps=4,
+                 penalty=None, key=None):
+    """Lowest ``n_states`` eigenstates by sequential orthogonal DMRG.
+
+    Each state is found by :func:`dmrg` with orthogonality penalties
+    against all previously found states (the energies reported per state
+    exclude the penalty — they are true Rayleigh quotients of the final
+    states).  Returns ``(states, energies)``.
+    """
+    import jax as _jax
+
+    states, energies = [], []
+    key = key if key is not None else _jax.random.PRNGKey(0)
+    for k in range(n_states):
+        if k == 0:
+            init = mps0
+        else:
+            key, sub = _jax.random.split(key)
+            init = MPS.random(
+                sub, mps0.n_sites, mps0.phys_dim,
+                max_bond or mps0.bond_dim,
+                dtype=np.asarray(mps0.cores).dtype,
+            )
+        state, _, _ = dmrg(mpo, init, max_bond=max_bond, sweeps=sweeps,
+                           orthogonal_to=states, penalty=penalty)
+        num_v, num_l = mpo.expectation(state)
+        den_v, den_l = state.norm_squared()
+        energy = (float(jnp.real(num_v / den_v))
+                  * float(jnp.exp(num_l - den_l)))
+        states.append(state)
+        energies.append(energy)
+    return states, energies
 
 
 # ---------------------------------------------------------------------- #

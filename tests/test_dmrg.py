@@ -187,3 +187,63 @@ def test_lanczos_early_exhaustion_exact_start():
     overlap = abs(float(jnp.vdot(theta.reshape(-1),
                                  theta_dense.reshape(-1))))
     assert np.isclose(overlap, 1.0, rtol=1e-8)
+
+
+def test_excited_states_match_dense_spectrum():
+    """dmrg_excited reproduces the three lowest dense eigenvalues of
+    TFIM(8, h=1.5) and the states are mutually orthogonal."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from contractn_tpu.models import MPS, dmrg_excited, tfim_mpo
+    from tests.test_tdvp import dense_tfim
+
+    n, bond = 8, 10
+    mpo = tfim_mpo(n, j=1.0, h=1.5)
+    dense = dense_tfim(n, j=1.0, h=1.5)
+    want = np.linalg.eigvalsh(dense)[:3]
+
+    mps0 = MPS.random(jax.random.PRNGKey(0), n, 2, bond, dtype=jnp.float64)
+    states, energies = dmrg_excited(mpo, mps0, 3, max_bond=bond, sweeps=5)
+    assert np.allclose(energies, want, rtol=1e-6), (energies, want)
+    for i in range(3):
+        for j in range(i + 1, 3):
+            ov_v, ov_l = states[i].inner(states[j])
+            overlap = abs(float(ov_v)) * float(jnp.exp(ov_l))
+            assert overlap < 1e-4, (i, j, overlap)
+
+
+def test_penalized_lanczos_matches_penalized_dense(monkeypatch):
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    dmrg_mod = importlib.import_module("contractn_tpu.models.dmrg")
+
+    key = jax.random.PRNGKey(4)
+    d, w, dl, dr = 2, 3, 6, 6
+    kl, kw1, kw2, kr, kt, kp = jax.random.split(key, 6)
+    L = jax.random.normal(kl, (dl, w, dl), jnp.float64)
+    L = 0.5 * (L + L.transpose(2, 1, 0))
+    R = jax.random.normal(kr, (dr, w, dr), jnp.float64)
+    R = 0.5 * (R + R.transpose(2, 1, 0))
+    w1 = jax.random.normal(kw1, (d, d, w, w), jnp.float64)
+    w1 = 0.5 * (w1 + w1.transpose(1, 0, 2, 3))
+    w2 = jax.random.normal(kw2, (d, d, w, w), jnp.float64)
+    w2 = 0.5 * (w2 + w2.transpose(1, 0, 2, 3))
+    theta0 = jax.random.normal(kt, (d, d, dl, dr), jnp.float64)
+    pg = jax.random.normal(kp, (d, d, dl, dr), jnp.float64)
+    pg = pg / jnp.linalg.norm(pg)
+    penalties = [(25.0, pg)]
+
+    e_dense, _ = dmrg_mod._local_ground_penalized(
+        L, w1, w2, R, theta0, penalties
+    )
+    monkeypatch.setattr(dmrg_mod, "_DENSE_EIGH_LIMIT", 1)
+    e_lcz, theta = dmrg_mod._local_ground_penalized(
+        L, w1, w2, R, theta0, penalties
+    )
+    assert np.isclose(e_lcz, e_dense, rtol=1e-7)
