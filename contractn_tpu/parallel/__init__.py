@@ -1,7 +1,12 @@
 from .mesh import make_mesh
 from .sharded import sharded_mps_forward, segment_mps_forward
 from .tp import make_tp_train_step, segment_mps_forward_3d
-from .training import make_train_step, make_sharded_train_step, sgd_init
+from .training import (
+    make_optax_train_step,
+    make_sharded_train_step,
+    make_train_step,
+    sgd_init,
+)
 
 __all__ = [
     "make_mesh",
@@ -9,6 +14,7 @@ __all__ = [
     "segment_mps_forward",
     "segment_mps_forward_3d",
     "make_train_step",
+    "make_optax_train_step",
     "make_sharded_train_step",
     "make_tp_train_step",
     "sgd_init",

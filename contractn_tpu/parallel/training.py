@@ -39,6 +39,69 @@ def make_train_step(lr=1e-2):
     return train_step
 
 
+def make_optax_train_step(optimizer, mesh=None, dp_axis="dp",
+                          sp_axis="sp", loss=None):
+    """Jitted train step driven by any optax optimizer.
+
+    Args:
+        optimizer: an ``optax.GradientTransformation`` (e.g.
+            ``optax.adam(1e-3)``); the MPS pytree is the parameter tree.
+        mesh: optional ``(dp, sp)`` mesh — with one, the loss runs inside
+            the same shard-mapped forward as
+            :func:`make_sharded_train_step`.
+        loss: optional ``loss(mps, x, y)`` override (default:
+            :func:`loss_fn`, MSE on ``log |psi|``).
+
+    Returns:
+        ``(train_step, opt_state0_fn)`` where
+        ``train_step(mps, opt_state, x, y) -> (mps, opt_state, loss)``
+        and ``opt_state0_fn(mps)`` initializes the optimizer state.
+    """
+    if mesh is not None:
+        base = _sharded_loss_fn(mesh, dp_axis, sp_axis)
+    else:
+        base = loss if loss is not None else loss_fn
+
+    @jax.jit
+    def train_step(mps, opt_state, x, y):
+        value, grads = jax.value_and_grad(base)(mps, x, y)
+        updates, opt_state = optimizer.update(grads, opt_state, mps)
+        import optax
+
+        mps = optax.apply_updates(mps, updates)
+        return mps, opt_state, value
+
+    return train_step, optimizer.init
+
+
+def _sharded_loss_fn(mesh, dp_axis, sp_axis):
+    def local_loss(cores, left, right, x, y):
+        amp, log = segment_mps_forward(cores, left, right, x, sp_axis)
+        pred = jnp.log(jnp.abs(amp) + 1e-30) + log
+        total = jax.lax.psum(jnp.sum((pred - y) ** 2), dp_axis)
+        n = jax.lax.psum(x.shape[0] * 1.0, dp_axis)
+        return total / n
+
+    sharded_loss = jax.shard_map(
+        local_loss,
+        mesh=mesh,
+        in_specs=(
+            P(sp_axis, None, None, None),
+            P(),
+            P(),
+            P(dp_axis, sp_axis, None),
+            P(dp_axis),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def full_loss(mps, x, y):
+        return sharded_loss(mps.cores, mps.left, mps.right, x, y)
+
+    return full_loss
+
+
 def make_sharded_train_step(mesh, lr=1e-2, dp_axis="dp", sp_axis="sp"):
     """Jitted training step over a ``(dp, sp)`` mesh.
 
