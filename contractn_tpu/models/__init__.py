@@ -15,6 +15,12 @@ from .features import one_hot, trig_features, fourier_features
 from .dmrg import dmrg, dmrg_excited, heisenberg_mpo, tfim_mpo
 from .peps import peps_tn
 from .sampling import sample, sample_canonical
+from .umps import (
+    correlation_length,
+    expect_local,
+    log_norm_per_site,
+    transfer_spectrum,
+)
 from .tdvp import tdvp_evolve, tdvp_step
 
 __all__ = [
@@ -40,6 +46,10 @@ __all__ = [
     "sample",
     "sample_canonical",
     "tdvp_step",
+    "transfer_spectrum",
+    "correlation_length",
+    "log_norm_per_site",
+    "expect_local",
     "tdvp_evolve",
     "one_hot",
     "trig_features",

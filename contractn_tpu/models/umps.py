@@ -1,0 +1,161 @@
+"""Uniform (infinite) MPS: thermodynamic-limit quantities.
+
+A translation-invariant state is one core ``A (d, D, D)`` repeated
+forever.  Everything observable flows from the transfer operator
+``T(rho) = sum_s A_s rho A_s^H`` (a completely positive map on ``D x D``
+matrices, never materialized as a ``D^2 x D^2`` matrix — each
+application costs two ``(D, dD)``-shaped GEMMs, the same trick as
+:func:`contractn_tpu.ops.scan.mps_norm`):
+
+* ``log lambda_1`` — the free energy / log-norm per site of the infinite
+  chain (the split-format register's thermodynamic limit);
+* ``lambda_2 / lambda_1`` — the correlation length
+  ``xi = -1 / log |lambda_2/lambda_1|``;
+* fixed points ``l, r`` — environments for local expectation values
+  ``<O> = tr(l T_O(r)) / (lambda_1 tr(l r))``.
+
+Eigenpairs come from device-side power iteration (``lax.fori_loop``,
+per-step rescale with the log in the carry, zero host syncs; the
+subleading eigenvalue by deflation against the leading left/right fixed
+points).  The reference has no infinite-system capability at all —
+its only scaling axis is finite chain length (SURVEY.md §5).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.stabilize import dot_precision
+
+
+def _apply_T(core, rho, prec):
+    """``sum_s A_s rho A_s^H`` via two GEMM-shaped einsums."""
+    x = jnp.einsum("sij,jk->sik", core, rho, precision=prec)
+    return jnp.einsum("sik,slk->il", x, jnp.conj(core), precision=prec)
+
+
+def _apply_Tt(core, rho, prec):
+    """Adjoint map ``sum_s A_s^H rho A_s`` (left fixed point)."""
+    x = jnp.einsum("sji,jk->sik", jnp.conj(core), rho, precision=prec)
+    return jnp.einsum("sik,skl->il", x, core, precision=prec)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _power_leading(core, rho0, deflate, iters):
+    """Leading eigenpair of T (or of T deflated against ``deflate``).
+
+    ``deflate``: ``None`` or ``(l, r, lam)`` — the leading left/right
+    fixed points; each iterate is first projected off the leading right
+    eigendirection (``rho -= r tr(l rho) / tr(l r)``), so the iteration
+    converges to ``lambda_2``.  Returns ``(lam, rho)`` with ``rho`` the
+    Frobenius-normalized eigenmatrix and ``lam`` its Rayleigh estimate.
+    """
+    prec = dot_precision(core.dtype)
+    rho0 = rho0 / jnp.maximum(jnp.linalg.norm(rho0), 1e-300)
+
+    if deflate is not None:
+        l0, r0, _ = deflate
+        denom = jnp.trace(jnp.matmul(l0, r0, precision=prec))
+
+        def project(rho):
+            coef = jnp.trace(jnp.matmul(l0, rho, precision=prec)) / denom
+            return rho - coef * r0
+    else:
+        def project(rho):
+            return rho
+
+    def body(_, carry):
+        rho, lam = carry
+        new = _apply_T(core, project(rho), prec)
+        nrm = jnp.maximum(jnp.linalg.norm(new), 1e-300)
+        # Rayleigh-style estimate with phase: <rho, T rho> for unit rho
+        lam = jnp.einsum("ij,ij->", jnp.conj(rho), new, precision=prec)
+        return new / nrm, lam
+
+    rho, lam = jax.lax.fori_loop(0, iters, body, (rho0, jnp.zeros(
+        (), core.dtype)))
+    return lam, rho
+
+
+def transfer_spectrum(core, iters=300, key=None):
+    """Leading two transfer-operator eigenvalues and fixed points.
+
+    Returns a dict with ``lam1`` (leading eigenvalue, positive for any
+    nonzero state since T is completely positive), ``lam2`` (subleading,
+    may be negative/complex), ``xi`` (correlation length in sites,
+    ``inf`` when degenerate), and the fixed points ``l, r``
+    (Frobenius-normalized).
+    """
+    d, bond, _ = core.shape
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    rho0 = jnp.eye(bond, dtype=core.dtype) + 0.01 * jax.random.normal(
+        k1, (bond, bond), core.real.dtype if hasattr(core, "real")
+        else core.dtype
+    ).astype(core.dtype)
+
+    lam1, r = _power_leading(core, rho0, None, iters)
+
+    # Left fixed point of the same eigenvalue (adjoint map iteration)
+    prec = dot_precision(core.dtype)
+
+    @jax.jit
+    def left_fix(core, rho0):
+        def body(_, rho):
+            new = _apply_Tt(core, rho, prec)
+            return new / jnp.maximum(jnp.linalg.norm(new), 1e-300)
+
+        return jax.lax.fori_loop(0, iters, body, rho0)
+
+    left = left_fix(core, rho0)
+
+    rho2 = jax.random.normal(k2, (bond, bond), jnp.zeros(
+        (), core.dtype).real.dtype).astype(core.dtype)
+    lam2, _ = _power_leading(core, rho2, (left, r, lam1), iters)
+
+    lam1_f = complex(np.asarray(lam1))
+    lam2_f = complex(np.asarray(lam2))
+    ratio = abs(lam2_f) / abs(lam1_f) if lam1_f else 0.0
+    xi = float("inf") if ratio >= 1.0 - 1e-12 else (
+        float("inf") if ratio == 0 else -1.0 / np.log(ratio)
+    )
+    return {
+        "lam1": lam1_f if np.iscomplexobj(np.asarray(core)) else
+        float(np.real(lam1_f)),
+        "lam2": lam2_f if np.iscomplexobj(np.asarray(core)) else
+        float(np.real(lam2_f)),
+        "xi": xi,
+        "l": left,
+        "r": r,
+    }
+
+
+def log_norm_per_site(core, iters=300):
+    """``lim_N (1/N) log <psi_N|psi_N>`` of the infinite chain:
+    ``log lambda_1`` of the transfer operator (always finite — the
+    split-format register's per-site growth rate)."""
+    spec = transfer_spectrum(core, iters=iters)
+    return float(np.log(abs(spec["lam1"])))
+
+
+def correlation_length(core, iters=300):
+    """``xi = -1 / log |lam2 / lam1|`` in units of sites."""
+    return transfer_spectrum(core, iters=iters)["xi"]
+
+
+def expect_local(core, op, iters=300):
+    """``<psi| O_i |psi> / <psi|psi>`` for a one-site operator ``O`` in
+    the thermodynamic limit: ``tr(l T_O(r)) / (lam1 tr(l r))``."""
+    spec = transfer_spectrum(core, iters=iters)
+    left, r, lam1 = spec["l"], spec["r"], spec["lam1"]
+    prec = dot_precision(core.dtype)
+    op = jnp.asarray(op, core.dtype)
+    x = jnp.einsum("st,tij->sij", op, core, precision=prec)
+    x = jnp.einsum("sij,jk->sik", x, r, precision=prec)
+    t_o_r = jnp.einsum("sik,slk->il", x, jnp.conj(core), precision=prec)
+    num = jnp.trace(jnp.matmul(left, t_o_r, precision=prec))
+    den = lam1 * jnp.trace(jnp.matmul(left, r, precision=prec))
+    val = complex(np.asarray(num)) / complex(np.asarray(den))
+    return val if np.iscomplexobj(np.asarray(core)) else float(val.real)
