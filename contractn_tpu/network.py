@@ -715,6 +715,52 @@ class TN:
 
         return tn_from_spec(tn_spec(self), self.params)
 
+    def to_dot(self, max_nodes=500):
+        """Graphviz DOT source for the layout.
+
+        Node styling encodes type (dense = box, clone = dashed box,
+        copy/hyper = small filled circle, input = house, dangler = point);
+        bonds are labeled ``symbol:dim``.  Render with any graphviz
+        install (``dot -Tsvg``) or paste into an online viewer — the
+        method itself has no dependency.
+        """
+        style = {
+            "dense": 'shape=box, style=filled, fillcolor="#cfe3ff"',
+            "clone": 'shape=box, style="dashed,filled", '
+                     'fillcolor="#e8f0ff"',
+            "hyper": 'shape=circle, width=0.25, style=filled, '
+                     'fillcolor="#222222", label=""',
+            "input": 'shape=house, style=filled, fillcolor="#ffe9c7"',
+            "dangler": "shape=point, width=0.06",
+        }
+        lines = [
+            "graph TN {",
+            "  layout=neato; overlap=false; splines=true;",
+            '  edge [fontsize=9, color="#555555"];',
+            "  node [fontsize=10];",
+        ]
+        shown = set()
+        for i, node in enumerate(self.nodes(as_iter=True, danglers=True)):
+            if i >= max_nodes:
+                lines.append(f'  // ... {len(self._nodes) - i} more nodes')
+                break
+            attrs = style[node.node_type]
+            if node.node_type in ("dense", "clone", "input"):
+                shape = "x".join(str(d) for d in node.shape)
+                attrs += f', label="{node.name}\\n({shape})"'
+            lines.append(f'  "{node.name}" [{attrs}];')
+            shown.add(node.name)
+        for edge in self.edges(as_iter=True):
+            n1, n2 = edge.name[:2]
+            if n1 not in shown or n2 not in shown:
+                continue
+            dim = "?" if edge.dim < 0 else str(edge.dim)
+            lines.append(
+                f'  "{n1}" -- "{n2}" [label="{edge.symbol}:{dim}"];'
+            )
+        lines.append("}")
+        return "\n".join(lines)
+
     def draw(self, max_nodes=50):
         """Compact text rendering of the layout (for quick inspection).
 

@@ -53,3 +53,24 @@ def test_contract_expression_reuse_and_validation():
     assert expr.einsum_str == "ab,bc->ac"
     with pytest.raises(ValueError):
         expr(a.T, b)
+
+
+def test_to_dot_renders_all_types():
+    import numpy as np
+
+    from contractn_tpu import TN
+
+    tn = TN()
+    a = tn.add_dense_node(np.ones((2, 3)), name="core_a")
+    tn.add_duplicate_node(a, name="twin")
+    hub = tn.add_copy_node(3, dim=2, name="hub")
+    tn.add_input_node((4,), name="feed")
+    tn.connect_nodes(hub, a, 0, 0)
+    dot = tn.to_dot()
+    assert dot.startswith("graph TN {") and dot.endswith("}")
+    for name in ("core_a", "twin", "hub", "feed"):
+        assert f'"{name}"' in dot
+    assert "shape=box" in dot and "shape=house" in dot
+    assert "--" in dot  # at least the hub-core bond plus danglers
+    # graphviz DOT must be parseable enough: balanced brackets per line
+    assert dot.count("[") == dot.count("]")
