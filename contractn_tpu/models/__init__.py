@@ -16,6 +16,7 @@ from .dmrg import dmrg, dmrg_excited, heisenberg_mpo, tfim_mpo
 from .peps import peps_tn
 from .sampling import sample, sample_canonical
 from .umps import (
+    correlate,
     correlation_length,
     expect_local,
     log_norm_per_site,
@@ -48,6 +49,7 @@ __all__ = [
     "tdvp_step",
     "transfer_spectrum",
     "correlation_length",
+    "correlate",
     "log_norm_per_site",
     "expect_local",
     "tdvp_evolve",

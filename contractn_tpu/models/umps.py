@@ -145,6 +145,58 @@ def correlation_length(core, iters=300):
     return transfer_spectrum(core, iters=iters)["xi"]
 
 
+def correlate(core, op1, op2, distances, iters=300):
+    """Connected two-point correlators ``<O1_0 O2_x> - <O1><O2>`` in the
+    thermodynamic limit, for each separation in ``distances``.
+
+    ``l O1 T^(x-1) O2 r`` evaluated by repeatedly applying the transfer
+    map to the ``O2``-dressed right environment (one scan, all requested
+    distances read out along the way).  Decay rate matches
+    ``exp(-x / xi)`` with :func:`correlation_length`'s ``xi``.
+    """
+    distances = [int(x) for x in distances]
+    if any(x < 1 for x in distances):
+        raise ValueError("distances must be >= 1")
+    spec = transfer_spectrum(core, iters=iters)
+    left, r, lam1 = spec["l"], spec["r"], spec["lam1"]
+    prec = dot_precision(core.dtype)
+    op1 = jnp.asarray(op1, core.dtype)
+    op2 = jnp.asarray(op2, core.dtype)
+
+    def dressed(op, rho):
+        x = jnp.einsum("st,tij->sij", op, core, precision=prec)
+        x = jnp.einsum("sij,jk->sik", x, rho, precision=prec)
+        return jnp.einsum("sik,slk->il", x, jnp.conj(core), precision=prec)
+
+    norm = jnp.trace(jnp.matmul(left, r, precision=prec))
+    e1 = jnp.trace(jnp.matmul(left, dressed(op1, r), precision=prec)) / (
+        lam1 * norm
+    )
+    e2 = jnp.trace(jnp.matmul(left, dressed(op2, r), precision=prec)) / (
+        lam1 * norm
+    )
+
+    max_x = max(distances)
+    # env_k = T^k T_O2 r / lam1^k -- rescaled every application so long
+    # distances never overflow (split-format thinking, applied here)
+    env = dressed(op2, r)
+    out = {}
+    for x in range(1, max_x + 1):
+        if x in distances and x not in out:
+            num = jnp.trace(
+                jnp.matmul(left, dressed(op1, env), precision=prec)
+            )
+            raw = num / (lam1 ** 2 * norm)
+            out[x] = raw - e1 * e2
+        env = _apply_T(core, env, prec) / lam1
+    is_cpx = np.iscomplexobj(np.asarray(core))
+    return [
+        complex(np.asarray(out[x])) if is_cpx
+        else float(np.real(np.asarray(out[x])))
+        for x in distances
+    ]
+
+
 def expect_local(core, op, iters=300):
     """``<psi| O_i |psi> / <psi|psi>`` for a one-site operator ``O`` in
     the thermodynamic limit: ``tr(l T_O(r)) / (lam1 tr(l r))``."""
