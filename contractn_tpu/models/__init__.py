@@ -14,6 +14,12 @@ from .decompositions import cp_tn, tucker_tn, tensor_ring_tn, mps_tn
 from .features import one_hot, trig_features, fourier_features
 from .dmrg import dmrg, dmrg_excited, heisenberg_mpo, tfim_mpo
 from .peps import peps_tn
+from .itebd import (
+    heisenberg_h2,
+    itebd_ground_state,
+    tfim_h2 as tfim_bond_term,
+    unit_cell_core,
+)
 from .sampling import sample, sample_canonical
 from .umps import (
     correlate,
@@ -45,6 +51,10 @@ __all__ = [
     "tfim_mpo",
     "heisenberg_mpo",
     "sample",
+    "itebd_ground_state",
+    "unit_cell_core",
+    "heisenberg_h2",
+    "tfim_bond_term",
     "sample_canonical",
     "tdvp_step",
     "transfer_spectrum",
