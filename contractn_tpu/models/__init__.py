@@ -10,6 +10,12 @@ from .canonical import (
     mps_add,
     right_canonicalize,
 )
+from .ctmrg import (
+    ctmrg_environment,
+    free_energy_per_site,
+    ising_magnetization,
+    ising_tensor,
+)
 from .decompositions import cp_tn, tucker_tn, tensor_ring_tn, mps_tn
 from .features import one_hot, trig_features, fourier_features
 from .dmrg import dmrg, dmrg_excited, heisenberg_mpo, tfim_mpo
@@ -46,6 +52,10 @@ __all__ = [
     "tensor_ring_tn",
     "mps_tn",
     "peps_tn",
+    "ctmrg_environment",
+    "free_energy_per_site",
+    "ising_tensor",
+    "ising_magnetization",
     "dmrg",
     "dmrg_excited",
     "tfim_mpo",
