@@ -46,3 +46,15 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def ising_2d():
+    """CTMRG on the 2D classical Ising model (run after main())."""
+    from contractn_tpu.models.ctmrg import ising_magnetization
+
+    beta_c = 0.5 * np.log(1.0 + np.sqrt(2.0))
+    for beta in (0.38, 0.42, 0.45, 0.5):
+        m = ising_magnetization(beta, chi=24)
+        exact = ((1 - np.sinh(2 * beta) ** -4) ** 0.125
+                 if beta > beta_c else 0.0)
+        print(f"2D Ising beta={beta}: M = {m:.6f} (exact {exact:.6f})")
