@@ -388,17 +388,14 @@ class TN:
                 )
 
         # Letter per EDGE (not per symbol): direct pair bonds/self-loops
-        # share a letter across their two modes; everything else is unique
-        alphabet = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        # share a letter across their two modes; everything else is unique.
+        # opt_einsum's unicode range extends past 52, so any node order
+        # works (jnp.einsum parses through opt_einsum's symbol table).
         letters = {}
 
         def letter_of(edge_id):
             if edge_id not in letters:
-                if len(letters) >= len(alphabet):
-                    raise TNError(
-                        "merge_nodes supports at most 52 distinct edges"
-                    )
-                letters[edge_id] = alphabet[len(letters)]
+                letters[edge_id] = get_symbol(len(letters))
             return letters[edge_id]
 
         pair = {node1.name, node2.name}

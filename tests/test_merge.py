@@ -93,3 +93,19 @@ def test_merge_rejects_clone_base():
     tn.connect_nodes(a, b, 1, 0)
     with pytest.raises(TNError, match="base of clone"):
         tn.merge_nodes(a, b)
+
+
+def test_merge_beyond_52_edges():
+    """merge_nodes on a pair with > 52 combined modes (unicode symbols)."""
+    from contractn_tpu import TN
+
+    tn = TN()
+    order = 30  # 60 total modes on the pair; dim-1 modes keep it tiny
+    shape = (2,) + (1,) * (order - 1)
+    a = tn.add_dense_node(np.full(shape, 2.0))
+    b = tn.add_dense_node(np.full(shape, 3.0))
+    tn.connect_nodes(a, b, 0, 0)
+    merged = tn.merge_nodes(a, b)
+    assert merged.ndim == 2 * order - 2
+    # sum over the dim-2 bond: 2*3 + 2*3 = 12
+    assert float(np.asarray(merged.tensor).reshape(-1)[0]) == 12.0
