@@ -6,10 +6,9 @@ comparable number).  The FIRST line is the headline throughput config.
 
 Configs (BASELINE.md "Benchmark configs"):
   1. batched MPS evaluate — 1000 sites x bond 64 x batch 4096, split
-     format, fused 2-site kernel (the round-2 winner; see
-     docs/ROOFLINE.md for the measured ceiling ladder: bare dependent-
-     GEMM chains of the same shapes reach 71-82 TFLOP/s on this chip,
-     so ~60 effective is ~74-85% of the proven ceiling).
+     format, shape-tuned kernel (premix GEMM at D=64: ~98% of the bare
+     dependent-GEMM ceiling; see docs/ROOFLINE.md for the measured
+     ladder), plus a bond-128 line on the per-phys-GEMM kernel.
   2. README 1000-link 3x3 all-ones chain, split format, warm contract()
   3. order-101 copy tensor (x) 100 vectors, full contract()
   4. CP + Tucker rank-4 contractions
@@ -68,12 +67,12 @@ def note(msg):
 
 
 # --------------------------------------------------------------------- #
-# 1. Flagship: batched MPS evaluate (fused 2-site kernel)
+# 1. Flagship: batched MPS evaluate (shape-tuned kernels)
 # --------------------------------------------------------------------- #
 
 
 def bench_flagship(rtt, on_tpu):
-    from contractn_tpu.ops.scan import mps_evaluate_fused
+    from contractn_tpu.ops.scan import mps_evaluate_auto
 
     if on_tpu:
         n_sites, phys_dim, bond_dim, batch = 1000, 2, 64, 4096
@@ -98,8 +97,7 @@ def bench_flagship(rtt, on_tpu):
     def bench_fn(cores, left, right, x):
         def body(_, carry):
             total, xc = carry
-            amp, log = mps_evaluate_fused(cores, left, right, xc,
-                                          sites_per_step=2)
+            amp, log = mps_evaluate_auto(cores, left, right, xc)
             s = jnp.sum(amp.astype(jnp.float32)) + jnp.sum(
                 log.astype(jnp.float32)
             )
@@ -127,11 +125,52 @@ def bench_flagship(rtt, on_tpu):
     tflops = flops / per_iter / 1e12
     note(f"flagship per-forward {per_iter*1e3:.3f} ms")
     emit(
-        f"batched MPS evaluate (fused 2-site), {n_sites} sites x bond "
+        f"batched MPS evaluate (premix GEMM), {n_sites} sites x bond "
         f"{bond_dim} x batch {batch}, split format, effective throughput",
         round(tflops, 2), "TFLOP/s",
         round(tflops * 1e3 / REFERENCE_GFLOPS, 1),
     )
+
+    if on_tpu:  # secondary line: the large-bond kernel (per-phys GEMMs)
+        bond2 = 128
+        cores2 = (1.0 / (phys_dim * bond2) ** 0.5) * jax.random.normal(
+            jax.random.PRNGKey(9),
+            (n_sites, phys_dim, bond2, bond2), dtype,
+        )
+        l2 = jax.random.normal(jax.random.PRNGKey(10), (bond2,), dtype)
+        r2 = jax.random.normal(jax.random.PRNGKey(11), (bond2,), dtype)
+
+        @jax.jit
+        def bench2(cores, left, right, x):
+            def body(_, carry):
+                total, xc = carry
+                amp, log = mps_evaluate_auto(cores, left, right, xc)
+                s = jnp.sum(amp.astype(jnp.float32)) + jnp.sum(
+                    log.astype(jnp.float32)
+                )
+                xc = x + (s * 0.0).astype(x.dtype)
+                return total + s, xc
+
+            total, _ = jax.lax.fori_loop(
+                0, 30, body, (jnp.zeros((), jnp.float32), x)
+            )
+            return total
+
+        float(bench2(cores2, l2, r2, x))
+        times2 = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            float(bench2(cores2, l2, r2, x))
+            times2.append(time.perf_counter() - t0)
+        per2 = (min(times2) - rtt) / 30
+        fl2 = batch * n_sites * (
+            2 * phys_dim * bond2 * bond2 + 2 * phys_dim * bond2
+        )
+        emit(
+            f"batched MPS evaluate (per-phys GEMMs), {n_sites} sites x "
+            f"bond {bond2} x batch {batch}, split format",
+            round(fl2 / per2 / 1e12, 2), "TFLOP/s", None,
+        )
 
 
 # --------------------------------------------------------------------- #

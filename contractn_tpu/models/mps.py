@@ -133,23 +133,27 @@ class MPS:
     # -- contraction API ------------------------------------------------ #
 
     def evaluate(self, x, split_format=True, stabilize_every=1,
-                 kernel="scan", remat_segments=None, sites_per_step=1):
+                 kernel="auto", remat_segments=None, sites_per_step=1):
         """Amplitudes ``psi(x_b)`` for a batch of inputs ``x: (B, N, d)``.
 
         Args:
             x: ``(B, N, d)`` input weights per site.
             split_format: return ``(mantissa, log_scale)`` (default) or the
                 dense amplitudes.
-            stabilize_every: rescale cadence for the ``"scan"`` kernel.
-            kernel: ``"scan"`` (XLA scan) or ``"pallas"`` (fused TPU kernel
-                with the carry resident in VMEM; falls back to interpreter
-                mode off-TPU).
+            stabilize_every: rescale cadence.
+            kernel: ``"auto"`` (shape-tuned: premix GEMM for small
+                ``d * D``, per-physical-index square GEMMs for large —
+                the measured v5e winners, see
+                :func:`~contractn_tpu.ops.scan.mps_evaluate_auto`),
+                ``"scan"`` (the plain per-site layout, needed for
+                ``remat_segments``), or ``"pallas"`` (fused TPU kernel,
+                carry resident in VMEM; interpreter mode off-TPU).
             remat_segments: checkpointed-segment count for sqrt(N)
-                backward-pass memory on long chains (scan kernel only).
-            sites_per_step: fuse this many sites per scan step (halves the
-                dependent-GEMM depth per doubling; the TPU throughput
-                winner is 2 — see :func:`~contractn_tpu.ops.scan.
-                mps_evaluate_fused`).  Requires ``N % sites_per_step == 0``.
+                backward-pass memory on long chains (forces the
+                ``"scan"`` kernel).
+            sites_per_step: fuse this many sites per scan step
+                (:func:`~contractn_tpu.ops.scan.mps_evaluate_fused`);
+                requires ``N % sites_per_step == 0``.
         """
         if kernel == "pallas":
             from ..ops.pallas_mps import pallas_mps_evaluate
@@ -165,6 +169,13 @@ class MPS:
             amp, log = mps_evaluate_fused(
                 self.cores, self.left, self.right, x,
                 sites_per_step=sites_per_step,
+                stabilize_every=stabilize_every,
+            )
+        elif kernel == "auto" and not remat_segments:
+            from ..ops.scan import mps_evaluate_auto
+
+            amp, log = mps_evaluate_auto(
+                self.cores, self.left, self.right, x,
                 stabilize_every=stabilize_every,
             )
         else:

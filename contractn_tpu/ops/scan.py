@@ -133,6 +133,111 @@ def mps_evaluate(cores, left, right, x, stabilize_every=1,
     return amp, log
 
 
+def mps_evaluate_premix(cores, left, right, x, stabilize_every=1):
+    """Batched MPS evaluation with the input weighting INSIDE the GEMM.
+
+    Algebraic identity: ``sum_d x_d (v A_d) = (x (x) v) A_flat`` where
+    ``A_flat ((d D), D)`` stacks the ``A_d`` blocks row-wise and
+    ``x (x) v`` is the per-sample outer product ``(B, d D)``.  The
+    per-site GEMM becomes ``(B, dD) x (dD, D)`` — contraction depth
+    ``K = d D`` (2x the bond, a full or multi-pass MXU) — and the
+    weighting is a cheap elementwise producer that XLA fuses into the
+    GEMM's input, instead of an epilogue reduction pass over the
+    ``(B, d, D)`` intermediate that (measured, D=128) fails to fuse and
+    goes through HBM.
+
+    Measured on the v5e (round 2): D=128 bf16 forward 8.08 ms -> 1.78 ms
+    (33.5 -> 152 effective TFLOP/s, 78% of peak); D=64 60.7 -> ~66.
+
+    Same split-format semantics as :func:`mps_evaluate`.
+    """
+    n_sites, phys_dim, bond_dim, _ = cores.shape
+    batch = x.shape[0]
+    v0 = jnp.broadcast_to(left.astype(cores.dtype), (batch, bond_dim))
+    log0 = jnp.zeros((batch,), _real(cores.dtype))
+    prec = dot_precision(cores.dtype)
+    mats = cores.reshape(n_sites, phys_dim * bond_dim, bond_dim)
+
+    def step(carry, inputs):
+        v, log, i = carry
+        mat, xn = inputs  # (d*D, D), (B, d)
+        vx = (xn[:, :, None].astype(v.dtype) * v[:, None, :]).reshape(
+            batch, phys_dim * bond_dim
+        )
+        v = jnp.matmul(vx, mat, precision=prec)
+        do_stab = (i % stabilize_every) == 0
+        vs, logs = _stab_step(v, log, 1)
+        v = jnp.where(do_stab, vs, v)
+        log = jnp.where(do_stab, logs, log)
+        return (v, log, i + 1), None
+
+    init = (v0, log0, jnp.zeros((), jnp.int32))
+    (v, log, _), _ = jax.lax.scan(step, init, (mats, x.swapaxes(0, 1)))
+    amp = jnp.einsum("bi,i->b", v, right.astype(cores.dtype),
+                     precision=prec)
+    amp, log = _stab_step(amp, log, 1)
+    return amp, log
+
+
+def mps_evaluate_perphys(cores, left, right, x, stabilize_every=1):
+    """Batched MPS evaluation as per-physical-index square GEMMs.
+
+    ``v' = sum_d x_d (v A_d)`` computed as ``d`` separate
+    ``(B, D) x (D, D)`` GEMMs with the ``x_d`` row scaling fused into
+    each GEMM's epilogue (an unrolled static loop — ``d`` is small).
+    At large bond the ``(B, d, D)`` intermediate of the single-GEMM
+    layout stops fusing and round-trips HBM (measured: D=128 falls to
+    33 eff TFLOP/s); this form keeps everything in the MXU pipeline.
+
+    Measured on the v5e (round 2): D=128 bf16 forward 2.93 ms =
+    92 effective TFLOP/s (99% of the bare square-GEMM chain rate).
+    """
+    n_sites, phys_dim, bond_dim, _ = cores.shape
+    batch = x.shape[0]
+    v0 = jnp.broadcast_to(left.astype(cores.dtype), (batch, bond_dim))
+    log0 = jnp.zeros((batch,), _real(cores.dtype))
+    prec = dot_precision(cores.dtype)
+
+    def step(carry, inputs):
+        v, log, i = carry
+        core, xn = inputs  # (d, D, D), (B, d)
+        acc = xn[:, 0:1].astype(v.dtype) * jnp.matmul(
+            v, core[0], precision=prec
+        )
+        for k in range(1, phys_dim):
+            acc = acc + xn[:, k:k + 1].astype(v.dtype) * jnp.matmul(
+                v, core[k], precision=prec
+            )
+        do_stab = (i % stabilize_every) == 0
+        vs, logs = _stab_step(acc, log, 1)
+        v = jnp.where(do_stab, vs, acc)
+        log = jnp.where(do_stab, logs, log)
+        return (v, log, i + 1), None
+
+    init = (v0, log0, jnp.zeros((), jnp.int32))
+    (v, log, _), _ = jax.lax.scan(step, init, (cores, x.swapaxes(0, 1)))
+    amp = jnp.einsum("bi,i->b", v, right.astype(cores.dtype),
+                     precision=prec)
+    amp, log = _stab_step(amp, log, 1)
+    return amp, log
+
+
+def mps_evaluate_auto(cores, left, right, x, stabilize_every=1):
+    """Shape-tuned batched evaluation (the measured v5e winners).
+
+    ``d * D <= 128``: :func:`mps_evaluate_premix` — the flattened
+    ``(B, dD) x (dD, D)`` GEMM uses the MXU's full contraction depth
+    (D=64: 69 eff TFLOP/s, 98% of the bare-chain ceiling).  Larger
+    ``d * D``: :func:`mps_evaluate_perphys` (D=128: 92 eff TFLOP/s).
+    """
+    _, phys_dim, bond_dim, _ = cores.shape
+    if phys_dim * bond_dim <= 128:
+        return mps_evaluate_premix(cores, left, right, x,
+                                   stabilize_every=stabilize_every)
+    return mps_evaluate_perphys(cores, left, right, x,
+                                stabilize_every=stabilize_every)
+
+
 def mps_evaluate_fused(cores, left, right, x, sites_per_step=2,
                        stabilize_every=1):
     """Batched MPS evaluation with ``k`` sites fused per scan step.

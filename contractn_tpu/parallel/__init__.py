@@ -1,3 +1,4 @@
+from .fit import fit_tn, make_tn_train_step
 from .mesh import make_mesh
 from .sharded import sharded_mps_forward, segment_mps_forward
 from .tp import make_tp_train_step, segment_mps_forward_3d
@@ -10,6 +11,8 @@ from .training import (
 
 __all__ = [
     "make_mesh",
+    "fit_tn",
+    "make_tn_train_step",
     "sharded_mps_forward",
     "segment_mps_forward",
     "segment_mps_forward_3d",

@@ -254,3 +254,35 @@ def test_fused_evaluate_matches_site_scan():
         assert np.allclose(np.asarray(fused), np.asarray(base), rtol=1e-10)
     with pytest.raises(ValueError):
         mps.evaluate(x, sites_per_step=5)  # 12 % 5 != 0
+
+
+def test_premix_and_perphys_kernels_match_site_scan():
+    """All three evaluation layouts are algebraically identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from contractn_tpu.ops.scan import (
+        mps_evaluate,
+        mps_evaluate_auto,
+        mps_evaluate_perphys,
+        mps_evaluate_premix,
+    )
+
+    key = jax.random.PRNGKey(7)
+    kc, kl, kr, kx = jax.random.split(key, 4)
+    n, d, bond, batch = 13, 3, 6, 5
+    cores = jax.random.normal(kc, (n, d, bond, bond), jnp.float64) * 0.4
+    left = jax.random.normal(kl, (bond,), jnp.float64)
+    right = jax.random.normal(kr, (bond,), jnp.float64)
+    x = jax.random.normal(kx, (batch, n, d), jnp.float64)
+
+    def dense(pair):
+        return np.asarray(pair[0]) * np.exp(np.asarray(pair[1]))
+
+    base = dense(mps_evaluate(cores, left, right, x))
+    for fn in (mps_evaluate_premix, mps_evaluate_perphys,
+               mps_evaluate_auto):
+        got = dense(fn(cores, left, right, x))
+        assert np.allclose(got, base, rtol=1e-10), fn.__name__
+        got = dense(fn(cores, left, right, x, stabilize_every=5))
+        assert np.allclose(got, base, rtol=1e-10), (fn.__name__, "cadence")
