@@ -18,7 +18,7 @@ from .ctmrg import (
 )
 from .decompositions import cp_tn, tucker_tn, tensor_ring_tn, mps_tn
 from .features import one_hot, trig_features, fourier_features
-from .dmrg import dmrg, dmrg_excited, heisenberg_mpo, tfim_mpo
+from .dmrg import dmrg, dmrg_excited, heisenberg_mpo, idmrg, tfim_mpo
 from .peps import peps_tn
 from .itebd import (
     heisenberg_h2,
@@ -58,6 +58,7 @@ __all__ = [
     "ising_magnetization",
     "dmrg",
     "dmrg_excited",
+    "idmrg",
     "tfim_mpo",
     "heisenberg_mpo",
     "sample",

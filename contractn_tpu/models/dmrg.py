@@ -67,6 +67,27 @@ def _update_right(R, site, w):
 _DENSE_EIGH_LIMIT = 1024
 
 
+def _masked_tridiagonal(alphas, betas):
+    """Lanczos tridiagonal with exhausted steps pushed out of the way.
+
+    Exhausted steps carry a 1e30 diagonal marker.  Feeding that to eigh
+    directly destroys the VALID eigenvalues (absolute eigh error scales
+    with ``||T|| * eps`` = 1e30 * 1e-16 = 1e14 — observed as Lanczos
+    "ground energies" far below the true spectrum once the Krylov space
+    exhausts mid-run, e.g. in an Sz sector).  Remap the marker to a
+    value that dominates the valid spectrum by ~1e4 but keeps the
+    matrix well-conditioned.
+    """
+    valid = alphas < 1e29
+    scale = jnp.max(jnp.where(valid, jnp.abs(alphas), 0.0))
+    scale = jnp.maximum(scale, jnp.max(jnp.abs(betas)))
+    big = 1e4 * (1.0 + scale)
+    diag = jnp.where(valid, alphas, big)
+    return (jnp.diag(diag)
+            + jnp.diag(betas[:-1], 1)
+            + jnp.diag(betas[:-1], -1))
+
+
 def _heff_matvec(L, w1, w2, R, theta):
     """Apply the two-site effective Hamiltonian without materializing it.
 
@@ -115,9 +136,15 @@ def _lanczos_ground_device(L, w1, w2, R, theta0, iters):
             jnp.einsum("d,d->", jnp.conj(v), hv, precision=prec)
         )
         # Full reorthogonalization against rows 0..j (later rows are zero,
-        # so masking is implicit); one (k, dim) GEMM pair.
-        proj = jnp.einsum("kd,d->k", jnp.conj(basis), hv, precision=prec)
-        hv = hv - jnp.einsum("k,kd->d", proj, basis, precision=prec)
+        # so masking is implicit).  TWICE ("twice is enough", Parlett):
+        # a single pass leaves an eps * ||hv|| / beta rogue component
+        # when the Krylov space nearly exhausts, which compounds into a
+        # non-orthogonal basis and betas far above ||H|| (observed in
+        # Sz-conserving iDMRG growth).
+        for _ in range(2):
+            proj = jnp.einsum("kd,d->k", jnp.conj(basis), hv,
+                              precision=prec)
+            hv = hv - jnp.einsum("k,kd->d", proj, basis, precision=prec)
         beta = jnp.linalg.norm(hv)
         alive = jnp.logical_and(~exhausted, beta > 1e-12)
         nxt = jnp.where(alive, hv / jnp.maximum(beta, 1e-300),
@@ -133,9 +160,7 @@ def _lanczos_ground_device(L, w1, w2, R, theta0, iters):
     basis, alphas, betas, _ = jax.lax.fori_loop(
         0, iters, body, (basis0, alphas0, betas0, jnp.asarray(False))
     )
-    tri = (jnp.diag(alphas)
-           + jnp.diag(betas[: iters - 1], 1)
-           + jnp.diag(betas[: iters - 1], -1))
+    tri = _masked_tridiagonal(alphas, betas)
     vals, vecs = jnp.linalg.eigh(tri)
     coeff = vecs[:, 0].astype(dt)
     theta = jnp.einsum("k,kd->d", coeff, basis[:iters], precision=prec)
@@ -220,10 +245,7 @@ def _lanczos_ground_penalized(L, w1, w2, R, theta0, iters, pgs, weights):
     from .tdvp import _lanczos_basis
 
     basis, alphas, betas, _ = _lanczos_basis(matvec, theta0, iters)
-    alphas = jnp.minimum(alphas, jnp.asarray(1e30, alphas.dtype))
-    tri = (jnp.diag(alphas)
-           + jnp.diag(betas[:-1], 1)
-           + jnp.diag(betas[:-1], -1))
+    tri = _masked_tridiagonal(alphas, betas)
     vals, vecs = jnp.linalg.eigh(tri)
     coeff = vecs[:, 0].astype(theta0.dtype)
     theta = jnp.einsum("k,kd->d", coeff, basis[:-1], precision=prec)
@@ -405,6 +427,73 @@ def dmrg_excited(mpo, mps0, n_states, max_bond=None, sweeps=4,
         states.append(state)
         energies.append(energy)
     return states, energies
+
+
+def idmrg(mpo_cell, max_bond, steps=60, d=None, dtype=jnp.float64,
+          lanczos_iters=80):
+    """Infinite-system DMRG: variational bulk energy per site.
+
+    McCulloch-style growth: two fresh sites are inserted in the middle
+    every step, the two-site block is solved against the accumulated
+    left/right environments (the same ``_update_left/_update_right`` /
+    ``_local_ground_state`` machinery as finite :func:`dmrg`), and the
+    halves are absorbed.  Total energies ``E_k`` include the boundary,
+    but their DIFFERENCES converge geometrically (for gapped systems)
+    to twice the bulk energy per site — no Trotter error, unlike iTEBD.
+
+    Args:
+        mpo_cell: the repeated bulk MPO tensor ``(d, d, W, W)`` with the
+            standard triangular convention plus its boundary vectors, as
+            an :class:`~contractn_tpu.models.mpo.MPO` of ANY length >= 1
+            (only ``cores[0]``, ``left``, ``right`` are used).
+        max_bond: bond cap for the half-chain SVD splits.
+        steps: growth iterations.
+
+    Returns:
+        ``(energy_per_site, trace)``: the converged estimate and the
+        per-step estimates.
+    """
+    w = jnp.asarray(mpo_cell.cores[0], dtype)
+    d = d or w.shape[0]
+    L = mpo_cell.left[None, :, None].astype(dtype)
+    R = mpo_cell.right[None, :, None].astype(dtype)
+
+    theta0 = None
+    prev_e = None
+    trace = []
+    for k in range(int(steps)):
+        dl, dr = L.shape[0], R.shape[0]
+        if theta0 is None or theta0.shape != (d, d, dl, dr):
+            key = jax.random.PRNGKey(k)
+            theta0 = jax.random.normal(key, (d, d, dl, dr), dtype)
+        if d * d * dl * dr > _DENSE_EIGH_LIMIT:
+            # Growth starts are worse than finite-DMRG sweeps; give the
+            # Krylov solver more room than the finite default.
+            energy, theta = _lanczos_ground(L, w, w, R, theta0,
+                                            iters=lanczos_iters)
+        else:
+            energy, theta = _local_ground_state(L, w, w, R, theta0)
+        t1, t2 = _split_theta(theta, max_bond, to_left=True)
+        # Re-split right-canonically for the right half
+        _, t2r = _split_theta(theta, max_bond, to_left=False)
+        L = _update_left(L, t1, w)
+        R = _update_right(R, t2r, w)
+        if prev_e is not None:
+            trace.append(0.5 * (energy - prev_e))
+        prev_e = energy
+        # Wavefunction prediction (cheap variant): reuse the optimized
+        # block as the next initial guess when shapes repeat.  A dash of
+        # noise keeps the Lanczos Krylov space from being confined to a
+        # symmetry sector of the guess (Sz-conserving Hamiltonians would
+        # otherwise trap the growth in the initial sector).
+        new_shape = (d, d, min(dl * d, max_bond), min(dr * d, max_bond))
+        if theta.shape == new_shape:
+            noise = jax.random.normal(jax.random.PRNGKey(1000 + k),
+                                      theta.shape, dtype)
+            theta0 = theta + 1e-2 * noise / jnp.linalg.norm(noise)
+        else:
+            theta0 = None
+    return trace[-1], trace
 
 
 # ---------------------------------------------------------------------- #

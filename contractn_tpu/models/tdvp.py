@@ -69,8 +69,12 @@ def _lanczos_basis(matvec, v0, iters):
         hv = matvec(v.reshape(shape)).reshape(-1)
         alpha = jnp.real(jnp.einsum("d,d->", jnp.conj(v), hv,
                                     precision=prec))
-        proj = jnp.einsum("kd,d->k", jnp.conj(basis), hv, precision=prec)
-        hv = hv - jnp.einsum("k,kd->d", proj, basis, precision=prec)
+        # double Gram-Schmidt: single-pass reorthogonalization loses
+        # orthogonality near Krylov exhaustion (see dmrg.py)
+        for _ in range(2):
+            proj = jnp.einsum("kd,d->k", jnp.conj(basis), hv,
+                              precision=prec)
+            hv = hv - jnp.einsum("k,kd->d", proj, basis, precision=prec)
         beta = jnp.linalg.norm(hv)
         alive = jnp.logical_and(~exhausted, beta > 1e-12)
         nxt = jnp.where(alive, hv / jnp.maximum(beta, 1e-300),
@@ -97,13 +101,13 @@ def _krylov_expm_apply(matvec, v0, coef, iters):
     zero overlap with ``e1``, so masked steps contribute nothing.
     """
     basis, alphas, betas, nrm0 = _lanczos_basis(matvec, v0, iters)
-    rdt = alphas.dtype
-    # Guard the decoupled block's diagonal against overflow in exp:
-    # clamp to a huge-but-finite value; overlaps with e1 are exactly 0.
-    alphas = jnp.minimum(alphas, jnp.asarray(1e30, rdt))
-    tri = (jnp.diag(alphas)
-           + jnp.diag(betas[:-1], 1)
-           + jnp.diag(betas[:-1], -1))
+    # The exhausted-step 1e30 markers would wreck eigh's precision on
+    # the valid block (||T|| * eps error); remap them to a dominating
+    # but well-conditioned magnitude.  Their eigenvectors still have
+    # exactly zero overlap with e1.
+    from .dmrg import _masked_tridiagonal
+
+    tri = _masked_tridiagonal(alphas, betas)
     vals, vecs = jnp.linalg.eigh(tri)
     # exp(coef * tri) e1 = U exp(coef * vals) U^T e1
     cdt = jnp.result_type(v0.dtype, jnp.asarray(coef).dtype)

@@ -247,3 +247,25 @@ def test_penalized_lanczos_matches_penalized_dense(monkeypatch):
         L, w1, w2, R, theta0, penalties
     )
     assert np.isclose(e_lcz, e_dense, rtol=1e-7)
+
+
+def test_idmrg_bulk_energies_match_exact():
+    """iDMRG energy-per-site differences vs exact infinite-chain values
+    (TFIM elliptic integral; Heisenberg Bethe ansatz, Pauli convention).
+    Exercises the Lanczos path at D=24 (dim 2304 > dense limit) — a
+    regression for the double-Gram-Schmidt orthogonality fix."""
+    import numpy as np
+
+    from contractn_tpu.models import heisenberg_mpo, idmrg, tfim_mpo
+
+    def tfim_exact(h):
+        k = np.linspace(0, np.pi, 200001)
+        return -np.trapezoid(np.sqrt(1 + h * h - 2 * h * np.cos(k)),
+                             k) / np.pi
+
+    e, _ = idmrg(tfim_mpo(2, h=1.5), max_bond=16, steps=50)
+    assert abs(e - tfim_exact(1.5)) < 1e-9, e
+
+    e, _ = idmrg(heisenberg_mpo(2), max_bond=24, steps=70)
+    exact = 4.0 * (0.25 - np.log(2.0))  # Pauli-operator convention
+    assert abs(e - exact) < 5e-4, e
