@@ -10,6 +10,11 @@ from .canonical import (
     mps_add,
     right_canonicalize,
 )
+from .circuits import (
+    CircuitState,
+    thermal_expectation,
+    thermal_state,
+)
 from .ctmrg import (
     ctmrg_environment,
     free_energy_per_site,
@@ -52,6 +57,9 @@ __all__ = [
     "tensor_ring_tn",
     "mps_tn",
     "peps_tn",
+    "CircuitState",
+    "thermal_state",
+    "thermal_expectation",
     "ctmrg_environment",
     "free_energy_per_site",
     "ising_tensor",

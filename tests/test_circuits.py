@@ -1,0 +1,96 @@
+"""MPS circuit simulation and purification thermal states vs dense."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from contractn_tpu.models.circuits import (
+    CNOT,
+    CircuitState,
+    H_GATE,
+    thermal_expectation,
+    thermal_state,
+)
+from tests.test_models import dense_mps_vector
+
+
+def test_ghz_circuit():
+    n = 6
+    st = CircuitState.product(n, [1.0, 0.0], max_bond=4)
+    st.apply_gate(H_GATE, 0)
+    for i in range(n - 1):
+        st.apply_gate2(CNOT, i)
+    psi = dense_mps_vector(st.finalize()) * np.exp(st.log_norm)
+    want = np.zeros(2 ** n)
+    want[0] = want[-1] = 1.0 / np.sqrt(2.0)
+    assert np.allclose(psi, want, atol=1e-12)
+
+
+def test_random_circuit_matches_statevector():
+    """Depth-4 brickwork of Haar-ish two-qubit unitaries vs the dense
+    statevector (exact at full bond)."""
+    rng = np.random.default_rng(0)
+    n = 8
+    st = CircuitState.product(n, [1.0, 0.0], max_bond=2 ** (n // 2))
+    dense = np.zeros(2 ** n)
+    dense[0] = 1.0
+
+    def haar4():
+        m = rng.standard_normal((4, 4)) + 1j * rng.standard_normal((4, 4))
+        q, r = np.linalg.qr(m)
+        return q * (np.diag(r) / np.abs(np.diag(r)))
+
+    def apply_dense(psi, u, i):
+        t = psi.reshape(2 ** i, 4, 2 ** (n - i - 2))
+        return np.einsum("ab,ibj->iaj", u, t).reshape(-1)
+
+    for layer in range(4):
+        for i in range(layer % 2, n - 1, 2):
+            u = haar4()
+            st.apply_gate2(u, i)
+            dense = apply_dense(dense, u, i)
+
+    psi = dense_mps_vector(st.finalize()) * np.exp(st.log_norm)
+    fidelity = abs(np.vdot(dense, psi))
+    assert np.isclose(fidelity, 1.0, rtol=1e-10)
+
+
+def test_truncation_reported_via_log_norm():
+    """A truncating CNOT chain on a superposed state loses weight; the
+    lost norm shows up in log_norm < 0."""
+    n = 8
+    st = CircuitState.product(n, [1.0, 0.0], max_bond=1)  # no entanglement
+    st.apply_gate(H_GATE, 0)
+    for i in range(n - 1):
+        st.apply_gate2(CNOT, i)
+    # GHZ needs bond 2; at bond 1 half the weight is truncated
+    assert st.log_norm < -0.3
+
+
+def test_thermal_expectation_matches_dense_trace():
+    """TFIM(6) at beta = 0.6: <X_mid> from purification vs the exact
+    thermal trace."""
+    from contractn_tpu.models.itebd import tfim_h2
+
+    n, beta = 6, 0.6
+    h2 = tfim_h2(j=1.0, h=1.25)
+    state = thermal_state(h2, n, beta, max_bond=32, n_steps=24)
+    sx = np.array([[0.0, 1.0], [1.0, 0.0]])
+    got = thermal_expectation(state, sx, site=2)
+
+    # dense H from the SAME bond terms (edge fields are halved in the
+    # bond-split convention)
+    ham = np.zeros((2 ** n, 2 ** n))
+    h2d = np.asarray(h2)
+    for i in range(n - 1):
+        ham += np.kron(np.kron(np.eye(2 ** i), h2d),
+                       np.eye(2 ** (n - i - 2)))
+    vals, vecs = np.linalg.eigh(ham)
+    weights = np.exp(-beta * (vals - vals.min()))
+    op_full = np.eye(1)
+    for s in range(n):
+        op_full = np.kron(op_full, sx if s == 2 else np.eye(2))
+    exp_op = vecs.T @ op_full @ vecs
+    want = float(np.sum(weights * np.diag(exp_op)) / np.sum(weights))
+    assert np.isclose(got, want, atol=2e-3), (got, want)
