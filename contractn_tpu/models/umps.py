@@ -88,7 +88,7 @@ def transfer_spectrum(core, iters=300, key=None):
     ``inf`` when degenerate), and the fixed points ``l, r``
     (Frobenius-normalized).
     """
-    d, bond, _ = core.shape
+    bond = core.shape[1]
     key = key if key is not None else jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
     rho0 = jnp.eye(bond, dtype=core.dtype) + 0.01 * jax.random.normal(
