@@ -74,6 +74,11 @@ class CircuitState:
         factor accumulated in ``log_norm`` (exactly 0 for unitaries on
         normalized states).
         """
+        if not 0 <= site < self.n_sites - 1:
+            raise ValueError(
+                f"two-site gate needs 0 <= site < {self.n_sites - 1}, "
+                f"got {site}"
+            )
         t1, t2 = self.sites[site], self.sites[site + 1]
         d1, dl, _ = t1.shape
         d2, _, dr = t2.shape

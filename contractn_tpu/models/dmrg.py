@@ -453,6 +453,8 @@ def idmrg(mpo_cell, max_bond, steps=60, d=None, dtype=jnp.float64,
         ``(energy_per_site, trace)``: the converged estimate and the
         per-step estimates.
     """
+    if steps < 2:
+        raise ValueError("idmrg needs steps >= 2 (energy differences)")
     w = jnp.asarray(mpo_cell.cores[0], dtype)
     d = d or w.shape[0]
     L = mpo_cell.left[None, :, None].astype(dtype)
