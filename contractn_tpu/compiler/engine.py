@@ -137,7 +137,9 @@ def _result_wrapper(backend):
             raise TNError(
                 "backend='torch' requested but torch is not installed"
             )
-        return lambda r: torch.from_numpy(np.asarray(r))
+        # np.array (copy) — from_numpy on a read-only XLA view
+        # makes in-place torch ops undefined behavior
+        return lambda r: torch.from_numpy(np.array(r))
     try:
         import tensorflow as tf
     except ImportError:

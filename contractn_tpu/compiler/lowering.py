@@ -36,13 +36,15 @@ from ..ops.stabilize import (
     stabilize_batched,
 )
 
-MIN_BUCKET = 8
+from opt_einsum import get_symbol
 
-_ASCII = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+MIN_BUCKET = 8
 
 
 def _canon(step_str, swap=False):
-    """Remap a 2-term step string onto a..Z in first-appearance order,
+    """Remap a 2-term step string onto canonical symbols in
+    first-appearance order (opt_einsum's unbounded symbol range, so
+    steps with > 52 distinct indices canonicalize instead of crashing),
     optionally swapping the two input terms first."""
     lhs, out = step_str.split("->")
     terms = lhs.split(",")
@@ -55,7 +57,7 @@ def _canon(step_str, swap=False):
             res.append(ch)
             continue
         if ch not in mapping:
-            mapping[ch] = _ASCII[len(mapping)]
+            mapping[ch] = get_symbol(len(mapping))
         res.append(mapping[ch])
     return "".join(res)
 
@@ -191,7 +193,10 @@ def plan_program(steps, n_operands, shapes):
 
 def _batched_str(canon):
     """Prepend a fresh batch index to every term and the output."""
-    free = next(c for c in _ASCII if c not in canon)
+    i = 0
+    while get_symbol(i) in canon:
+        i += 1
+    free = get_symbol(i)
     lhs, out = canon.split("->")
     return ",".join(free + t for t in lhs.split(",")) + "->" + free + out
 

@@ -108,12 +108,25 @@ def _absorb_rows_scanned(cores, left, right, w_rows, chi):
     return cores, left, right, log, err
 
 
+def _rows_uniform(tensor_grid):
+    """Whether all interior rows share one (padded) embedding shape."""
+    rows = len(tensor_grid)
+    cols = len(tensor_grid[0])
+    shapes = set()
+    for r in range(1, rows - 1):
+        mats = [np.transpose(tensor_grid[r][c], (2, 0, 1, 3))
+                for c in range(cols)]
+        cores, _ = _embed(mats, mats[0].shape[:2])
+        shapes.add(tuple(cores.shape))
+    return len(shapes) <= 1
+
+
 def _boundary_sweep_scanned(tensor_grid, chi):
     """Device-side boundary sweep: host work is only the row embedding.
 
     Requires all interior rows to share one (padded) shape — true for
-    uniform-bond PEPS grids; the caller falls back to the host sweep
-    otherwise.  Returns split-format ``(mantissa, log)``.
+    uniform-bond PEPS grids; the caller checks and falls back to the
+    host sweep otherwise.  Returns split-format ``(mantissa, log)``.
     """
     rows = len(tensor_grid)
     cols = len(tensor_grid[0])
@@ -132,9 +145,6 @@ def _boundary_sweep_scanned(tensor_grid, chi):
         cores, _ = _embed(mats, mats[0].shape[:2])
         row_stacks.append(cores)
     if row_stacks:
-        shapes = {tuple(s.shape) for s in row_stacks}
-        if len(shapes) != 1:
-            raise ValueError("interior rows are not uniform")  # caller guards
         w_rows = jnp.stack(row_stacks)
         cores, left, right, log, _ = _absorb_rows_scanned(
             boundary.cores, boundary.left, boundary.right, w_rows, int(chi)
@@ -152,11 +162,9 @@ def _boundary_sweep_scanned(tensor_grid, chi):
 def _sweep_dispatch(tensor_grid, chi):
     """Scanned device-side sweep when a fixed ``chi`` is given and the
     grid is uniform; exact host sweep otherwise."""
-    if chi is not None and len(tensor_grid) >= 2:
-        try:
-            return _boundary_sweep_scanned(tensor_grid, chi)
-        except ValueError:
-            pass  # non-uniform interior rows: host path handles them
+    if (chi is not None and len(tensor_grid) >= 2
+            and _rows_uniform(tensor_grid)):
+        return _boundary_sweep_scanned(tensor_grid, chi)
     return _boundary_sweep(tensor_grid, chi)
 
 

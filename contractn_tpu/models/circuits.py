@@ -59,6 +59,11 @@ class CircuitState:
 
     def apply_gate(self, u, site):
         """One-site gate ``u (d, d)`` on ``site`` (no bond growth)."""
+        if not 0 <= site < self.n_sites:
+            raise ValueError(
+                f"one-site gate needs 0 <= site < {self.n_sites}, "
+                f"got {site}"
+            )
         u = jnp.asarray(u)
         dt = jnp.result_type(u.dtype, self.sites[site].dtype)
         self.sites[site] = peinsum(

@@ -87,6 +87,11 @@ def ctmrg_environment(a, chi, iters=200, boundary=None):
     """
     a = jnp.asarray(a)
     q = a.shape[0]
+    if chi < q:
+        raise ValueError(
+            f"chi ({chi}) must be >= the site tensor's bond dimension "
+            f"({q}) — the seed environment already has that width"
+        )
     prec = dot_precision(a.dtype)
     if boundary is None:
         c = jnp.einsum("uldr->dr", a, precision=prec)

@@ -18,6 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.krylov import (
+    lanczos_basis as _lanczos_basis_impl,
+    lanczos_ground as _lanczos_ground_impl,
+    masked_tridiagonal as _masked_tridiagonal,
+)
 from ..ops.stabilize import dot_precision, peinsum
 from .mps import MPS
 from .mpo import MPO
@@ -67,27 +72,6 @@ def _update_right(R, site, w):
 _DENSE_EIGH_LIMIT = 1024
 
 
-def _masked_tridiagonal(alphas, betas):
-    """Lanczos tridiagonal with exhausted steps pushed out of the way.
-
-    Exhausted steps carry a 1e30 diagonal marker.  Feeding that to eigh
-    directly destroys the VALID eigenvalues (absolute eigh error scales
-    with ``||T|| * eps`` = 1e30 * 1e-16 = 1e14 — observed as Lanczos
-    "ground energies" far below the true spectrum once the Krylov space
-    exhausts mid-run, e.g. in an Sz sector).  Remap the marker to a
-    value that dominates the valid spectrum by ~1e4 but keeps the
-    matrix well-conditioned.
-    """
-    valid = alphas < 1e29
-    scale = jnp.max(jnp.where(valid, jnp.abs(alphas), 0.0))
-    scale = jnp.maximum(scale, jnp.max(jnp.abs(betas)))
-    big = 1e4 * (1.0 + scale)
-    diag = jnp.where(valid, alphas, big)
-    return (jnp.diag(diag)
-            + jnp.diag(betas[:-1], 1)
-            + jnp.diag(betas[:-1], -1))
-
-
 def _heff_matvec(L, w1, w2, R, theta):
     """Apply the two-site effective Hamiltonian without materializing it.
 
@@ -105,67 +89,14 @@ from functools import partial
 
 @partial(jax.jit, static_argnums=(5,))
 def _lanczos_ground_device(L, w1, w2, R, theta0, iters):
-    """Device-side Lanczos: ONE jitted program, zero host syncs.
+    """Device-side Lanczos ground state of H_eff: ONE jitted program.
 
-    A ``lax.fori_loop`` builds ``iters`` Krylov vectors with full
-    reorthogonalization (a single (k, dim) GEMM per step — MXU-shaped).
-    Early Krylov exhaustion (``beta ~ 0`` — common in DMRG, where each
-    site solve starts near-optimal) is handled branchlessly: exhausted
-    steps contribute a zero vector and their diagonal entry is pushed to
-    ``+1e30`` so the tridiagonal eigensolve never selects them.  The
-    round-1 implementation synced ``float(beta)`` to the host every
-    iteration (~28 ms RTT each on the axon tunnel).
+    All the subtle numerics (double Gram-Schmidt, exhaustion masking,
+    conditioned tridiagonal) live in :mod:`contractn_tpu.ops.krylov`.
     """
-    shape = theta0.shape
-    dim = theta0.size
-    dt = theta0.dtype
-    rdt = jnp.zeros((), dt).real.dtype
-    prec = dot_precision(dt)
-
-    v0 = theta0.reshape(-1)
-    v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-300)
-    basis0 = jnp.zeros((iters + 1, dim), dt).at[0].set(v0)
-    alphas0 = jnp.full((iters,), jnp.inf, rdt)
-    betas0 = jnp.zeros((iters,), rdt)
-
-    def body(j, carry):
-        basis, alphas, betas, exhausted = carry
-        v = basis[j]
-        hv = _heff_matvec(L, w1, w2, R, v.reshape(shape)).reshape(-1)
-        alpha = jnp.real(
-            jnp.einsum("d,d->", jnp.conj(v), hv, precision=prec)
-        )
-        # Full reorthogonalization against rows 0..j (later rows are zero,
-        # so masking is implicit).  TWICE ("twice is enough", Parlett):
-        # a single pass leaves an eps * ||hv|| / beta rogue component
-        # when the Krylov space nearly exhausts, which compounds into a
-        # non-orthogonal basis and betas far above ||H|| (observed in
-        # Sz-conserving iDMRG growth).
-        for _ in range(2):
-            proj = jnp.einsum("kd,d->k", jnp.conj(basis), hv,
-                              precision=prec)
-            hv = hv - jnp.einsum("k,kd->d", proj, basis, precision=prec)
-        beta = jnp.linalg.norm(hv)
-        alive = jnp.logical_and(~exhausted, beta > 1e-12)
-        nxt = jnp.where(alive, hv / jnp.maximum(beta, 1e-300),
-                        jnp.zeros_like(hv))
-        basis = basis.at[j + 1].set(nxt)
-        # Exhausted steps: alpha -> +1e30 pushes them out of the minimum
-        alphas = alphas.at[j].set(
-            jnp.where(exhausted, jnp.asarray(1e30, rdt), alpha)
-        )
-        betas = betas.at[j].set(jnp.where(alive, beta, 0.0))
-        return basis, alphas, betas, ~alive
-
-    basis, alphas, betas, _ = jax.lax.fori_loop(
-        0, iters, body, (basis0, alphas0, betas0, jnp.asarray(False))
+    return _lanczos_ground_impl(
+        lambda t: _heff_matvec(L, w1, w2, R, t), theta0, iters
     )
-    tri = _masked_tridiagonal(alphas, betas)
-    vals, vecs = jnp.linalg.eigh(tri)
-    coeff = vecs[:, 0].astype(dt)
-    theta = jnp.einsum("k,kd->d", coeff, basis[:iters], precision=prec)
-    theta = theta / jnp.maximum(jnp.linalg.norm(theta), 1e-300)
-    return vals[0], theta.reshape(shape)
 
 
 def _lanczos_ground(L, w1, w2, R, theta0, iters=24):
@@ -242,9 +173,7 @@ def _lanczos_ground_penalized(L, w1, w2, R, theta0, iters, pgs, weights):
         ).reshape(shape)
         return out
 
-    from .tdvp import _lanczos_basis
-
-    basis, alphas, betas, _ = _lanczos_basis(matvec, theta0, iters)
+    basis, alphas, betas, _ = _lanczos_basis_impl(matvec, theta0, iters)
     tri = _masked_tridiagonal(alphas, betas)
     vals, vecs = jnp.linalg.eigh(tri)
     coeff = vecs[:, 0].astype(theta0.dtype)

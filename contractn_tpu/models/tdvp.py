@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.krylov import lanczos_basis as _lanczos_basis
+from ..ops.krylov import masked_tridiagonal as _masked_tridiagonal
 from ..ops.stabilize import dot_precision, peinsum
 from .dmrg import (
     _heff_matvec,
@@ -44,54 +46,6 @@ def _h1_matvec(L, w, R, m):
     return peinsum("kvq,iXvq->Xik", R, t)
 
 
-def _lanczos_basis(matvec, v0, iters):
-    """Shared device-side Lanczos: returns ``(basis, alphas, betas)``.
-
-    Exhaustion is masked branchlessly (zero vectors, alpha -> 1e30) the
-    same way as the DMRG ground-state solver.
-    """
-    dim = v0.size
-    dt = v0.dtype
-    rdt = jnp.zeros((), dt).real.dtype
-    prec = dot_precision(dt)
-    shape = v0.shape
-
-    nrm0 = jnp.maximum(jnp.linalg.norm(v0.reshape(-1)), 1e-300)
-    basis0 = jnp.zeros((iters + 1, dim), dt).at[0].set(
-        v0.reshape(-1) / nrm0
-    )
-    alphas0 = jnp.full((iters,), jnp.inf, rdt)
-    betas0 = jnp.zeros((iters,), rdt)
-
-    def body(j, carry):
-        basis, alphas, betas, exhausted = carry
-        v = basis[j]
-        hv = matvec(v.reshape(shape)).reshape(-1)
-        alpha = jnp.real(jnp.einsum("d,d->", jnp.conj(v), hv,
-                                    precision=prec))
-        # double Gram-Schmidt: single-pass reorthogonalization loses
-        # orthogonality near Krylov exhaustion (see dmrg.py)
-        for _ in range(2):
-            proj = jnp.einsum("kd,d->k", jnp.conj(basis), hv,
-                              precision=prec)
-            hv = hv - jnp.einsum("k,kd->d", proj, basis, precision=prec)
-        beta = jnp.linalg.norm(hv)
-        alive = jnp.logical_and(~exhausted, beta > 1e-12)
-        nxt = jnp.where(alive, hv / jnp.maximum(beta, 1e-300),
-                        jnp.zeros_like(hv))
-        basis = basis.at[j + 1].set(nxt)
-        alphas = alphas.at[j].set(
-            jnp.where(exhausted, jnp.asarray(1e30, rdt), alpha)
-        )
-        betas = betas.at[j].set(jnp.where(alive, beta, 0.0))
-        return basis, alphas, betas, ~alive
-
-    basis, alphas, betas, _ = jax.lax.fori_loop(
-        0, iters, body, (basis0, alphas0, betas0, jnp.asarray(False))
-    )
-    return basis, alphas, betas, nrm0
-
-
 def _krylov_expm_apply(matvec, v0, coef, iters):
     """``exp(coef * H) v0`` through an ``iters``-dim Krylov space.
 
@@ -101,12 +55,6 @@ def _krylov_expm_apply(matvec, v0, coef, iters):
     zero overlap with ``e1``, so masked steps contribute nothing.
     """
     basis, alphas, betas, nrm0 = _lanczos_basis(matvec, v0, iters)
-    # The exhausted-step 1e30 markers would wreck eigh's precision on
-    # the valid block (||T|| * eps error); remap them to a dominating
-    # but well-conditioned magnitude.  Their eigenvectors still have
-    # exactly zero overlap with e1.
-    from .dmrg import _masked_tridiagonal
-
     tri = _masked_tridiagonal(alphas, betas)
     vals, vecs = jnp.linalg.eigh(tri)
     # exp(coef * tri) e1 = U exp(coef * vals) U^T e1

@@ -59,6 +59,9 @@ class TN:
         # arg-packer spec (every structural primitive bumps it)
         self._mutation = 0
         self._spec_cache = None
+        # base-node name -> number of clones referencing it (keeps the
+        # merge_nodes guard O(1) per the graph-layer design invariant)
+        self._clone_bases = Counter()
 
     # ------------------------------------------------------------------ #
     # Node construction
@@ -83,6 +86,7 @@ class TN:
         if not isinstance(base_node, Node):
             base_node = self[base_node]
         edge_symbols = self._new_edge_symbols("clone", base_node.ndim, edge_symbols)
+        self._clone_bases[base_node.name] += 1
         return self._init_node("clone", name, edge_symbols, base_node=base_node)
 
     def add_copy_node(self, degree, dim=None, name=None, edge_symbols=None):
@@ -378,13 +382,11 @@ class TN:
                     f"is '{n.node_type}'"
                 )
         # A clone whose base disappears would leave the TN un-contractible
-        for other in self.nodes(as_iter=True, copy_nodes=True, danglers=False):
-            if other.node_type == "clone" and other.base_node in (node1,
-                                                                  node2):
+        for n in (node1, node2):
+            if self._clone_bases.get(n.name, 0):
                 raise TNError(
-                    f"Cannot merge '{other.base_node.name}': it is the base "
-                    f"of clone node '{other.name}'. Remove or re-base the "
-                    "clone first."
+                    f"Cannot merge '{n.name}': it is the base of clone "
+                    "nodes. Remove or re-base the clones first."
                 )
 
         # Letter per EDGE (not per symbol): direct pair bonds/self-loops

@@ -58,6 +58,12 @@ def make_optax_train_step(optimizer, mesh=None, dp_axis="dp",
         and ``opt_state0_fn(mps)`` initializes the optimizer state.
     """
     if mesh is not None:
+        if loss is not None:
+            raise ValueError(
+                "custom loss is not supported with mesh= (the sharded "
+                "forward hardcodes the log-MSE loss); build your own "
+                "shard-mapped loss with jax.shard_map instead"
+            )
         base = _sharded_loss_fn(mesh, dp_axis, sp_axis)
     else:
         base = loss if loss is not None else loss_fn

@@ -534,3 +534,22 @@ def test_bucketed_lowering_gradients_flow():
         2 * eps
     )
     assert np.isclose(float(g[1, 2]), float(num), rtol=1e-4)
+
+
+def test_step_with_more_than_52_indices():
+    """A pairwise step with > 52 distinct indices must canonicalize
+    through opt_einsum's unicode range (regression: the bucketing pass
+    crashed on its 52-letter table)."""
+    import opt_einsum as oe
+
+    big = np.ones((2,) + (1,) * 53) * 0.5
+    mat = np.ones((2, 3))
+    terms = "".join(oe.get_symbol(i) for i in range(54))
+    einstr = (terms + "," + oe.get_symbol(0) + oe.get_symbol(60)
+              + "->" + oe.get_symbol(60))
+    # closed form (the numpy oracle itself is capped: np.einsum only
+    # accepts ascii subscripts, and raises a clean TNError)
+    got = contract(einstr, big, mat)
+    assert np.allclose(np.asarray(got), np.ones(3), rtol=1e-12)
+    with pytest.raises(TNError, match="52"):
+        contract(einstr, big, mat, backend="numpy")
