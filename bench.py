@@ -9,12 +9,13 @@ Configs (BASELINE.md "Benchmark configs"):
      format, shape-tuned kernel (premix GEMM at D=64: ~98% of the bare
      dependent-GEMM ceiling; see docs/ROOFLINE.md for the measured
      ladder), plus a bond-128 line on the per-phys-GEMM kernel.
-  2. README 1000-link 3x3 all-ones chain, split format, warm contract()
-  3. order-101 copy tensor (x) 100 vectors, full contract()
-  4. CP + Tucker rank-4 contractions
-  5. bond-64 MPO expectation vmapped over 1k MPS parameter sets
-  6. 4x4 PEPS (bond 2, closed) exact contraction
-  7. 300-node chain cold graph->HLO (build+compile+first run)
+  2. MPS training step (loss + grad + SGD), 512 sites x bond 64
+  3. README 1000-link 3x3 all-ones chain, split format, warm contract()
+  4. order-101 copy tensor (x) 100 vectors, full contract()
+  5. CP + Tucker rank-4 contractions
+  6. bond-64 MPO expectation vmapped over 1k MPS parameter sets
+  7. 4x4 PEPS (bond 2, closed) exact contraction
+  8. 300-node chain cold graph->HLO (build+compile+first run)
 
 Timing protocol: this TPU is reached through a relay with ~28 ms
 round-trip latency and fully asynchronous dispatch (block_until_ready
@@ -190,6 +191,51 @@ def timed_api(fn, readback, rtt, k=20):
         readback(last)
         times.append(time.perf_counter() - t0)
     return (min(times) - rtt) / k * 1e3  # ms per call
+
+
+def bench_train(rtt, on_tpu):
+    """Full training step (value+grad+SGD) on the flagship model."""
+    from contractn_tpu.models import MPS
+    from contractn_tpu.parallel import make_train_step
+
+    if on_tpu:
+        n_sites, bond, batch = 512, 64, 1024
+        dtype = jnp.bfloat16
+        k_inner = 20
+    else:
+        n_sites, bond, batch = 32, 8, 16
+        dtype = jnp.float32
+        k_inner = 2
+    mps = MPS.random(jax.random.PRNGKey(0), n_sites, 2, bond, dtype=dtype)
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, n_sites, 2),
+                          dtype)
+    y = jnp.zeros((batch,), dtype)
+    step = make_train_step(lr=1e-3)
+
+    @jax.jit
+    def loop(mps, x, y):
+        def body(_, carry):
+            m, tot = carry
+            m, loss = step(m, x, y)
+            return m, tot + loss.astype(jnp.float32)
+
+        m, tot = jax.lax.fori_loop(
+            0, k_inner, body, (mps, jnp.zeros((), jnp.float32))
+        )
+        return tot
+
+    float(loop(mps, x, y))
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        float(loop(mps, x, y))
+        times.append(time.perf_counter() - t0)
+    per = (min(times) - rtt) / k_inner
+    emit(
+        f"MPS training step (loss+grad+SGD), {n_sites} sites x bond "
+        f"{bond} x batch {batch}",
+        round(per * 1e3, 3), "ms/step", None,
+    )
 
 
 def bench_chain(rtt):
@@ -374,6 +420,7 @@ def main():
     note(f"devices={jax.devices()} readback RTT {rtt*1e3:.1f} ms")
 
     bench_flagship(rtt, on_tpu)
+    bench_train(rtt, on_tpu)
     bench_chain(rtt)
     bench_copy101(rtt)
     bench_cp_tucker(rtt)
