@@ -12,6 +12,7 @@ from .canonical import (
 )
 from .circuits import (
     CircuitState,
+    tebd_evolve,
     thermal_expectation,
     thermal_state,
 )
@@ -58,6 +59,7 @@ __all__ = [
     "mps_tn",
     "peps_tn",
     "CircuitState",
+    "tebd_evolve",
     "thermal_state",
     "thermal_expectation",
     "ctmrg_environment",

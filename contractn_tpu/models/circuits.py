@@ -136,6 +136,38 @@ CNOT = np.eye(4)[[0, 1, 3, 2]]
 CZ = np.diag([1.0, 1.0, 1.0, -1.0])
 
 
+def tebd_evolve(mps, h2, t, n_steps, max_bond, imaginary=False):
+    """Finite-chain TEBD: evolve ``|psi>`` by ``exp(-i t H)`` (or
+    ``exp(-t H)``) with second-order Trotter gate layers.
+
+    ``H = sum_i h2_{i,i+1}`` from the dense bond term ``h2 (d^2, d^2)``.
+    An independent algorithm from :func:`~contractn_tpu.models.tdvp.
+    tdvp_step` for the same task — the two cross-validate (TDVP projects
+    exactly onto the manifold, TEBD Trotterizes exactly in the full
+    space; both converge to ``exp(-i t H)`` as ``dt -> 0``).
+
+    Returns ``(mps_out, log_norm)``: the evolved state in uniform
+    stacked form, with truncated/decayed weight in ``log_norm``.
+    """
+    from .itebd import two_site_gate
+
+    dt = t / n_steps
+    coef = dt if imaginary else 1j * dt
+    g_half = two_site_gate(h2, coef / 2.0)
+    g_full = two_site_gate(h2, coef)
+    state = CircuitState(mps, max_bond=max_bond)
+    if not imaginary:
+        state.sites = [
+            s.astype(jnp.result_type(s.dtype, jnp.complex64))
+            for s in state.sites
+        ]
+    for _ in range(int(n_steps)):
+        state.apply_layer(g_half, start=0)
+        state.apply_layer(g_full, start=1)
+        state.apply_layer(g_half, start=0)
+    return state.finalize(), state.log_norm
+
+
 # ---------------------------------------------------------------------- #
 # Finite temperature via purification
 # ---------------------------------------------------------------------- #
