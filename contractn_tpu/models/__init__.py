@@ -1,5 +1,5 @@
 from .mps import MPS
-from .mpo import MPO
+from .mpo import MPO, mpo_from_bond_term
 from .boundary import apply_mpo_to_mps
 from .canonical import (
     compress,
@@ -45,6 +45,7 @@ from .tdvp import tdvp_evolve, tdvp_step
 __all__ = [
     "MPS",
     "MPO",
+    "mpo_from_bond_term",
     "compress",
     "compress_fixed",
     "left_canonicalize",
