@@ -205,7 +205,7 @@ def test_excited_states_match_dense_spectrum():
     want = np.linalg.eigvalsh(dense)[:3]
 
     mps0 = MPS.random(jax.random.PRNGKey(0), n, 2, bond, dtype=jnp.float64)
-    states, energies = dmrg_excited(mpo, mps0, 3, max_bond=bond, sweeps=5)
+    states, energies = dmrg_excited(mpo, mps0, 3, max_bond=bond, sweeps=3)
     assert np.allclose(energies, want, rtol=1e-6), (energies, want)
     for i in range(3):
         for j in range(i + 1, 3):
@@ -263,9 +263,9 @@ def test_idmrg_bulk_energies_match_exact():
         return -np.trapezoid(np.sqrt(1 + h * h - 2 * h * np.cos(k)),
                              k) / np.pi
 
-    e, _ = idmrg(tfim_mpo(2, h=1.5), max_bond=16, steps=50)
+    e, _ = idmrg(tfim_mpo(2, h=1.5), max_bond=20, steps=40)
     assert abs(e - tfim_exact(1.5)) < 1e-9, e
 
-    e, _ = idmrg(heisenberg_mpo(2), max_bond=24, steps=70)
+    e, _ = idmrg(heisenberg_mpo(2), max_bond=24, steps=50)
     exact = 4.0 * (0.25 - np.log(2.0))  # Pauli-operator convention
     assert abs(e - exact) < 5e-4, e
