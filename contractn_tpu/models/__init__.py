@@ -33,6 +33,7 @@ from .itebd import (
     unit_cell_core,
 )
 from .sampling import sample, sample_canonical
+from .vumps import mixed_gauge, vumps
 from .umps import (
     correlate,
     correlation_length,
@@ -80,6 +81,8 @@ __all__ = [
     "sample_canonical",
     "tdvp_step",
     "transfer_spectrum",
+    "vumps",
+    "mixed_gauge",
     "correlation_length",
     "correlate",
     "log_norm_per_site",
