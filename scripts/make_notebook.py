@@ -62,6 +62,20 @@ mantissa, log_scale = chain.contract(split_format=True)
 print("split :", np.asarray(mantissa), float(log_scale))
 print("1000 ln 3 =", 1000 * np.log(3.0))"""),
     ("code", """\
+# Thermodynamic limit: three infinite-chain algorithms cross-validating
+import numpy as np
+from contractn_tpu.models import idmrg, tfim_mpo, vumps
+from contractn_tpu.models.itebd import itebd_ground_state, tfim_h2
+
+exact = -4 / np.pi  # critical TFIM bulk energy (Pfeuty)
+_, e_itebd = itebd_ground_state(tfim_h2(), bond_dim=12)
+e_idmrg, _ = idmrg(tfim_mpo(2), max_bond=16, steps=40)
+e_vumps = vumps(tfim_mpo(2), bond_dim=12, iters=20)["energy"]
+print(f"exact  {exact:.10f}")
+print(f"iTEBD  {e_itebd:.10f}   (Trotterized gates)")
+print(f"iDMRG  {e_idmrg:.10f}   (infinite-system growth)")
+print(f"VUMPS  {e_vumps:.10f}   (variational, no Trotter error)")"""),
+    ("code", """\
 # TPU-native extras: first-class MPS with batched evaluation, DMRG, TDVP
 import jax, jax.numpy as jnp
 from contractn_tpu.models import MPS, dmrg, tfim_mpo, tdvp_evolve
