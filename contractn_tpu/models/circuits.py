@@ -78,6 +78,14 @@ class CircuitState:
         ``max_bond``/``cutoff``; the split is renormalized with the
         factor accumulated in ``log_norm`` (exactly 0 for unitaries on
         normalized states).
+
+        Simple-update truncation: the SVD is taken in the local gauge,
+        not at a canonical orthogonality center, so with a BINDING
+        ``max_bond`` the discarded weight understates the global error
+        (exact when nothing is truncated).  For strongly-truncating
+        deep circuits, periodically re-canonicalize through
+        :func:`~contractn_tpu.models.canonical.compress` on
+        ``finalize()``'s output.
         """
         if not 0 <= site < self.n_sites - 1:
             raise ValueError(
@@ -122,7 +130,7 @@ class CircuitState:
         ``log_norm``)."""
         from .dmrg import _rebuild_uniform
 
-        dtype = np.asarray(self.sites[0]).dtype
+        dtype = np.result_type(*(np.asarray(t).dtype for t in self.sites))
         return _rebuild_uniform(self.sites, dtype)
 
 
@@ -203,7 +211,8 @@ def thermal_state(h2, n_sites, beta, max_bond, d=2, n_steps=None,
     def doubled(g):
         g4 = np.asarray(g).reshape(d, d, d, d)  # (s1, s2, s1', s2')
         out = np.einsum("stuv,ab,cf->satcubvf", g4, np.eye(d), np.eye(d))
-        return jnp.asarray(out.reshape(d ** 4, d ** 4), dtype)
+        gd = np.result_type(dtype, out.dtype)  # keep complex terms complex
+        return jnp.asarray(out.reshape(d ** 4, d ** 4), gd)
 
     g_half = doubled(two_site_gate(h2, d_beta / 2.0))
     g_full = doubled(two_site_gate(h2, d_beta))

@@ -112,7 +112,6 @@ def itebd_ground_state(h2, bond_dim, d=2,
     # direct sum of ground-state copies — a known iTEBD artifact that
     # degenerates the transfer spectrum and breaks fixed-point
     # expectation values.
-    del key
     va = np.cos(0.3 + 0.4 * np.arange(d))
     va = va / np.linalg.norm(va)
     vb = va[::-1].copy()  # Neel-like sublattice asymmetry: without it,
@@ -126,6 +125,12 @@ def itebd_ground_state(h2, bond_dim, d=2,
     )
     la = jnp.zeros((bond_dim,), dtype).at[0].set(1.0)
     lb = la
+    if key is not None:
+        # honor the caller's key: perturb the product start so distinct
+        # keys explore distinct basins (metastability diagnostics)
+        k1, k2 = jax.random.split(key)
+        ga = ga + 1e-3 * jax.random.normal(k1, ga.shape, dtype)
+        gb = gb + 1e-3 * jax.random.normal(k2, gb.shape, dtype)
 
     h2 = jnp.asarray(h2, dtype)
     for dt, n_iter in schedule:

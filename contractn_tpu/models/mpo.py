@@ -71,9 +71,10 @@ class MPO:
         2. op:    ``W[d,d',w,w'] . *``  over ``(d', w)``
         3. bra:   ``conj(A[d]) . *``    over ``(d, i)``
         """
+        env_dt = jnp.result_type(mps.cores.dtype, self.cores.dtype)
         env = peinsum(
             "i,w,k->iwk", jnp.conj(mps.left), self.left, mps.left
-        ).astype(mps.cores.dtype)
+        ).astype(env_dt)
         log = jnp.zeros((), env.real.dtype)
 
         from ..ops.stabilize import dot_precision

@@ -28,12 +28,14 @@ environments of any kind; this is the deepest additive algorithm in the
 framework.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops.krylov import lanczos_ground
-from ..ops.stabilize import dot_precision, peinsum
+from ..ops.stabilize import peinsum
 
 
 # --------------------------------------------------------------------- #
@@ -54,7 +56,6 @@ def left_gauge(a, iters=60):
     returns left-isometric ``AL (d, D, D)`` and the gauge ``L``."""
     d, bond, _ = a.shape
     el = jnp.eye(bond, dtype=a.dtype)
-    prec = dot_precision(a.dtype)
 
     def body(_, carry):
         lmat, _ = carry
@@ -69,7 +70,6 @@ def left_gauge(a, iters=60):
     lmat, al = jax.lax.fori_loop(
         0, iters, body, (el, jnp.zeros_like(a))
     )
-    del prec
     return al, lmat
 
 
@@ -97,7 +97,7 @@ def mixed_gauge(a, iters=60):
 # --------------------------------------------------------------------- #
 
 
-def _transfer_apply(al, x, prec, left=True):
+def _transfer_apply(al, x, left=True):
     """``T(x)`` for the AL (or AR) transfer operator on a ``(D, D)``."""
     if left:  # x' = sum_s AL_s^H x AL_s
         t = peinsum("ij,djk->dik", x, al)
@@ -111,7 +111,8 @@ def _tr_pair(a, b):
     return peinsum("ij,ji->", a, b)
 
 
-def _geometric_solve(core, b, density, prec, left=True, tol=1e-10):
+@partial(jax.jit, static_argnames=("left", "tol"))
+def _geometric_solve(core, b, density, left=True, tol=1e-10):
     """Quasi-fixed-point solve for a corner (identity) MPO channel.
 
     Solves ``x - T(x) + tr(density x) I = b - tr(density b) I`` by GMRES
@@ -125,13 +126,40 @@ def _geometric_solve(core, b, density, prec, left=True, tol=1e-10):
 
     def matvec(xv):
         x = xv.reshape(bond, bond)
-        tx = _transfer_apply(core, x, prec, left=left)
+        tx = _transfer_apply(core, x, left=left)
         corr = _tr_pair(density, x) * eye
         return (x - tx + corr).reshape(-1)
 
     rhs = b - _tr_pair(density, b) * eye
     sol, _ = jax.scipy.sparse.linalg.gmres(
         matvec, rhs.reshape(-1), x0=jnp.zeros(bond * bond, b.dtype),
+        tol=tol, atol=0.0, maxiter=200, solve_method="batched",
+    )
+    return sol.reshape(bond, bond)
+
+
+@partial(jax.jit, static_argnames=("left", "tol"))
+def _interior_solve(core, b, op, left=True, tol=1e-10):
+    """Solve ``x = b + T_op(x)`` for an interior diagonal channel whose
+    dressed transfer map is a strict contraction (e.g. ``lambda * I``
+    with ``|lambda| < 1`` — exponentially decaying interactions)."""
+    bond = core.shape[1]
+
+    def dressed(x):
+        if left:
+            t = peinsum("ij,djk->dik", x, core)
+            t = peinsum("sd,dik->sik", op, t)
+            return peinsum("sji,sjk->ik", jnp.conj(core), t)
+        t = peinsum("dij,jk->dik", core, x)
+        t = peinsum("sd,dik->sik", op, t)
+        return peinsum("sik,slk->il", t, jnp.conj(core))
+
+    def matvec(xv):
+        x = xv.reshape(bond, bond)
+        return (x - dressed(x)).reshape(-1)
+
+    sol, _ = jax.scipy.sparse.linalg.gmres(
+        matvec, b.reshape(-1), x0=jnp.zeros(bond * bond, b.dtype),
         tol=tol, atol=0.0, maxiter=200, solve_method="batched",
     )
     return sol.reshape(bond, bond)
@@ -146,9 +174,13 @@ def mpo_environments(al, ar, c, w, tol=1e-10):
     channels' divergence rate.
     """
     d, _, nw, _ = w.shape
+    if nw < 2:
+        raise ValueError(
+            "mpo_environments needs a triangular MPO with W >= 2 "
+            f"(identity corners); got W = {nw}"
+        )
     bond = al.shape[1]
     dt = al.dtype
-    prec = dot_precision(dt)
 
     # fixed points of the AL transfer: left = I (isometry), right = rho
     rho_r = peinsum("ij,kj->ik", c, jnp.conj(c))  # C C^H
@@ -177,13 +209,20 @@ def mpo_environments(al, ar, c, w, tol=1e-10):
             if fl[b_idx] is not None and not is_zero[b_idx, a_idx]:
                 b = b + t_channel(fl[b_idx], al, b_idx, a_idx, left=True)
         if a_idx < nw - 1:
-            # strictly triangular interior channel (zero diagonal)
-            fl[a_idx] = b
+            if is_zero[a_idx, a_idx]:
+                fl[a_idx] = b  # strictly triangular interior channel
+            else:
+                # interior diagonal (e.g. exponentially decaying
+                # interactions): contraction T_aa has norm < 1, solve
+                # x = b + T_aa(x) directly (no energy subtraction)
+                fl[a_idx] = _interior_solve(
+                    al, b, w[:, :, a_idx, a_idx], left=True, tol=tol
+                )
         else:
             # corner channel: geometric series with energy subtraction
             e_left = _tr_pair(rho_r, b)  # divergence rate = energy
             fl[a_idx] = _geometric_solve(
-                al, b, rho_r, prec, left=True, tol=tol
+                al, b, rho_r, left=True, tol=tol
             )
 
     # ---- right environments: FR_{W-1} = I, build downward ------------ #
@@ -197,11 +236,16 @@ def mpo_environments(al, ar, c, w, tol=1e-10):
             if fr[b_idx] is not None and not is_zero[a_idx, b_idx]:
                 b = b + t_channel(fr[b_idx], ar, a_idx, b_idx, left=False)
         if a_idx > 0:
-            fr[a_idx] = b
+            if is_zero[a_idx, a_idx]:
+                fr[a_idx] = b
+            else:
+                fr[a_idx] = _interior_solve(
+                    ar, b, w[:, :, a_idx, a_idx], left=False, tol=tol
+                )
         else:
             e_right = _tr_pair(rho_l, b)
             fr[a_idx] = _geometric_solve(
-                ar, b, rho_l, prec, left=False, tol=tol
+                ar, b, rho_l, left=False, tol=tol
             )
 
     return (jnp.stack(fl), jnp.stack(fr),
@@ -232,6 +276,35 @@ def _polar_left(m):
     return peinsum("ij,jk->ik", u, vh)
 
 
+@partial(jax.jit, static_argnums=(3,))
+def _solve_ac(fl, w, fr, iters, ac):
+    return lanczos_ground(lambda t: _h_ac(fl, w, fr, t), ac, iters)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _solve_c(fl, fr, iters, c):
+    return lanczos_ground(lambda t: _h_c(fl, fr, t), c, iters)
+
+
+@jax.jit
+def _gauge_update(ac, c):
+    """``(AL, AR, grad_norm)`` from ``(AC, C)`` (Zauner-Stauber polar
+    form: ``AL = polar(AC) polar(C)^H``, AR mirrored)."""
+    d_, bond = ac.shape[0], ac.shape[1]
+    al = peinsum(
+        "ij,kj->ik",
+        _polar_left(ac.reshape(d_ * bond, bond)),
+        jnp.conj(_polar_left(c)),
+    ).reshape(d_, bond, bond)
+    ar_mat = _polar_left(ac.transpose(0, 2, 1).reshape(d_ * bond, bond))
+    cr = _polar_left(c.T)
+    ar = peinsum("ij,kj->ik", ar_mat, jnp.conj(cr)).reshape(
+        d_, bond, bond
+    ).transpose(0, 2, 1)
+    grad = jnp.linalg.norm(ac - peinsum("dij,jk->dik", al, c))
+    return al, ar, grad
+
+
 def vumps(mpo_cell, bond_dim, iters=60, d=None, dtype=jnp.float64,
           lanczos_iters=40, key=None, tol=1e-12):
     """Ground state of an infinite chain, variationally, in uMPS form.
@@ -258,33 +331,13 @@ def vumps(mpo_cell, bond_dim, iters=60, d=None, dtype=jnp.float64,
     ac = peinsum("dij,jk->dik", al, c)
 
     energies = []
-    grad_norm = jnp.inf
+    grad_norm = np.inf
     for _ in range(int(iters)):
         fl, fr, energy = mpo_environments(al, ar, c, w, tol=tol)
-        _, ac = lanczos_ground(
-            lambda t: _h_ac(fl, w, fr, t), ac, lanczos_iters
-        )
-        _, c = lanczos_ground(
-            lambda t: _h_c(fl, fr, t), c, lanczos_iters
-        )
-        # gauge update (Zauner-Stauber polar form):
-        # AL = polar(AC) polar(C)^H, AR mirrored
-        d_, bond = ac.shape[0], ac.shape[1]
-        al = peinsum(
-            "ij,kj->ik",
-            _polar_left(ac.reshape(d_ * bond, bond)),
-            jnp.conj(_polar_left(c)),
-        ).reshape(d_, bond, bond)
-        ar_mat = _polar_left(
-            ac.transpose(0, 2, 1).reshape(d_ * bond, bond)
-        )
-        cr = _polar_left(c.T)
-        ar = peinsum("ij,kj->ik", ar_mat, jnp.conj(cr)).reshape(
-            d_, bond, bond
-        ).transpose(0, 2, 1)
-        grad_norm = float(jnp.linalg.norm(
-            ac - peinsum("dij,jk->dik", al, c)
-        ))
+        _, ac = _solve_ac(fl, w, fr, lanczos_iters, ac)
+        _, c = _solve_c(fl, fr, lanczos_iters, c)
+        al, ar, grad = _gauge_update(ac, c)
+        grad_norm = float(grad)
         energies.append(float(energy))
         if grad_norm < 1e-11:
             break

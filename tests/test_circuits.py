@@ -173,3 +173,51 @@ def test_mpo_from_bond_term_and_tdvp_tebd_cross_validation():
     # the two integrators differ at O(dt^2); each is separately pinned
     # against dense evolution at high accuracy in other tests
     assert abs(np.vdot(tdvp_psi, tebd_psi)) > 1 - 1e-4
+
+
+def test_complex_gates_and_thermal_terms_survive():
+    """Regressions from the round-2 review: complex gates on interior
+    sites must survive finalize(), complex MPOs must pair with real MPS,
+    and complex Hermitian bond terms must thermalize correctly."""
+    import jax
+    from contractn_tpu.models import MPO, MPS
+
+    # S gate on an interior site
+    st = CircuitState.product(3, [1.0, 0.0])
+    st.apply_gate(H_GATE, 1)
+    st.apply_gate(np.diag([1.0, 1j]), 1)
+    m = st.finalize()
+    assert np.iscomplexobj(np.asarray(m.cores))
+    psi = dense_mps_vector(m)
+    want = np.zeros(8, complex)
+    want[0b000] = 1 / np.sqrt(2)
+    want[0b010] = 1j / np.sqrt(2)
+    assert np.allclose(psi, want, atol=1e-12)
+
+    # complex MPO x real MPS
+    mpo = MPO.identity(4, 2)
+    mpo = MPO(mpo.cores.astype(jnp.complex128), mpo.left, mpo.right)
+    mps = MPS.random(jax.random.PRNGKey(0), 4, 2, 3, dtype=jnp.float64)
+    v, lg = mpo.expectation(mps)
+    nv, nl = mps.norm_squared()
+    assert np.isclose(complex(v) * np.exp(float(lg)),
+                      float(nv) * np.exp(float(nl)), rtol=1e-10)
+
+    # complex Hermitian bond term through purification
+    sy = np.array([[0.0, -1j], [1j, 0.0]])
+    sz = np.diag([1.0, -1.0])
+    sx = np.array([[0.0, 1.0], [1.0, 0.0]])
+    h2 = (np.kron(sy, sz) + np.kron(sz, sy)
+          + 0.5 * (np.kron(sx, np.eye(2)) + np.kron(np.eye(2), sx)))
+    stt = thermal_state(h2, 3, 1.0, max_bond=16, n_steps=20)
+    got = thermal_expectation(stt, sx, 1)
+    ham = np.zeros((8, 8), complex)
+    for i in range(2):
+        ham += np.kron(np.kron(np.eye(2 ** i), h2), np.eye(2 ** (1 - i)))
+    vals, vecs = np.linalg.eigh(ham)
+    wts = np.exp(-(vals - vals.min()))
+    op = np.kron(np.kron(np.eye(2), sx), np.eye(2))
+    exact = float(np.real(
+        np.sum(wts * np.diag(vecs.conj().T @ op @ vecs)) / np.sum(wts)
+    ))
+    assert np.isclose(got, exact, atol=3e-3), (got, exact)
