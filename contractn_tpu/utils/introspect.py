@@ -170,3 +170,26 @@ class Timings:
     @classmethod
     def reset(cls) -> None:
         cls._records.clear()
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def profile_trace(log_dir):
+    """Capture a device profile around a block of work.
+
+    Thin wrapper over ``jax.profiler`` producing a TensorBoard/XProf
+    trace directory — the device-level complement to the host-side
+    :class:`Timings` phases.  Usage::
+
+        with profile_trace("/tmp/tn_trace"):
+            tn.contract()
+    """
+    import jax
+
+    jax.profiler.start_trace(str(log_dir))
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -141,3 +141,22 @@ def test_spec_roundtrip_self_loop(tmp_path):
     assert np.isclose(
         float(np.asarray(loaded.contract(backend="numpy"))), expected
     )
+
+
+def test_profile_trace_produces_artifacts(tmp_path):
+    import numpy as np
+
+    from contractn_tpu import TN
+    from contractn_tpu.utils.introspect import profile_trace
+
+    tn = TN()
+    a = tn.add_dense_node(np.ones((4, 4)))
+    b = tn.add_dense_node(np.ones(4))
+    tn.connect_nodes(a, b, 1, 0)
+    with profile_trace(tmp_path):
+        tn.contract()
+    import os
+
+    files = [os.path.join(r, f) for r, _, fs in os.walk(tmp_path)
+             for f in fs]
+    assert files, "profiler produced no trace files"
