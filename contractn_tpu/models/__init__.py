@@ -25,6 +25,7 @@ from .ctmrg import (
 from .decompositions import cp_tn, tucker_tn, tensor_ring_tn, mps_tn
 from .features import one_hot, trig_features, fourier_features
 from .dmrg import dmrg, dmrg_excited, heisenberg_mpo, idmrg, tfim_mpo
+from .ensemble import dmrg_ensemble, dmrg_uniform, stack_pytrees
 from .peps import peps_tn
 from .itebd import (
     heisenberg_h2,
@@ -69,6 +70,9 @@ __all__ = [
     "ising_tensor",
     "ising_magnetization",
     "dmrg",
+    "dmrg_ensemble",
+    "dmrg_uniform",
+    "stack_pytrees",
     "dmrg_excited",
     "idmrg",
     "tfim_mpo",

@@ -278,6 +278,23 @@ class TN:
         if dang1 == dang2:
             raise TNError("Cannot connect a mode to itself")
 
+        # Validate BEFORE consuming the danglers: a rejected connect must
+        # leave the TN untouched (found by an end-to-end drive — the
+        # dim check used to live in _init_edge only, after the danglers
+        # were dropped, leaving the graph un-contractible on failure).
+        for node in (node1, node2):
+            if self._nodes.get(node.name) is not node:
+                raise TNError(
+                    f"Node '{node.name}' does not belong to this TN"
+                )
+        dim1, dim2 = node1.shape[index1], node2.shape[index2]
+        if dim1 >= 0 and dim2 >= 0 and dim1 != dim2:
+            raise TNError(
+                f"Incompatible dimensions: mode {index1} of "
+                f"'{node1.name}' has dim {dim1}, mode {index2} of "
+                f"'{node2.name}' has dim {dim2}"
+            )
+
         es1 = node1.edge_symbols[index1]
         es2 = node2.edge_symbols[index2]
         if edge_symbol is not None:

@@ -293,3 +293,25 @@ def test_compiled_spec_cache_invalidation():
     # contraction value tracks the live topology
     v = np.asarray(tn.contract(backend="numpy"))
     assert v.shape == (2, 2, 2, 2)
+
+
+def test_failed_connect_leaves_tn_intact():
+    """A rejected connect_nodes must not consume danglers or corrupt the
+    graph: validation happens before any mutation (regression for a bug
+    where a dim-mismatch connect dropped the danglers first, making every
+    later contract() raise KeyError)."""
+    tn = TN()
+    a = tn.add_dense_node(np.ones((2, 3)))
+    b = tn.add_dense_node(np.ones((4,)))
+    with pytest.raises(TNError, match="Incompatible dimensions"):
+        tn.connect_nodes(a, b, 1, 0)
+    with pytest.raises(TNError, match="No node named"):
+        tn.connect_nodes("ghost", b, 0, 0)
+    other = TN()
+    foreign = other.add_dense_node(np.ones((4,)))
+    with pytest.raises(TNError, match="does not belong"):
+        tn.connect_nodes(foreign, b, 0, 0)
+    # all modes still dangling, symbols untouched, contraction works
+    assert sum(x.dangler for x in tn.nodes(danglers=True)) == 3
+    out = np.asarray(tn.contract(backend="numpy"))
+    assert out.shape == (2, 3, 4)
