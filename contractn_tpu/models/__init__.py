@@ -23,6 +23,14 @@ from .ctmrg import (
     ising_tensor,
 )
 from .decompositions import cp_tn, tucker_tn, tensor_ring_tn, mps_tn
+from .ipeps import (
+    ipeps_energy,
+    ipeps_expect_bond,
+    ipeps_expect_local,
+    peps_double_layer,
+    product_peps,
+    symmetrize_c4v,
+)
 from .features import one_hot, trig_features, fourier_features
 from .dmrg import dmrg, dmrg_excited, heisenberg_mpo, idmrg, tfim_mpo
 from .ensemble import dmrg_ensemble, dmrg_uniform, stack_pytrees
@@ -67,6 +75,12 @@ __all__ = [
     "thermal_expectation",
     "ctmrg_environment",
     "free_energy_per_site",
+    "ipeps_energy",
+    "ipeps_expect_bond",
+    "ipeps_expect_local",
+    "peps_double_layer",
+    "product_peps",
+    "symmetrize_c4v",
     "ising_tensor",
     "ising_magnetization",
     "dmrg",
