@@ -27,9 +27,13 @@ from .ipeps import (
     ipeps_energy,
     ipeps_expect_bond,
     ipeps_expect_local,
+    ipeps_ground_state,
     peps_double_layer,
     product_peps,
+    simple_update,
+    su_absorb_weights,
     symmetrize_c4v,
+    tfim_bond_term_2d,
 )
 from .features import one_hot, trig_features, fourier_features
 from .dmrg import dmrg, dmrg_excited, heisenberg_mpo, idmrg, tfim_mpo
@@ -78,6 +82,10 @@ __all__ = [
     "ipeps_energy",
     "ipeps_expect_bond",
     "ipeps_expect_local",
+    "ipeps_ground_state",
+    "simple_update",
+    "su_absorb_weights",
+    "tfim_bond_term_2d",
     "peps_double_layer",
     "product_peps",
     "symmetrize_c4v",

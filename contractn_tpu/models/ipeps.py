@@ -31,6 +31,7 @@ independent code paths meeting on one number.
 The reference has no 2D capability of any kind (SURVEY.md §2).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -156,6 +157,164 @@ def ipeps_energy(a_site, h2, chi, iters=200, boundary=None):
     """
     return 2.0 * ipeps_expect_bond(a_site, h2, chi, iters=iters,
                                    boundary=boundary)
+
+
+def tfim_bond_term_2d(j=1.0, h=1.0):
+    """Square-lattice TFIM bond term: ``-J Z(x)Z - (h/4)(X(x)1 + 1(x)X)``.
+
+    The field is split ``h/4`` per bond side because every site belongs
+    to FOUR bonds on the square lattice (coordination z = 4), so
+    ``H = sum_<ij> h2`` reproduces ``-J sum ZZ - h sum X`` exactly —
+    unlike the 1D :func:`~contractn_tpu.models.itebd.tfim_h2` whose
+    ``h/2`` split assumes z = 2.  Critical field ``h_c ~ 3.044 J``.
+    """
+    sx = np.array([[0.0, 1.0], [1.0, 0.0]])
+    sz = np.array([[1.0, 0.0], [0.0, -1.0]])
+    eye = np.eye(2)
+    return (-j * np.kron(sz, sz)
+            - 0.25 * h * (np.kron(sx, eye) + np.kron(eye, sx)))
+
+
+# --------------------------------------------------------------------- #
+# Simple-update ground states
+# --------------------------------------------------------------------- #
+
+_LAM_TOL = 1e-9  # relative to max(lambda); matches itebd's guarded inverse
+
+
+def _su_bond_update(gamma, lam, gate):
+    """One simple-update gate application on a horizontal bond.
+
+    ``gamma (d, D, D, D, D)`` in (phys, u, l, d, r) order, ``lam (D,)``
+    the shared C4v bond weight.  Weights are absorbed on every external
+    bond and the shared bond, the gate acts on the two-site block, an SVD
+    truncates back to ``D``, external weights are divided back out, and
+    the two updated tensors are averaged into one C4v-symmetric gamma
+    (the symmetric single-site simple update; gates on the other three
+    bond orientations are then redundant).
+    """
+    d, bond = gamma.shape[0], gamma.shape[1]
+    cut = _LAM_TOL * jnp.max(lam)
+    linv = jnp.where(lam > cut, 1.0 / jnp.maximum(lam, 1e-300), 0.0)
+
+    wl = gamma * lam[None, :, None, None, None]  # up
+    wl = wl * lam[None, None, :, None, None]     # left
+    wl = wl * lam[None, None, None, :, None]     # down
+    wl = wl * lam[None, None, None, None, :]     # right (the shared bond)
+    wr = gamma * lam[None, :, None, None, None]  # up
+    wr = wr * lam[None, None, None, :, None]     # down
+    wr = wr * lam[None, None, None, None, :]     # right
+
+    # theta[s1, u1, l1, d1, s2, u2, d2, r2]
+    theta = peinsum("sulxm,tvmyr->sulxtvyr", wl, wr)
+    theta = peinsum(
+        "STst,sulxtvyr->SulxTvyr",
+        gate.reshape(d, d, d, d), theta,
+    )
+    mat = theta.reshape(d * bond ** 3, d * bond ** 3)
+    u, s, vh = jnp.linalg.svd(mat, full_matrices=False)
+    u, s, vh = u[:, :bond], s[:bond], vh[:bond]
+    lam_new = s / jnp.maximum(jnp.linalg.norm(s), 1e-300)
+
+    g1 = u.reshape(d, bond, bond, bond, bond)  # (s, u, l, d, m)
+    g1 = g1 * linv[None, :, None, None, None]
+    g1 = g1 * linv[None, None, :, None, None]
+    g1 = g1 * linv[None, None, None, :, None]
+    g2 = vh.reshape(bond, d, bond, bond, bond)  # (m, s, u, d, r)
+    g2 = jnp.transpose(g2, (1, 2, 0, 3, 4))     # (s, u, m, d, r)
+    g2 = g2 * linv[None, :, None, None, None]
+    g2 = g2 * linv[None, None, None, :, None]
+    g2 = g2 * linv[None, None, None, None, :]
+
+    # g1's new bond sits at 'right', g2's at 'left': mirror g2 and average,
+    # then project the pair onto the full C4v orbit.
+    g2m = jnp.transpose(g2, (0, 1, 4, 3, 2))
+    gamma_new = symmetrize_c4v(0.5 * (g1 + g2m))
+    nrm = jnp.sqrt(jnp.sum(jnp.abs(gamma_new) ** 2))
+    return gamma_new / jnp.maximum(nrm, 1e-300), lam_new
+
+
+def _su_stage(gamma, lam, gate, n_iter):
+    def body(_, carry):
+        g, l = carry
+        return _su_bond_update(g, l, gate)
+
+    return jax.lax.fori_loop(0, n_iter, body, (gamma, lam))
+
+
+_su_stage_jit = jax.jit(_su_stage, static_argnums=(3,))
+
+
+def su_absorb_weights(gamma, lam):
+    """The measurable iPEPS tensor: ``sqrt(lam)`` absorbed on every bond."""
+    root = jnp.sqrt(lam)
+    a_site = gamma * root[None, :, None, None, None]
+    a_site = a_site * root[None, None, :, None, None]
+    a_site = a_site * root[None, None, None, :, None]
+    return a_site * root[None, None, None, None, :]
+
+
+def simple_update(h2, bond_dim, d=2,
+                  schedule=((0.1, 200), (0.02, 200), (0.005, 100)),
+                  dtype=jnp.float64, init=None):
+    """Symmetric simple-update imaginary-time evolution on the square
+    lattice: the 2D counterpart of :func:`~contractn_tpu.models.itebd.
+    itebd_ground_state` (Jiang-Weng-Xiang), restricted to the C4v
+    single-site cell this module's CTMRG measures.
+
+    Each stage (fixed Trotter step) runs as ONE jitted ``fori_loop`` —
+    static shapes, SVD-per-gate inside the loop, zero host syncs; the
+    host only walks the ``(dt, n_iter)`` schedule.
+
+    Suitable for rotation-invariant phases (e.g. the 2D transverse-field
+    Ising model).  Staggered-order Hamiltonians (Heisenberg) need a
+    two-site cell + sublattice rotation — out of scope for the C4v
+    variant.
+
+    Returns:
+        ``(gamma, lam)`` — pass through :func:`su_absorb_weights` and
+        the expectation functions to measure.
+    """
+    from .itebd import two_site_gate
+
+    if init is None:
+        v = np.cos(0.3 + 0.4 * np.arange(d))
+        v = v / np.linalg.norm(v)
+        gamma = jnp.asarray(np.asarray(
+            product_peps(v, bond_dim, dtype=dtype)
+        ))
+        # tiny symmetric noise so gates can grow entanglement out of the
+        # rank-1 start
+        rng = np.random.default_rng(0)
+        noise = symmetrize_c4v(
+            0.01 * rng.normal(size=gamma.shape).astype(dtype)
+        )
+        gamma = gamma + jnp.asarray(noise, dtype)
+    else:
+        gamma = jnp.asarray(init, dtype)
+    lam = jnp.ones((bond_dim,), dtype) / np.sqrt(bond_dim)
+
+    h2 = jnp.asarray(h2, dtype)
+    for dt, n_iter in schedule:
+        gate = two_site_gate(h2, dt)
+        gamma, lam = _su_stage_jit(gamma, lam, gate, int(n_iter))
+    return gamma, lam
+
+
+def ipeps_ground_state(h2, bond_dim, chi, d=2,
+                       schedule=((0.1, 200), (0.02, 200), (0.005, 100)),
+                       iters=200, dtype=jnp.float64):
+    """Ground state of ``H = sum_<ij> h2`` by simple update + CTMRG.
+
+    Returns ``(a_site, energy)``: the optimized iPEPS tensor (weights
+    absorbed) and its **true variational energy per site** measured with
+    :func:`ipeps_energy` — the CTMRG contraction of the returned state,
+    not the simple-update bond estimate.
+    """
+    gamma, lam = simple_update(h2, bond_dim, d=d, schedule=schedule,
+                               dtype=dtype)
+    a_site = su_absorb_weights(gamma, lam)
+    return a_site, ipeps_energy(a_site, h2, chi, iters=iters)
 
 
 def product_peps(vec, bond_dim=1, dtype=None):
