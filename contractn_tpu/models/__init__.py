@@ -37,6 +37,7 @@ from .ipeps import (
 )
 from .features import one_hot, trig_features, fourier_features
 from .dmrg import dmrg, dmrg_excited, heisenberg_mpo, idmrg, tfim_mpo
+from .dmrg3s import dmrg3s
 from .ensemble import dmrg_ensemble, dmrg_uniform, stack_pytrees
 from .peps import peps_tn
 from .itebd import (
@@ -92,6 +93,7 @@ __all__ = [
     "ising_tensor",
     "ising_magnetization",
     "dmrg",
+    "dmrg3s",
     "dmrg_ensemble",
     "dmrg_uniform",
     "stack_pytrees",
