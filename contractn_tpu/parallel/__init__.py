@@ -1,6 +1,6 @@
 from .fit import fit_tn, make_tn_train_step
 from .mesh import make_mesh
-from .pipeline import pipeline_mps_forward
+from .pipeline import make_pipeline_train_step, pipeline_mps_forward
 from .sharded import sharded_mps_forward, segment_mps_forward
 from .tp import make_tp_train_step, segment_mps_forward_3d
 from .training import (
@@ -14,6 +14,7 @@ __all__ = [
     "make_mesh",
     "fit_tn",
     "make_tn_train_step",
+    "make_pipeline_train_step",
     "pipeline_mps_forward",
     "sharded_mps_forward",
     "segment_mps_forward",

@@ -181,3 +181,32 @@ def pipeline_mps_forward(mesh, cores, left, right, x, n_micro=None,
         check_vma=False,
     )
     return fn(cores, left, right, x)
+
+
+def make_pipeline_train_step(mesh, lr=1e-2, pp_axis="pp", n_micro=None):
+    """Jitted SGD step with the forward pipelined over chain stages.
+
+    Same log-MSE loss as :func:`~contractn_tpu.parallel.training.
+    make_train_step`; the backward pass streams cotangents through the
+    ``ppermute`` handoffs in reverse schedule order (its transpose), so
+    gradients — and therefore updates — match the single-device step to
+    float tolerance.
+    """
+
+    def full_loss(mps, x, y):
+        amp, log = pipeline_mps_forward(
+            mesh, mps.cores, mps.left, mps.right, x,
+            n_micro=n_micro, pp_axis=pp_axis,
+        )
+        pred = jnp.log(jnp.abs(amp) + 1e-30) + log
+        return jnp.mean((pred - y) ** 2)
+
+    @jax.jit
+    def train_step(mps, x, y):
+        loss, grads = jax.value_and_grad(full_loss)(mps, x, y)
+        new_mps = jax.tree_util.tree_map(
+            lambda p, g: p - lr * g, mps, grads
+        )
+        return new_mps, loss
+
+    return train_step

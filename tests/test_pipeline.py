@@ -88,3 +88,29 @@ def test_pipeline_shape_validation():
     with pytest.raises(ValueError, match="n_micro"):
         pipeline_mps_forward(mesh, mps.cores, mps.left, mps.right, x,
                              n_micro=4)
+
+
+def test_pipeline_train_step_matches_unsharded():
+    """Pipelined training step: same loss and updates as single-device."""
+    from contractn_tpu.parallel import (
+        make_pipeline_train_step,
+        make_train_step,
+    )
+
+    mps, x = _setup(n_sites=8, bond_dim=4, batch=8)
+    y = jnp.zeros((x.shape[0],), jnp.float64)
+    mesh = make_mesh({"dp": 2, "pp": 4})
+    pipe_step = make_pipeline_train_step(mesh, lr=1e-2, n_micro=4)
+    plain_step = make_train_step(lr=1e-2)
+
+    new_pipe, loss_pipe = pipe_step(mps, x, y)
+    new_plain, loss_plain = plain_step(mps, x, y)
+    assert np.isclose(float(loss_pipe), float(loss_plain), rtol=1e-9)
+    assert np.allclose(
+        np.asarray(new_pipe.cores), np.asarray(new_plain.cores), rtol=1e-8
+    )
+    # loss decreases over a few pipelined steps
+    m, prev = mps, float(loss_pipe)
+    for _ in range(3):
+        m, loss = pipe_step(m, x, y)
+    assert float(loss) < prev
