@@ -55,7 +55,7 @@ from .umps import (
     log_norm_per_site,
     transfer_spectrum,
 )
-from .tdvp import tdvp_evolve, tdvp_step
+from .tdvp import tdvp1_evolve, tdvp1_step, tdvp_evolve, tdvp_step
 
 __all__ = [
     "MPS",
@@ -108,6 +108,8 @@ __all__ = [
     "tfim_bond_term",
     "sample_canonical",
     "tdvp_step",
+    "tdvp1_step",
+    "tdvp1_evolve",
     "transfer_spectrum",
     "vumps",
     "mixed_gauge",

@@ -1,4 +1,4 @@
-"""Two-site TDVP: real- and imaginary-time MPS evolution.
+"""TDVP (two-site and single-site): real-/imaginary-time MPS evolution.
 
 The time-dependent variational principle (Haegeman et al.) projects the
 Schrodinger flow onto the MPS manifold.  The two-site integrator reuses
@@ -15,6 +15,13 @@ tridiagonal, ``exp(c T) e1`` — so each local step costs a handful of
 Real time (``1j * dt``) conserves norm and energy to integrator order;
 imaginary time (``dt``) flows toward the ground state (a TDVP
 alternative to DMRG that stays on the constant-bond manifold).
+
+The SINGLE-site integrator (:func:`tdvp1_step`) evolves one site at a
+time with zero-site (bond-center) backward steps between sites.  Its
+manifold projection is exact — no SVD truncation ever happens — so
+real-time norm/energy conservation holds to Krylov tolerance and the
+bond dimension never changes.  Use it when the bond is already where
+you want it; use the two-site variant to let the bond grow.
 
 No counterpart in the reference (contraction only); an additive model-
 family capability of this framework.
@@ -176,5 +183,108 @@ def tdvp_evolve(mpo, mps0, dt, n_steps, max_bond=None, imaginary=False,
     for _ in range(n_steps):
         mps, e = tdvp_step(mpo, mps, dt, max_bond=max_bond,
                            imaginary=imaginary, iters=iters)
+        energies.append(e)
+    return mps, energies
+
+
+# --------------------------------------------------------------------- #
+# Single-site TDVP (TDVP1)
+# --------------------------------------------------------------------- #
+
+
+def _h0_matvec(L, R, c):
+    """Zero-site (bond) effective Hamiltonian: ``c (Dl, Dr) -> same``."""
+    t = peinsum("iwp,pq->iwq", L, c)
+    return peinsum("jwq,iwq->ij", R, t)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _evolve_zero_site(L, R, iters, c, coef):
+    return _krylov_expm_apply(
+        lambda x: _h0_matvec(L, R, x), c, coef, iters
+    )
+
+
+def tdvp1_step(mpo, mps, dt, imaginary=False, iters=16):
+    """One symmetric second-order SINGLE-site TDVP step (Haegeman et al.).
+
+    The projection onto the fixed-bond MPS manifold is exact: real-time
+    evolution conserves the norm and the energy to Krylov tolerance
+    (the two-site variant trades that exactness for bond growth — its
+    SVD truncation leaks norm/energy whenever the bond saturates).
+    Per-site cost is one ``(d, D, D)`` Krylov exponential plus a QR,
+    versus the two-site ``(d, d, D, D)`` exponential and ``(dD, dD)``
+    SVD.  The bond dimension NEVER grows; start from a state with the
+    bond you want (e.g. pad with :func:`~.canonical.compress_fixed`).
+
+    Sweep structure: left-to-right evolves each site forward ``dt/2``
+    with the bond center evolved backward ``dt/2`` between sites (QR
+    split), then the mirrored right-to-left half-sweep.
+
+    Returns ``(new_mps, energy)`` like :func:`tdvp_step`.
+    """
+    n = mps.n_sites
+    if n < 2:
+        raise ValueError("tdvp1_step needs at least 2 sites")
+    fwd = -0.5 * dt if imaginary else -0.5j * dt
+    bwd = -fwd
+
+    sites = _ragged_sites(mps)
+    if not imaginary:
+        sites = [s.astype(jnp.result_type(s.dtype, jnp.complex64))
+                 for s in sites]
+    ws = [mpo.cores[i] for i in range(n)]
+    L = [None] * (n + 1)
+    R = [None] * (n + 1)
+    L[0] = mpo.left[None, :, None].astype(sites[0].dtype)
+    R[n] = mpo.right[None, :, None].astype(sites[0].dtype)
+    for i in range(n - 1, 0, -1):
+        R[i] = _update_right(R[i + 1], sites[i], ws[i])
+
+    # left -> right: forward half-steps, backward bond steps between
+    for i in range(n):
+        sites[i] = _evolve_one_site(L[i], ws[i], R[i + 1], iters,
+                                    sites[i], fwd)
+        if i < n - 1:
+            d, dl, dr = sites[i].shape
+            q, r = jnp.linalg.qr(sites[i].reshape(d * dl, dr))
+            sites[i] = q.reshape(d, dl, -1)
+            L[i + 1] = _update_left(L[i], sites[i], ws[i])
+            c = _evolve_zero_site(L[i + 1], R[i + 1], iters, r, bwd)
+            sites[i + 1] = peinsum("kp,dpq->dkq", c, sites[i + 1])
+
+    # right -> left: mirrored half-sweep (LQ splits)
+    for i in range(n - 1, -1, -1):
+        sites[i] = _evolve_one_site(L[i], ws[i], R[i + 1], iters,
+                                    sites[i], fwd)
+        if i > 0:
+            d, dl, dr = sites[i].shape
+            mat = sites[i].transpose(1, 0, 2).reshape(dl, d * dr)
+            # mat = C . Q with Q's rows orthonormal: QR the transpose
+            # (plain transpose — rows of Q^T satisfy Q^T conj(Q) = I,
+            # the right-isometry condition, for complex tensors too)
+            q2, r2 = jnp.linalg.qr(mat.T)
+            sites[i] = q2.T.reshape(-1, d, dr).transpose(1, 0, 2)
+            R[i] = _update_right(R[i + 1], sites[i], ws[i])
+            c = _evolve_zero_site(L[i], R[i], iters, r2.T, bwd)
+            sites[i - 1] = peinsum("dpq,qk->dpk", sites[i - 1], c)
+
+    nrm = jnp.maximum(jnp.linalg.norm(sites[0]), 1e-300)
+    sites[0] = sites[0] / nrm
+
+    dtype = np.asarray(sites[0]).dtype
+    out = _rebuild_uniform(sites, dtype)
+    num_v, num_l = mpo.expectation(out)
+    den_v, den_l = out.norm_squared()
+    energy = float(jnp.real(num_v / den_v)) * float(jnp.exp(num_l - den_l))
+    return out, energy
+
+
+def tdvp1_evolve(mpo, mps0, dt, n_steps, imaginary=False, iters=16):
+    """Evolve ``n_steps`` single-site TDVP steps; ``(mps, [energies])``."""
+    mps = mps0
+    energies = []
+    for _ in range(n_steps):
+        mps, e = tdvp1_step(mpo, mps, dt, imaginary=imaginary, iters=iters)
         energies.append(e)
     return mps, energies

@@ -85,3 +85,71 @@ def test_tdvp_rejects_single_site():
     mps = MPS.random(jax.random.PRNGKey(3), 1, 2, 1, dtype=jnp.float64)
     with pytest.raises(ValueError):
         tdvp_step(tfim_mpo(1), mps, 0.1)
+
+# --------------------------------------------------------------------- #
+# Single-site TDVP (TDVP1)
+# --------------------------------------------------------------------- #
+
+
+def test_tdvp1_real_time_matches_dense_expm():
+    from scipy.linalg import expm
+
+    from contractn_tpu.models import tdvp1_step
+
+    n, dt, steps = 4, 0.05, 4
+    mps = MPS.random(jax.random.PRNGKey(0), n, 2, 4, dtype=jnp.float64)
+    mpo = tfim_mpo(n)
+    psi0 = dense_mps_vector(mps)
+    psi0 = psi0 / np.linalg.norm(psi0)
+    want = expm(-1j * dense_tfim(n) * dt * steps) @ psi0
+
+    cur = mps
+    for _ in range(steps):
+        cur, _ = tdvp1_step(mpo, cur, dt)
+    got = dense_mps_vector(cur)
+    got = got / np.linalg.norm(got)
+    # bond-4 manifold on 4 sites is not the full Hilbert space: the
+    # projection error (not the integrator) bounds the overlap
+    assert abs(np.vdot(want, got)) > 1 - 1e-4
+
+
+def test_tdvp1_conserves_norm_energy_and_bond():
+    from contractn_tpu.models import tdvp1_step
+
+    n, bond = 6, 6
+    mps = MPS.random(jax.random.PRNGKey(1), n, 2, bond, dtype=jnp.float64)
+    mpo = tfim_mpo(n)
+    cur, e0 = tdvp1_step(mpo, mps, 0.02)
+    energies = [e0]
+    for _ in range(4):
+        cur, e = tdvp1_step(mpo, cur, 0.02)
+        energies.append(e)
+    assert cur.bond_dim == bond  # exact-manifold: bond never moves
+    nrm = float(np.linalg.norm(dense_mps_vector(cur)))
+    assert np.isclose(nrm, 1.0, rtol=1e-8)
+    # single-site projection is exact: tighter conservation than the
+    # truncating two-site integrator
+    assert np.allclose(energies, energies[0], rtol=1e-9)
+
+
+def test_tdvp1_imaginary_time_flows_to_ground_state():
+    from contractn_tpu.models import dmrg, tdvp1_evolve
+
+    n, bond = 8, 8
+    mpo = tfim_mpo(n)
+    mps0 = MPS.random(jax.random.PRNGKey(2), n, 2, bond, dtype=jnp.float64)
+    _, e_dmrg, _ = dmrg(mpo, mps0, max_bond=bond, sweeps=4)
+
+    _, energies = tdvp1_evolve(mpo, mps0, dt=0.12, n_steps=25,
+                               imaginary=True)
+    assert all(a >= b - 1e-9 for a, b in zip(energies, energies[1:]))
+    assert energies[-1] >= e_dmrg - 1e-6  # variational bound
+    assert np.isclose(energies[-1], e_dmrg, rtol=1e-2)
+
+
+def test_tdvp1_rejects_single_site():
+    from contractn_tpu.models import tdvp1_step
+
+    mps = MPS.random(jax.random.PRNGKey(3), 1, 2, 1, dtype=jnp.float64)
+    with pytest.raises(ValueError):
+        tdvp1_step(tfim_mpo(1), mps, 0.1)
