@@ -22,6 +22,11 @@ from .ctmrg import (
     ising_magnetization,
     ising_tensor,
 )
+from .ctmrg_cell import (
+    ctmrg_cell,
+    pair_expectation_h,
+    site_expectation,
+)
 from .decompositions import cp_tn, tucker_tn, tensor_ring_tn, mps_tn
 from .ipeps import (
     ipeps_energy,
@@ -79,6 +84,9 @@ __all__ = [
     "thermal_state",
     "thermal_expectation",
     "ctmrg_environment",
+    "ctmrg_cell",
+    "site_expectation",
+    "pair_expectation_h",
     "free_energy_per_site",
     "ipeps_energy",
     "ipeps_expect_bond",

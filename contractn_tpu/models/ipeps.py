@@ -175,6 +175,36 @@ def tfim_bond_term_2d(j=1.0, h=1.0):
             - 0.25 * h * (np.kron(sx, eye) + np.kron(eye, sx)))
 
 
+def heisenberg_bond_term_2d(j=1.0, rotated=True):
+    """Square-lattice spin-1/2 Heisenberg bond term ``J S_i . S_j``.
+
+    ``rotated=True`` (default) applies the standard sublattice rotation
+    — spins on one checkerboard sublattice turned by pi about the y axis
+    (``Sx -> -Sx, Sz -> -Sz``) — which maps the staggered Neel order
+    onto a TRANSLATION-INVARIANT state:
+
+        ``S . S  ->  -Sx Sx + Sy Sy - Sz Sz``   (real matrix).
+
+    Every bond couples one A and one B site, so the rotated term is
+    uniform and swap-symmetric, and the single-site C4v simple update /
+    CTMRG machinery applies directly; the spectrum (hence the energy) is
+    unitarily invariant.  In the rotated frame the staggered
+    magnetization of the Neel phase appears as the UNIFORM ``<Sz>``.
+
+    ``rotated=False`` returns the bare ``J S . S`` — use it with a
+    two-sublattice ansatz (e.g. the directional-CTMRG unit-cell path).
+    """
+    sx = np.array([[0.0, 1.0], [1.0, 0.0]]) / 2.0
+    sy = np.array([[0.0, -1.0j], [1.0j, 0.0]]) / 2.0
+    sz = np.array([[1.0, 0.0], [0.0, -1.0]]) / 2.0
+    syy = np.real(np.kron(sy, sy))  # purely real: (+-i/2)(+-i/2) entries
+    if rotated:
+        h2 = j * (-np.kron(sx, sx) + syy - np.kron(sz, sz))
+    else:
+        h2 = j * (np.kron(sx, sx) + syy + np.kron(sz, sz))
+    return h2
+
+
 # --------------------------------------------------------------------- #
 # Simple-update ground states
 # --------------------------------------------------------------------- #
