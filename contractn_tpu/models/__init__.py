@@ -29,6 +29,7 @@ from .ctmrg_cell import (
 )
 from .decompositions import cp_tn, tucker_tn, tensor_ring_tn, mps_tn
 from .ipeps import (
+    heisenberg_bond_term_2d,
     ipeps_energy,
     ipeps_expect_bond,
     ipeps_expect_local,
@@ -39,6 +40,13 @@ from .ipeps import (
     su_absorb_weights,
     symmetrize_c4v,
     tfim_bond_term_2d,
+)
+from .ipeps_cell import (
+    cell_energy,
+    cell_site_expectations,
+    ipeps_cell_ground_state,
+    simple_update_cell,
+    su_cell_absorb,
 )
 from .features import one_hot, trig_features, fourier_features
 from .dmrg import dmrg, dmrg_excited, heisenberg_mpo, idmrg, tfim_mpo
@@ -93,8 +101,14 @@ __all__ = [
     "ipeps_expect_local",
     "ipeps_ground_state",
     "simple_update",
+    "simple_update_cell",
     "su_absorb_weights",
+    "su_cell_absorb",
+    "cell_energy",
+    "cell_site_expectations",
+    "ipeps_cell_ground_state",
     "tfim_bond_term_2d",
+    "heisenberg_bond_term_2d",
     "peps_double_layer",
     "product_peps",
     "symmetrize_c4v",

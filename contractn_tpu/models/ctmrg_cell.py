@@ -292,7 +292,8 @@ def site_expectation(a, env, impurity, x=0, y=0):
             t2[x][y], c4[x][y], t3[x][y], c3[x][y], precision=prec,
         )
 
-    return ring(jnp.asarray(impurity, a[x][y].dtype)) / ring(a[x][y])
+    # promote, never narrow (a complex impurity on a real cell)
+    return ring(jnp.asarray(impurity)) / ring(a[x][y])
 
 
 def pair_weight_h(a, env, left_center, right_center, x=0, y=0):
@@ -315,8 +316,7 @@ def pair_expectation_h(a, env, left_imp, right_imp, x=0, y=0):
     ``(x, y) - (x+1, y)``."""
     lx = len(a)
     x2 = (x + 1) % lx
-    num = pair_weight_h(a, env,
-                        jnp.asarray(left_imp, a[x][y].dtype),
-                        jnp.asarray(right_imp, a[x][y].dtype), x, y)
+    num = pair_weight_h(a, env, jnp.asarray(left_imp),
+                        jnp.asarray(right_imp), x, y)
     den = pair_weight_h(a, env, a[x][y], a[x2][y], x, y)
     return num / den

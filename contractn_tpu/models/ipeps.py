@@ -11,10 +11,13 @@ environment.
 
 Scope: the single-site C4v-symmetric variant, matching the symmetric
 CTMRG this framework ships (``ctmrg.py``; Nishino-Okunishi).  That is
-the standard ansatz for rotation-invariant phases (transverse-field
-Ising, Heisenberg on the square lattice); :func:`symmetrize_c4v`
-projects any tensor onto it.  Directional (Corboz) CTMRG for generic
-unit cells is the natural extension and deliberately out of scope here.
+the standard ansatz for rotation-invariant phases (e.g. the 2D
+transverse-field Ising model); :func:`symmetrize_c4v` projects any
+tensor onto it.  Staggered phases (Neel antiferromagnets) and generic
+tensors live in the companion modules: directional (Corboz) CTMRG for
+arbitrary unit cells in :mod:`~contractn_tpu.models.ctmrg_cell` and the
+checkerboard two-site-cell simple update in
+:mod:`~contractn_tpu.models.ipeps_cell`.
 
 Everything is pure-JAX with static shapes: environments converge in one
 jitted ``fori_loop`` (see ``ctmrg._converge``), expectation patches are
@@ -72,8 +75,12 @@ def peps_double_layer(a_site, op=None):
     if op is None:
         ket = a_site
     else:
-        ket = peinsum("ts,suldr->tuldr", jnp.asarray(op, a_site.dtype),
-                      a_site)
+        # promote, never narrow: a complex observable on a real state
+        # must NOT be silently cast to real (e.g. <S_y>)
+        op = jnp.asarray(op)
+        dt = jnp.result_type(a_site.dtype, op.dtype)
+        ket = peinsum("ts,suldr->tuldr", op.astype(dt),
+                      a_site.astype(dt))
     dbl = peinsum("suldr,sULDR->uUlLdDrR", ket, bra)
     q = bond * bond
     return dbl.reshape(q, q, q, q)
@@ -186,13 +193,16 @@ def heisenberg_bond_term_2d(j=1.0, rotated=True):
         ``S . S  ->  -Sx Sx + Sy Sy - Sz Sz``   (real matrix).
 
     Every bond couples one A and one B site, so the rotated term is
-    uniform and swap-symmetric, and the single-site C4v simple update /
-    CTMRG machinery applies directly; the spectrum (hence the energy) is
-    unitarily invariant.  In the rotated frame the staggered
+    uniform and swap-symmetric; the spectrum (hence the energy) is
+    unitarily invariant, and in the rotated frame the staggered
     magnetization of the Neel phase appears as the UNIFORM ``<Sz>``.
+    NOTE: optimize with the two-site-cell update
+    (:func:`~contractn_tpu.models.ipeps_cell.simple_update_cell`) in
+    either frame — the symmetrized single-site :func:`simple_update`
+    stalls for this model (see its docstring).
 
-    ``rotated=False`` returns the bare ``J S . S`` — use it with a
-    two-sublattice ansatz (e.g. the directional-CTMRG unit-cell path).
+    ``rotated=False`` returns the bare ``J S . S`` (the staggered Neel
+    formulation for the checkerboard cell).
     """
     sx = np.array([[0.0, 1.0], [1.0, 0.0]]) / 2.0
     sy = np.array([[0.0, -1.0j], [1.0j, 0.0]]) / 2.0
@@ -296,10 +306,16 @@ def simple_update(h2, bond_dim, d=2,
     static shapes, SVD-per-gate inside the loop, zero host syncs; the
     host only walks the ``(dt, n_iter)`` schedule.
 
-    Suitable for rotation-invariant phases (e.g. the 2D transverse-field
-    Ising model).  Staggered-order Hamiltonians (Heisenberg) need a
-    two-site cell + sublattice rotation — out of scope for the C4v
-    variant.
+    Suitable for rotation-invariant, weakly-entangled phases (e.g. the
+    2D transverse-field Ising model).  For the Heisenberg
+    antiferromagnet this symmetrized update STALLS at the product fixed
+    point — the C4v rotation averaging destructively cancels the
+    entanglement-growth direction (the freshly-SVD'd bond basis on one
+    leg interferes with the stale bases on the other three) — even in
+    the sublattice-rotated frame where the ground state itself is C4v.
+    Use :func:`~contractn_tpu.models.ipeps_cell.simple_update_cell`,
+    which keeps two tensors and four independent bond weights and has
+    no such pathology.
 
     Returns:
         ``(gamma, lam)`` — pass through :func:`su_absorb_weights` and
