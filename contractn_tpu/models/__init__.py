@@ -69,6 +69,7 @@ from .umps import (
     transfer_spectrum,
 )
 from .tdvp import tdvp1_evolve, tdvp1_step, tdvp_evolve, tdvp_step
+from .variational import make_ipeps_loss, variational_ipeps
 
 __all__ = [
     "MPS",
@@ -109,6 +110,8 @@ __all__ = [
     "ipeps_cell_ground_state",
     "tfim_bond_term_2d",
     "heisenberg_bond_term_2d",
+    "variational_ipeps",
+    "make_ipeps_loss",
     "peps_double_layer",
     "product_peps",
     "symmetrize_c4v",

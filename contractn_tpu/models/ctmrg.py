@@ -33,11 +33,14 @@ import numpy as np
 from ..ops.stabilize import dot_precision
 
 
-def _step(c, t, a, chi, prec):
+def _step(c, t, a, chi, prec, eigh_fn=jnp.linalg.eigh):
     """One symmetric CTMRG absorption; returns renormalized ``(c, t)``.
 
     ``c (chi0, chi0)``, ``t (chi0, q, chi0)``, ``a (q, q, q, q)``
     C4v-symmetric.  Output bond is ``min(chi0 * q, chi)``.
+    ``eigh_fn`` lets the variational layer substitute the
+    degeneracy-safe eigendecomposition for autodiff
+    (:func:`contractn_tpu.ops.linalg_ad.eigh_safe`).
     """
     chi0, q = t.shape[0], t.shape[1]
     # Enlarged corner: C2[(c_out, r), (d_out, d2)]
@@ -46,7 +49,7 @@ def _step(c, t, a, chi, prec):
     c2 = jnp.einsum("culd,ulxr->crdx", tmp, a, precision=prec)
     m = c2.reshape(chi0 * q, chi0 * q)
     m = 0.5 * (m + m.T)
-    vals, vecs = jnp.linalg.eigh(m)
+    vals, vecs = eigh_fn(m)
     k = min(chi0 * q, chi)
     order = jnp.argsort(-jnp.abs(vals))[:k]
     lam = vals[order]

@@ -1,0 +1,102 @@
+"""Degeneracy-safe autodiff linalg + variational iPEPS.
+
+The VJP rules are pinned against the stock gradients on non-degenerate
+inputs and against finite differences of gauge-invariant losses on
+exactly degenerate spectra (where the stock rules are NaN).  The
+variational optimizer must strictly improve the simple-update energy of
+the near-critical 2D TFIM at fixed (D, chi) with a monotone trace.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contractn_tpu.ops.linalg_ad import eigh_safe, svd_safe
+
+
+def test_eigh_safe_matches_stock_when_nondegenerate():
+    rng = np.random.default_rng(0)
+    m0 = rng.normal(size=(6, 6))
+    m0 = 0.5 * (m0 + m0.T)
+
+    def loss(m, safe):
+        f = eigh_safe if safe else jnp.linalg.eigh
+        w, v = f(0.5 * (m + m.T))
+        return jnp.sum(w ** 2) + jnp.sum(jnp.abs(v[:, -1]) ** 3)
+
+    g_stock = jax.grad(loss)(jnp.asarray(m0), False)
+    g_safe = jax.grad(loss)(jnp.asarray(m0), True)
+    assert np.allclose(np.asarray(g_stock), np.asarray(g_safe),
+                       atol=1e-10)
+
+
+def test_eigh_safe_degenerate_matches_finite_differences():
+    """Gauge-invariant loss (subspace projector) on an exactly
+    degenerate spectrum: stock eigh gradient is NaN, the broadened one
+    equals finite differences."""
+
+    def loss(m, safe):
+        f = eigh_safe if safe else jnp.linalg.eigh
+        w, v = f(0.5 * (m + m.T))
+        p = v[:, -2:] @ v[:, -2:].T
+        tgt = jnp.arange(9.0).reshape(3, 3)
+        return jnp.sum(p * tgt) + jnp.sum(w ** 3)
+
+    md = jnp.asarray(np.diag([1.0, 2.0, 2.0]))
+    assert np.any(np.isnan(np.asarray(jax.grad(loss)(md, False))))
+    g_safe = np.asarray(jax.grad(loss)(md, True))
+    assert not np.any(np.isnan(g_safe))
+    eps = 1e-6
+    for i in range(3):
+        for j in range(3):
+            e = np.zeros((3, 3))
+            e[i, j] = eps
+            fd = (loss(md + e, True) - loss(md - e, True)) / (2 * eps)
+            assert np.isclose(g_safe[i, j], float(fd), atol=1e-6)
+
+
+def test_svd_safe_matches_stock_when_nondegenerate():
+    rng = np.random.default_rng(1)
+    a0 = jnp.asarray(rng.normal(size=(7, 4)))
+
+    def loss(a, safe):
+        if safe:
+            u, s, vh = svd_safe(a)
+        else:
+            u, s, vh = jnp.linalg.svd(a, full_matrices=False)
+        return (jnp.sum(s ** 2) + jnp.sum(u[:, 0] ** 3)
+                + jnp.sum(vh[0] ** 3) + jnp.sum(jnp.abs(u[:, 1] * s[1])))
+
+    g_stock = jax.grad(loss)(a0, False)
+    g_safe = jax.grad(loss)(a0, True)
+    assert np.allclose(np.asarray(g_stock), np.asarray(g_safe),
+                       atol=1e-10)
+    # degenerate singular values: stock NaN, safe finite
+    ad = jnp.asarray(np.diag([2.0, 2.0, 1.0]))
+    assert np.any(np.isnan(np.asarray(jax.grad(loss)(ad, False))))
+    assert not np.any(np.isnan(np.asarray(jax.grad(loss)(ad, True))))
+
+
+def test_variational_ipeps_beats_simple_update():
+    from contractn_tpu.models.ipeps import (
+        ipeps_ground_state,
+        tfim_bond_term_2d,
+    )
+    from contractn_tpu.models.variational import variational_ipeps
+
+    h2 = tfim_bond_term_2d(1.0, 3.0)  # near h_c ~ 3.044
+    _, e_su = ipeps_ground_state(
+        h2, bond_dim=2, chi=8,
+        schedule=((0.1, 150), (0.02, 150), (0.005, 80)), iters=150)
+    _, e_var, trace = variational_ipeps(h2, bond_dim=2, chi=8,
+                                        steps=120, lr=3e-3)
+    e_su = float(e_su)
+    assert not np.any(np.isnan(trace))
+    # starts at the simple-update energy (same measurement machinery)
+    assert np.isclose(trace[0], e_su, atol=1e-6)
+    # strict improvement; near-monotone (Adam may micro-oscillate),
+    # converged at the tail
+    assert e_var < e_su - 1e-4, (e_var, e_su)
+    assert all(b <= a + 1e-4 for a, b in zip(trace, trace[1:]))
+    assert trace[-1] < trace[0] - 1e-4
+    assert abs(trace[-1] - trace[-10]) < 1e-5
