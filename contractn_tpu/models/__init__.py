@@ -70,6 +70,7 @@ from .umps import (
 )
 from .tdvp import tdvp1_evolve, tdvp1_step, tdvp_evolve, tdvp_step
 from .variational import make_ipeps_loss, variational_ipeps
+from .excitations import excitation_spectrum, quasiparticle_dispersion
 
 __all__ = [
     "MPS",
@@ -112,6 +113,8 @@ __all__ = [
     "heisenberg_bond_term_2d",
     "variational_ipeps",
     "make_ipeps_loss",
+    "excitation_spectrum",
+    "quasiparticle_dispersion",
     "peps_double_layer",
     "product_peps",
     "symmetrize_c4v",

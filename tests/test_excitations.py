@@ -1,0 +1,98 @@
+"""Quasiparticle excitations: exact TFIM dispersion and Hermiticity.
+
+The transverse-field Ising single-particle band is exactly
+``omega(k) = 2 sqrt(h^2 - 2h cos k + 1)`` (Pfeuty / Jordan-Wigner); on
+a converged gapped uMPS ground state the tangent-space ansatz
+reproduces it to solver precision — including ``k = 0``, which
+exercises the projected marginal corner solves.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from contractn_tpu.models import tfim_mpo, vumps
+from contractn_tpu.models.excitations import (
+    _dense_heff,
+    _null_space_left,
+    excitation_spectrum,
+    quasiparticle_dispersion,
+)
+
+
+def tfim_dispersion(k, h):
+    return 2.0 * np.sqrt(h * h - 2.0 * h * np.cos(k) + 1.0)
+
+
+def test_tfim_dispersion_exact():
+    h = 1.5  # gapped paramagnet: single quasiparticle band
+    mpo = tfim_mpo(2, j=1.0, h=h)
+    ground, omegas = quasiparticle_dispersion(
+        mpo, ks=[0.0, 0.3, np.pi / 2, np.pi], bond_dim=12, iters=60)
+    assert ground["gradient_norm"] < 1e-10
+    for k, om in zip([0.0, 0.3, np.pi / 2, np.pi], omegas[:, 0]):
+        assert np.isclose(om, tfim_dispersion(k, h), atol=1e-8), (
+            k, om, tfim_dispersion(k, h))
+
+
+def test_tfim_ordered_phase_sees_two_domain_wall_continuum():
+    """Ordered side h < 1: elementary excitations are TOPOLOGICAL
+    domain walls, invisible to the trivial-sector ansatz on the
+    symmetry-broken state — what it finds instead is the
+    two-domain-wall continuum, whose k = 0 edge is
+    ``2 * epsilon_dw(0) = 4|1 - h|`` (each Pfeuty fermion costs
+    ``2|1 - h|`` at its band bottom).  The variational energy sits at
+    or slightly above that edge."""
+    h = 0.4
+    mpo = tfim_mpo(2, j=1.0, h=h)
+    ground = vumps(mpo, bond_dim=12, iters=80)
+    om = np.asarray(excitation_spectrum(ground, mpo, 0.0))
+    edge = 4.0 * abs(1.0 - h)
+    assert om[0] >= edge - 1e-8, (om[0], edge)
+    assert om[0] < edge + 0.1, (om[0], edge)
+
+
+def test_heff_is_hermitian():
+    """The dense effective Hamiltonian (including the momentum-phased
+    excitation environments) must be Hermitian BEFORE symmetrization —
+    this pins the relative phases/adjoints of the LB/RB terms."""
+    import contractn_tpu.models.excitations as exc
+    from contractn_tpu.models.vumps import mpo_environments
+
+    import jax
+
+    h = 1.3
+    mpo = tfim_mpo(2, j=1.0, h=h)
+    ground = vumps(mpo, bond_dim=4, iters=60)
+    al, ar, c = ground["al"], ground["ar"], ground["c"]
+    w = jnp.asarray(mpo.cores[0])
+    w = w.at[:, :, 0, -1].add(-ground["energy"] * jnp.eye(2))
+    cdt = jnp.complex128
+    al, ar, c, w = (t.astype(cdt) for t in (al, ar, c, w))
+    fl, fr, _ = mpo_environments(al, ar, c, w)
+    vl = _null_space_left(al)
+    w_np = np.asarray(w)
+    is_zero = tuple(tuple(bool(v) for v in row)
+                    for row in (np.abs(w_np).sum(axis=(0, 1)) == 0.0))
+    eye_diag = tuple(bool(np.allclose(w_np[:, :, ch, ch], np.eye(2)))
+                     for ch in range(3))
+    k = jnp.asarray(0.7, cdt)
+    apply = jax.jit(lambda xb: exc._heff_x(xb, vl, al, ar, c, fl, fr,
+                                           w, k, is_zero, eye_diag))
+    n = vl.shape[1] * al.shape[1]
+    basis = np.eye(n).reshape(n, vl.shape[1], al.shape[1])
+    cols = np.stack([np.asarray(apply(jnp.asarray(b, cdt)))
+                     for b in basis])
+    hmat = cols.reshape(n, n).T
+    assert np.max(np.abs(hmat - np.conj(hmat).T)) < 1e-9
+
+
+def test_dense_heff_all_bands_positive():
+    """Every band lies above the (subtracted) ground state."""
+    h = 1.5
+    mpo = tfim_mpo(2, j=1.0, h=h)
+    ground = vumps(mpo, bond_dim=8, iters=60)
+    om = np.asarray(excitation_spectrum(ground, mpo, 1.0))
+    assert om.shape == (8 * 8,)
+    assert np.all(om > 0.0)
+    assert np.all(np.diff(om) >= -1e-12)  # ascending
