@@ -70,7 +70,11 @@ from .umps import (
 )
 from .tdvp import tdvp1_evolve, tdvp1_step, tdvp_evolve, tdvp_step
 from .variational import make_ipeps_loss, variational_ipeps
-from .excitations import excitation_spectrum, quasiparticle_dispersion
+from .excitations import (
+    excitation_spectrum,
+    quasiparticle_dispersion,
+    spectral_weights,
+)
 
 __all__ = [
     "MPS",
@@ -115,6 +119,7 @@ __all__ = [
     "make_ipeps_loss",
     "excitation_spectrum",
     "quasiparticle_dispersion",
+    "spectral_weights",
     "peps_double_layer",
     "product_peps",
     "symmetrize_c4v",

@@ -89,21 +89,21 @@ def init_env(a):
         return a[x % lx][y % ly]
 
     c1 = _cell(lambda x, y: _norm(
-        jnp.einsum("uldr->dr", at(x - 1, y - 1))), lx, ly)
+        peinsum("uldr->dr", at(x - 1, y - 1))), lx, ly)
     c2 = _cell(lambda x, y: _norm(
-        jnp.einsum("uldr->ld", at(x + 1, y - 1))), lx, ly)
+        peinsum("uldr->ld", at(x + 1, y - 1))), lx, ly)
     c3 = _cell(lambda x, y: _norm(
-        jnp.einsum("uldr->ul", at(x + 1, y + 1))), lx, ly)
+        peinsum("uldr->ul", at(x + 1, y + 1))), lx, ly)
     c4 = _cell(lambda x, y: _norm(
-        jnp.einsum("uldr->ur", at(x - 1, y + 1))), lx, ly)
+        peinsum("uldr->ur", at(x - 1, y + 1))), lx, ly)
     t1 = _cell(lambda x, y: _norm(
-        jnp.einsum("uldr->ldr", at(x, y - 1))), lx, ly)
+        peinsum("uldr->ldr", at(x, y - 1))), lx, ly)
     t2 = _cell(lambda x, y: _norm(
-        jnp.einsum("uldr->uld", at(x + 1, y))), lx, ly)
+        peinsum("uldr->uld", at(x + 1, y))), lx, ly)
     t3 = _cell(lambda x, y: _norm(
-        jnp.einsum("uldr->lur", at(x, y + 1))), lx, ly)
+        peinsum("uldr->lur", at(x, y + 1))), lx, ly)
     t4 = _cell(lambda x, y: _norm(
-        jnp.einsum("uldr->urd", at(x - 1, y))), lx, ly)
+        peinsum("uldr->urd", at(x - 1, y))), lx, ly)
     return (c1, c2, c3, c4, t1, t2, t3, t4)
 
 

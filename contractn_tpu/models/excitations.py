@@ -29,8 +29,16 @@ The geometric corner channels have a marginal mode (the mixed transfer
 of two gauges of the same state has leading eigenvalue 1, eigenvector
 ``C``), but the left gauge fixing makes every corner source EXACTLY
 orthogonal to it — ``tr(C^H sum_s AL_s^H B_s) = 0`` and its mirror via
-``AL C = C AR`` — so the plain GMRES solve is well-posed at every
-momentum including ``k = 0``.
+``AL C = C AR`` — so pinning the ``C`` component (which is therefore
+zero anyway) makes the GMRES solves well-posed at every momentum
+including ``k = 0``.
+
+:func:`spectral_weights` adds the matching matrix elements
+``|<Phi_k(B_a)| O_k |GS>|^2`` — the pole weights of the dynamical
+structure factor.  Because ``O_k|GS>`` of a uMPS lies EXACTLY in the
+one-``B`` sector, the weights saturate the static structure factor
+``S_O(k)`` identically (pinned against independent real-space
+correlators in the tests).
 
 TPU shape: one jitted program per momentum builds the DENSE ``H_eff``
 by ``vmap`` over the ``(d-1) D^2`` tangent basis vectors (each
@@ -269,3 +277,136 @@ def quasiparticle_dispersion(mpo_cell, ks, bond_dim=12, ground=None,
         for k in ks
     ])
     return ground, omegas
+
+
+# --------------------------------------------------------------------- #
+# Spectral weights (dynamical structure factor poles)
+# --------------------------------------------------------------------- #
+
+
+def _overlap_g(b, al, ar, ac, op, k, tol=1e-10):
+    """``G(B) = <Phi_k(B)| O_k |GS>`` per site (linear in ``conj(B)``).
+
+    Three position classes of the operator relative to the bra's ``B``:
+    on-site (``O AC`` against ``B``), to the right (mixed ``AR``-bra /
+    ``AL``-ket transfers, phase ``e^{+ik}`` per step), and to the left
+    (mixed ``AL``-bra / ``AR``-ket transfers, ``e^{-ik}``); both
+    geometric sums are marginal-mode GMRES solves like the excitation
+    environments.
+    """
+    bond = al.shape[1]
+    oac = peinsum("st,tij->sij", op, ac)
+    # on-site
+    g = peinsum("sij,sij->", jnp.conj(b), oac)
+
+    # O strictly RIGHT of B would start from sum_s B_s^H AL_s — which
+    # is EXACTLY the left gauge-fixing constraint, identically zero; the
+    # whole right branch vanishes and is omitted.
+
+    # O strictly left of B: accumulate right-to-left
+    z1 = peinsum("sbc,skc->bk", jnp.conj(b), ar)
+    phl = jnp.exp(-1j * k)
+
+    def e_left(z):
+        # bra AL, ket AR one-site mixed transfer: z'[i, j] =
+        # sum_s conj(AL_s)[i, b] z[b, k] AR_s[j, k]
+        t = peinsum("sjk,bk->sbj", ar, z)
+        return peinsum("sib,sbj->ij", jnp.conj(al), t)
+
+    def e_left_adj(y):
+        # Frobenius adjoint of e_left
+        return peinsum("sib,ij,sjk->bk", al, y, jnp.conj(ar))
+
+    # the mixed transfer is marginal (|lam| = 1); deflate its dominant
+    # pair by power iteration so the solve is well-posed at k = 0 (the
+    # physical source has no component there — connected correlators
+    # decay — and the deflation just removes the numerical 0/0)
+    def _power(f):
+        v0 = jnp.ones((bond, bond), z1.dtype)
+        v0 = v0 + 0.3 * jnp.arange(bond, dtype=z1.dtype)[None, :]
+
+        def body(_, v):
+            w = f(v)
+            return w / jnp.maximum(jnp.linalg.norm(w), 1e-300)
+
+        return jax.lax.fori_loop(0, 80, body, v0)
+
+    rv, lv = _power(e_left), _power(e_left_adj)
+    denom = jnp.sum(jnp.conj(lv) * rv)
+
+    def deflate(x):
+        return x - rv * (jnp.sum(jnp.conj(lv) * x) / denom)
+
+    def e_left_defl(z):
+        return e_left(deflate(z))
+
+    geol = _phase_solve(e_left_defl, deflate(z1), phl, (bond, bond),
+                        tol=tol)
+    g = g + phl * peinsum("sab,sak,bk->", jnp.conj(al), oac,
+                          deflate(geol))
+    return g
+
+
+def spectral_weights(ground, mpo_cell, op, k, tol=1e-10):
+    """Excitation energies and spectral weights of a one-site operator.
+
+    The dynamical structure factor within the single-mode (tangent
+    space) approximation is a sum of poles,
+
+        ``S_O(k, w) = sum_a |<Phi_k(B_a)| O_k |GS>|^2 delta(w - w_a)``,
+
+    exact for whatever part of ``O_k |GS>`` lives in the one-B sector
+    (their total obeys the sum rule ``sum_a weight_a <= S_O(k)``, the
+    static structure factor, saturating when the operator creates a
+    single quasiparticle).
+
+    Returns:
+        ``(omegas, weights)`` — ascending energies and the matching
+        per-site pole weights.
+    """
+    al, ar, c = ground["al"], ground["ar"], ground["c"]
+    ac, e0 = ground["ac"], ground["energy"]
+    w = jnp.asarray(mpo_cell.cores[0])
+    d = w.shape[0]
+    w = w.at[:, :, 0, -1].add(-e0 * jnp.eye(d, dtype=w.dtype))
+    cdt = jnp.result_type(al.dtype, jnp.complex64)
+    al, ar, c, ac, w = (t.astype(cdt) for t in (al, ar, c, ac, w))
+    op = jnp.asarray(op, cdt)
+    # subtract the disconnected part so G measures the CONNECTED weight
+    op = op - (peinsum("st,tij,sij->", op, ac, jnp.conj(ac))
+               / peinsum("sij,sij->", ac, jnp.conj(ac))
+               ) * jnp.eye(d, dtype=cdt)
+    fl, fr, _ = mpo_environments(al, ar, c, w, tol=tol)
+    vl = _null_space_left(al)
+    w_np = np.asarray(w)
+    nw = w_np.shape[2]
+    is_zero = tuple(tuple(bool(v) for v in row)
+                    for row in (np.abs(w_np).sum(axis=(0, 1)) == 0.0))
+    eye_diag = tuple(
+        bool(np.allclose(w_np[:, :, ch, ch], np.eye(d)))
+        for ch in range(nw)
+    )
+    lam0 = jnp.real(
+        jnp.sum(jnp.conj(ac) * _h_ac(fl, w, fr, ac))
+        / jnp.sum(jnp.conj(ac) * ac)
+    )
+    k_arr = jnp.asarray(float(k), cdt)
+    h = _dense_heff(vl, al, ar, c, fl, fr, w, k_arr, is_zero, eye_diag,
+                    tol=tol)
+    omegas, vecs = jnp.linalg.eigh(h)
+
+    n_t, bond = vl.shape[1], al.shape[1]
+    n = n_t * bond
+    basis = jnp.eye(n, dtype=cdt).reshape(n, n_t, bond)
+
+    @jax.jit
+    def g_of(xb):
+        b = jnp.matmul(vl, xb,
+                       precision=jax.lax.Precision.HIGHEST
+                       ).reshape(al.shape)
+        return _overlap_g(b, al, ar, ac, op, k_arr, tol=tol)
+
+    src = jax.vmap(g_of)(basis)  # src_i = <e_i, S>
+    amps = jnp.matmul(jnp.conj(vecs).T, src,
+                      precision=jax.lax.Precision.HIGHEST)
+    return omegas - lam0, jnp.abs(amps) ** 2

@@ -96,3 +96,34 @@ def test_dense_heff_all_bands_positive():
     assert om.shape == (8 * 8,)
     assert np.all(om > 0.0)
     assert np.all(np.diff(om) >= -1e-12)  # ascending
+
+
+def test_spectral_weights_sum_rule():
+    """For ANY uMPS, ``O_k|GS>`` lies exactly in the one-B tangent
+    sector, so the pole weights must saturate the static structure
+    factor EXACTLY (computed independently from real-space connected
+    correlators) — a stringent identity linking the excitation overlap
+    machinery, the deflated momentum solves (k = 0 included), and the
+    transfer-spectrum correlators.  Deep in the paramagnet the lowest
+    pole carries essentially all of it (Z creates one quasiparticle)."""
+    from contractn_tpu.models.excitations import spectral_weights
+    from contractn_tpu.models.umps import correlate, expect_local
+
+    h = 3.0  # deep paramagnet
+    mpo = tfim_mpo(2, j=1.0, h=h)
+    ground = vumps(mpo, bond_dim=8, iters=60)
+    z = np.diag([1.0, -1.0])
+    for k in (0.0, 1.0, np.pi):
+        om, wt = spectral_weights(ground, mpo, z, k)
+        om, wt = np.asarray(om), np.asarray(wt)
+        assert not np.any(np.isnan(wt))
+        # static structure factor S(k) = sum_j e^{ikj} <Z_0 Z_j>_c
+        js = np.arange(1, 40)
+        cj = np.asarray(correlate(ground["al"], z, z, js))
+        mz = float(expect_local(ground["al"], z))
+        c0 = 1.0 - mz * mz  # Z^2 = I on site
+        sk = c0 + 2.0 * np.sum(np.cos(k * js) * np.real(cj))
+        total = float(wt.sum())
+        assert np.isclose(total, sk, rtol=1e-6), (k, total, sk)
+        # the weight is concentrated in the lowest (single-mode) pole
+        assert wt[0] > 0.99 * total, (k, wt[:4], total)
