@@ -69,7 +69,12 @@ from .umps import (
     transfer_spectrum,
 )
 from .tdvp import tdvp1_evolve, tdvp1_step, tdvp_evolve, tdvp_step
-from .variational import make_ipeps_loss, variational_ipeps
+from .variational import (
+    make_cell_loss,
+    make_ipeps_loss,
+    variational_ipeps,
+    variational_ipeps_cell,
+)
 from .excitations import (
     excitation_spectrum,
     quasiparticle_dispersion,
@@ -116,7 +121,9 @@ __all__ = [
     "tfim_bond_term_2d",
     "heisenberg_bond_term_2d",
     "variational_ipeps",
+    "variational_ipeps_cell",
     "make_ipeps_loss",
+    "make_cell_loss",
     "excitation_spectrum",
     "quasiparticle_dispersion",
     "spectral_weights",

@@ -67,6 +67,10 @@ from ..ops.stabilize import dot_precision, peinsum
 _SVD_TOL = 1e-12  # relative cutoff for projector inverse sqrt weights
 
 
+def _svd_compact(m):
+    return jnp.linalg.svd(m, full_matrices=False)
+
+
 def _norm(t):
     return t / jnp.maximum(jnp.max(jnp.abs(t)), 1e-300)
 
@@ -112,9 +116,11 @@ def init_env(a):
 # --------------------------------------------------------------------- #
 
 
-def _left_move(a, env, x, chi, prec):
+def _left_move(a, env, x, chi, prec, svd_fn=_svd_compact):
     """Absorb lattice column ``x`` into the left environment; the new
-    ``C1/T4/C4`` replace those of column ``x + 1``."""
+    ``C1/T4/C4`` replace those of column ``x + 1``.  ``svd_fn`` lets
+    the variational layer substitute the degeneracy-safe decomposition
+    (:func:`contractn_tpu.ops.linalg_ad.svd_safe`) for autodiff."""
     c1, c2, c3, c4, t1, t2, t3, t4 = env
     lx, ly = len(a), len(a[0])
 
@@ -143,7 +149,7 @@ def _left_move(a, env, x, chi, prec):
         b, u2, h, r2 = q4m.shape
         q4m = q4m.reshape(b * u2, h * r2)
         f = jnp.matmul(q1m.T, q4m, precision=prec)
-        uu, ss, vh = jnp.linalg.svd(f, full_matrices=False)
+        uu, ss, vh = svd_fn(f)
         k = min(chi, f.shape[0], f.shape[1])
         uu, ss, vh = uu[:, :k], ss[:k], vh[:k]
         isq = jnp.where(ss > _SVD_TOL * ss[0],
@@ -222,11 +228,11 @@ def rotate(a, env):
     )
 
 
-def _iteration(a, env, chi, prec):
+def _iteration(a, env, chi, prec, svd_fn=_svd_compact):
     """One full CTMRG iteration: left, up, right, down sweeps."""
     for _ in range(4):
         for x in range(len(a)):
-            env = _left_move(a, env, x, chi, prec)
+            env = _left_move(a, env, x, chi, prec, svd_fn=svd_fn)
         a, env = rotate(a, env)
     return env
 

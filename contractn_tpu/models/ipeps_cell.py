@@ -221,24 +221,20 @@ def _pair_weight_cell_op(env, cell, x, y, ao_l, ao_r, op4):
     )
 
 
-def cell_energy(a_site, b_site, h2, chi, iters=150):
-    """Energy per site of ``H = sum_<ij> h2`` on the checkerboard state.
+def checkerboard_cell(a_site, b_site):
+    """The 2x2 double-layer cell ``((A, B), (B, A))`` of a pair."""
+    na, nb = peps_double_layer(a_site), peps_double_layer(b_site)
+    return ((na, nb), (nb, na))
 
-    Builds the 2x2 double-layer cell, converges the directional
-    environment once, and measures ALL EIGHT bonds of the cell (four
-    horizontal, and four vertical via one lattice rotation); the energy
-    per site is their sum divided by the four cell sites.  ``h2`` acts
-    as ``op4[s_bra_left, s_bra_right, s_ket_left, s_ket_right]`` with
-    the left factor on the left/upper site of each bond.
-    """
+
+def cell_energy_from_env(a_site, b_site, h2, cell, env):
+    """Energy per site measured in a GIVEN converged environment
+    (differentiable — used by the variational optimizer, which carries
+    its own refreshed environment)."""
     a_site = jnp.asarray(a_site)
     b_site = jnp.asarray(b_site, a_site.dtype)
     d = a_site.shape[0]
     op4 = jnp.asarray(h2, a_site.dtype).reshape(d, d, d, d)
-
-    na, nb = peps_double_layer(a_site), peps_double_layer(b_site)
-    cell = ((na, nb), (nb, na))
-    env = ctmrg_cell(cell, chi, iters=iters)
     ao_a = peps_double_layer_open(a_site)
     ao_b = peps_double_layer_open(b_site)
     opens = ((ao_a, ao_b), (ao_b, ao_a))
@@ -269,6 +265,23 @@ def cell_energy(a_site, b_site, h2, chi, iters=150):
     )
     total = total + h_bonds(cell_r, env_r, opens_r)
     return total / 4.0
+
+
+def cell_energy(a_site, b_site, h2, chi, iters=150):
+    """Energy per site of ``H = sum_<ij> h2`` on the checkerboard state.
+
+    Builds the 2x2 double-layer cell, converges the directional
+    environment once, and measures ALL EIGHT bonds of the cell (four
+    horizontal, and four vertical via one lattice rotation); the energy
+    per site is their sum divided by the four cell sites.  ``h2`` acts
+    as ``op4[s_bra_left, s_bra_right, s_ket_left, s_ket_right]`` with
+    the left factor on the left/upper site of each bond.
+    """
+    a_site = jnp.asarray(a_site)
+    b_site = jnp.asarray(b_site, a_site.dtype)
+    cell = checkerboard_cell(a_site, b_site)
+    env = ctmrg_cell(cell, chi, iters=iters)
+    return cell_energy_from_env(a_site, b_site, h2, cell, env)
 
 
 def cell_site_expectations(a_site, b_site, op, chi, iters=150):

@@ -28,16 +28,27 @@ absorptions approaches the exact fixed-point gradient geometrically
 
 TPU shape: the ENTIRE optimization — value-and-grad, optax update,
 environment carry — is one ``lax.scan`` over steps inside one jitted
-program: zero host syncs, static shapes throughout (the C4v growth
-phase runs once, before the scan).  Scope matches the C4v machinery:
-single-site rotation-invariant states (the projection
-``symmetrize_c4v`` is applied inside the loss, so the raw parameters
-are unconstrained).
+program: zero host syncs, static shapes throughout (the growth phase
+runs once, before the scan).
+
+Two ansatz classes:
+
+* :func:`variational_ipeps` — single-site C4v states through the
+  symmetric CTMRG (``eigh_safe`` adjoint; the projection
+  ``symmetrize_c4v`` is applied inside the loss, so the raw parameters
+  are unconstrained);
+* :func:`variational_ipeps_cell` — checkerboard ``(A, B)`` pairs for
+  staggered phases through the directional cell CTMRG (``svd_safe``
+  adjoint in the biorthogonal projector construction).
 
 Validated in ``tests/test_variational.py``: on the 2D TFIM the
 variational D=2 energy strictly beats the simple-update energy measured
-with the identical environment, and the gradient path is NaN-free
-despite the Z2-degenerate corner spectrum.
+with the identical environment, NaN-free despite the Z2-degenerate
+corner spectrum; on the 2D Heisenberg AFM the checkerboard flow reaches
+E = -0.6622/site at D=2 — below both the two-site-cell simple update
+(-0.6593) and the published single-site D=2 AD-iPEPS value (-0.6602;
+the second sublattice tensor is genuine extra variational freedom),
+while respecting the exact QMC bound (-0.669437).
 
 No counterpart in the reference (no autodiff, no 2D; SURVEY.md §2).
 """
@@ -155,3 +166,102 @@ def variational_ipeps(h2, bond_dim, chi, d=2, steps=200, lr=2e-3,
     e_final = float(ipeps_energy(np.asarray(a_site), h2, chi,
                                  iters=env_iters))
     return a_site, e_final, [float(x) for x in np.asarray(es)]
+
+
+# --------------------------------------------------------------------- #
+# Checkerboard-cell variational optimization (staggered phases)
+# --------------------------------------------------------------------- #
+
+
+def make_cell_loss(h2, chi, refresh_iters=8, grad_iters=6):
+    """Differentiable checkerboard energy
+    ``(pa, pb, env) -> (E, env')`` through the directional cell CTMRG
+    (untaped refresh + ``svd_safe``-differentiated tail absorptions)."""
+    from .ctmrg_cell import _converge as _cc_converge
+    from .ctmrg_cell import _iteration as _cc_iteration
+    from .ipeps_cell import cell_energy_from_env, checkerboard_cell
+    from ..ops.linalg_ad import svd_safe
+
+    h2 = jnp.asarray(h2)
+
+    def loss(pa, pb, env):
+        cell = checkerboard_cell(pa, pb)
+        prec = dot_precision(pa.dtype)
+        env0 = jax.lax.stop_gradient(
+            _cc_converge(cell, env, chi, refresh_iters))
+        cur = env0
+        for _ in range(grad_iters):
+            cur = _cc_iteration(cell, cur, chi, prec,
+                                svd_fn=lambda m: svd_safe(m))
+        e = jnp.real(cell_energy_from_env(pa, pb, h2, cell, cur))
+        return e, cur
+
+    return loss
+
+
+def variational_ipeps_cell(h2, bond_dim, chi, d=2, steps=150, lr=2e-3,
+                           optimizer=None, refresh_iters=8,
+                           grad_iters=6, init=None,
+                           su_schedule=((0.1, 150), (0.02, 150),
+                                        (0.005, 80)),
+                           env_iters=120, dtype=jnp.float64):
+    """Gradient-optimized checkerboard iPEPS (two-sublattice cell).
+
+    The staggered-phase counterpart of :func:`variational_ipeps`: two
+    unconstrained tensors ``(A, B)`` on the checkerboard, energies and
+    gradients through the directional (Corboz) cell CTMRG with the
+    degeneracy-broadened SVD adjoint in the projector construction.
+    Defaults start from the two-site-cell simple update, so gradient
+    flow can only improve its energy.  The optimization loop is one
+    jitted ``lax.scan``.
+
+    Returns ``(a_site, b_site, energy, energies)`` with ``energy`` the
+    fresh fully-converged measurement of the optimized pair.
+    """
+    import optax
+
+    from .ctmrg_cell import ctmrg_cell
+    from .ipeps_cell import (
+        cell_energy,
+        checkerboard_cell,
+        simple_update_cell,
+        su_cell_absorb,
+    )
+
+    if init is None:
+        ga, gb, lams = simple_update_cell(h2, bond_dim, d=d,
+                                          schedule=su_schedule,
+                                          dtype=dtype)
+        init = su_cell_absorb(ga, gb, lams)
+    pa = jnp.asarray(init[0], dtype)
+    pb = jnp.asarray(init[1], dtype)
+    scale = jnp.maximum(jnp.max(jnp.abs(pa)), jnp.max(jnp.abs(pb)))
+    pa, pb = pa / scale, pb / scale
+
+    env = ctmrg_cell(checkerboard_cell(pa, pb), chi, iters=env_iters)
+    opt = optimizer if optimizer is not None else optax.adam(lr)
+    params = (pa, pb)
+    opt_state = opt.init(params)
+    loss = make_cell_loss(h2, chi, refresh_iters=refresh_iters,
+                          grad_iters=grad_iters)
+
+    @jax.jit
+    def run(params, env, opt_state):
+        def body(carry, _):
+            (pa, pb), env, s = carry
+            (e, env_new), g = jax.value_and_grad(
+                lambda ps: loss(ps[0], ps[1], env), has_aux=True
+            )((pa, pb))
+            updates, s = opt.update(g, s, (pa, pb))
+            pa2, pb2 = optax.apply_updates((pa, pb), updates)
+            return ((pa2, pb2), jax.lax.stop_gradient(env_new), s), e
+
+        (ps, env, s), es = jax.lax.scan(
+            body, (params, env, opt_state), None, length=steps)
+        return ps, env, es
+
+    (pa, pb), env, es = run(params, env, opt_state)
+    e_final = float(np.real(np.asarray(
+        cell_energy(np.asarray(pa), np.asarray(pb), h2, chi,
+                    iters=env_iters))))
+    return pa, pb, e_final, [float(x) for x in np.asarray(es)]
