@@ -1,5 +1,5 @@
 from .mps import MPS
-from .mpo import MPO, mpo_from_bond_term
+from .mpo import MPO, mpo_from_bond_term, mpo_sum
 from .boundary import apply_mpo_to_mps
 from .canonical import (
     compress,
@@ -49,7 +49,15 @@ from .ipeps_cell import (
     su_cell_absorb,
 )
 from .features import one_hot, trig_features, fourier_features
-from .dmrg import dmrg, dmrg_excited, heisenberg_mpo, idmrg, tfim_mpo
+from .dmrg import (
+    dmrg,
+    dmrg_excited,
+    dmrg_sector,
+    heisenberg_mpo,
+    idmrg,
+    tfim_mpo,
+    total_sz_penalty_mpo,
+)
 from .dmrg3s import dmrg3s
 from .ensemble import dmrg_ensemble, dmrg_uniform, stack_pytrees
 from .peps import peps_tn
@@ -85,6 +93,7 @@ __all__ = [
     "MPS",
     "MPO",
     "mpo_from_bond_term",
+    "mpo_sum",
     "compress",
     "compress_fixed",
     "left_canonicalize",
@@ -138,6 +147,8 @@ __all__ = [
     "dmrg_uniform",
     "stack_pytrees",
     "dmrg_excited",
+    "dmrg_sector",
+    "total_sz_penalty_mpo",
     "idmrg",
     "tfim_mpo",
     "heisenberg_mpo",

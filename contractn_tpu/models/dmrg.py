@@ -470,3 +470,65 @@ def heisenberg_mpo(n_sites, jx=1.0, jz=1.0, dtype=jnp.float64):
     left = jnp.asarray(np.array([1.0, 0, 0, 0, 0]), dtype)
     right = jnp.asarray(np.array([0, 0, 0, 0, 1.0]), dtype)
     return MPO(cores, left, right)
+
+
+def total_sz_penalty_mpo(n_sites, q, lam=1.0, dtype=jnp.float64):
+    """MPO of ``lam * (S^z_total - q)^2`` on ``n_sites`` spin-1/2 sites.
+
+    ``(sum_i z_i - q)^2 = sum_i (z_i^2 - 2 q z_i + q^2/n)
+    + 2 sum_{i<j} z_i z_j`` with ``z = S^z = diag(1/2, -1/2)`` — a
+    width-3 triangular MPO whose INTERIOR diagonal is the identity
+    (uniform infinite-range pair coupling; finite chains only).  Adding
+    it to a U(1)-conserving Hamiltonian with :func:`~contractn_tpu.
+    models.mpo.mpo_sum` energetically pins the total-magnetization
+    sector — see :func:`dmrg_sector`.
+    """
+    z = _SZ / 2.0
+    onsite = (z @ z) - 2.0 * q * z + (q * q / n_sites) * _ID
+    w = np.zeros((2, 2, 3, 3))
+    w[:, :, 0, 0] = _ID
+    w[:, :, 2, 2] = _ID
+    w[:, :, 1, 1] = _ID  # uniform (non-decaying) pair channel
+    w[:, :, 0, 1] = z
+    w[:, :, 1, 2] = 2.0 * z
+    w[:, :, 0, 2] = onsite
+    # lam scales through the boundary vector (exact, keeps cores uniform)
+    cores = jnp.asarray(np.broadcast_to(w, (n_sites, 2, 2, 3, 3)), dtype)
+    left = jnp.asarray(np.array([lam, 0.0, 0.0]), dtype)
+    right = jnp.asarray(np.array([0.0, 0.0, 1.0]), dtype)
+    return MPO(cores, left, right)
+
+
+def dmrg_sector(mpo, mps0, q, lam=None, max_bond=None, sweeps=4,
+                **kwargs):
+    """Ground state of a U(1)-conserving ``mpo`` in the total-``S^z = q``
+    sector, by minimizing ``H + lam (S^z_tot - q)^2``.
+
+    The reported energy is the TRUE Rayleigh quotient of ``H`` on the
+    optimized state (penalty excluded); the returned ``sz_residual`` is
+    ``<(S^z_tot - q)^2>``, which should be ~0 when the sector is
+    resolved (raise ``lam`` above the neighboring-sector gap if not).
+    Spin gaps come from two calls: ``E0(q=1) - E0(q=0)``.
+
+    Returns ``(mps, energy, sz_residual)``.
+    """
+    from .mpo import mpo_sum
+
+    if lam is None:
+        # safely above typical sector gaps for O(1) couplings
+        lam = 10.0 * (1.0 + float(mps0.n_sites))
+    pen = total_sz_penalty_mpo(mps0.n_sites, q, lam=lam,
+                               dtype=jnp.asarray(mpo.cores).dtype)
+    h_tot = mpo_sum(mpo, pen)
+    mps, _, _ = dmrg(h_tot, mps0, max_bond=max_bond, sweeps=sweeps,
+                     **kwargs)
+
+    def _ray(op, state):
+        num_v, num_l = op.expectation(state)
+        den_v, den_l = state.norm_squared()
+        return float(jnp.real(num_v / den_v)) * float(
+            jnp.exp(num_l - den_l))
+
+    energy = _ray(mpo, mps)
+    residual = _ray(pen, mps) / lam
+    return mps, energy, residual

@@ -141,3 +141,32 @@ def mpo_from_bond_term(h2, n_sites, d=2, tol=1e-12, dtype=None):
     left = jnp.zeros((r + 2,), dtype).at[0].set(1.0)
     right = jnp.zeros((r + 2,), dtype).at[r + 1].set(1.0)
     return MPO(cores, left, right)
+
+
+def mpo_sum(m1, m2):
+    """``H1 + H2`` as one MPO by direct sum of the virtual channels.
+
+    Block-diagonal cores with concatenated boundary vectors represent
+    the sum EXACTLY for arbitrary MPOs (no triangularity assumptions),
+    at bond ``W1 + W2`` — compressible afterwards with
+    :func:`~contractn_tpu.models.canonical.compress_mpo` if needed.
+    Parity note: the reference has no operator algebra at all
+    (SURVEY.md §2); this mirrors standard MPO arithmetic.
+    """
+    c1, c2 = jnp.asarray(m1.cores), jnp.asarray(m2.cores)
+    if c1.shape[0] != c2.shape[0] or c1.shape[1] != c2.shape[1]:
+        raise ValueError(
+            f"mpo_sum needs matching sites/phys dims; got "
+            f"{c1.shape} vs {c2.shape}"
+        )
+    dt = jnp.result_type(c1.dtype, c2.dtype)
+    n, d, _, w1, _ = c1.shape
+    w2 = c2.shape[3]
+    cores = jnp.zeros((n, d, d, w1 + w2, w1 + w2), dt)
+    cores = cores.at[:, :, :, :w1, :w1].set(c1.astype(dt))
+    cores = cores.at[:, :, :, w1:, w1:].set(c2.astype(dt))
+    left = jnp.concatenate([jnp.asarray(m1.left, dt),
+                            jnp.asarray(m2.left, dt)])
+    right = jnp.concatenate([jnp.asarray(m1.right, dt),
+                             jnp.asarray(m2.right, dt)])
+    return MPO(cores, left, right)
