@@ -231,6 +231,7 @@ def thermal_expectation(state, op, site, d=2):
         np.kron(np.asarray(op), np.eye(d)), mps.cores.dtype
     )
     from .mpo import MPO
+    from .mpo import rayleigh as _rayleigh
 
     n = mps.n_sites
     ws = []
@@ -240,6 +241,4 @@ def thermal_expectation(state, op, site, d=2):
     mpo = MPO(jnp.asarray(np.stack(ws), mps.cores.dtype),
               jnp.ones((1,), mps.cores.dtype),
               jnp.ones((1,), mps.cores.dtype))
-    num_v, num_l = mpo.expectation(mps)
-    den_v, den_l = mps.norm_squared()
-    return float(jnp.real(num_v / den_v)) * float(jnp.exp(num_l - den_l))
+    return _rayleigh(mpo, mps)

@@ -26,6 +26,7 @@ from ..ops.krylov import (
 from ..ops.stabilize import dot_precision, peinsum
 from .mps import MPS
 from .mpo import MPO
+from .mpo import rayleigh as _rayleigh
 
 
 def _ragged_sites(mps):
@@ -272,11 +273,7 @@ def dmrg(mpo, mps0, max_bond=None, sweeps=4, orthogonal_to=(),
     # Overlap environments against each orthogonality constraint
     gs = [_ragged_sites(g) for g in orthogonal_to]
     if gs and penalty is None:
-        num_v, num_l = mpo.expectation(mps0)
-        den_v, den_l = mps0.norm_squared()
-        e0 = abs(float(jnp.real(num_v / den_v))
-                 * float(jnp.exp(num_l - den_l)))
-        penalty = 10.0 * (1.0 + e0)
+        penalty = 10.0 * (1.0 + abs(_rayleigh(mpo, mps0)))
     lg = [[None] * (n + 1) for _ in gs]
     rg = [[None] * (n + 1) for _ in gs]
     one = jnp.ones((1, 1), sites[0].dtype)
@@ -349,10 +346,7 @@ def dmrg_excited(mpo, mps0, n_states, max_bond=None, sweeps=4,
             )
         state, _, _ = dmrg(mpo, init, max_bond=max_bond, sweeps=sweeps,
                            orthogonal_to=states, penalty=penalty)
-        num_v, num_l = mpo.expectation(state)
-        den_v, den_l = state.norm_squared()
-        energy = (float(jnp.real(num_v / den_v))
-                  * float(jnp.exp(num_l - den_l)))
+        energy = _rayleigh(mpo, state)
         states.append(state)
         energies.append(energy)
     return states, energies
@@ -522,13 +516,6 @@ def dmrg_sector(mpo, mps0, q, lam=None, max_bond=None, sweeps=4,
     h_tot = mpo_sum(mpo, pen)
     mps, _, _ = dmrg(h_tot, mps0, max_bond=max_bond, sweeps=sweeps,
                      **kwargs)
-
-    def _ray(op, state):
-        num_v, num_l = op.expectation(state)
-        den_v, den_l = state.norm_squared()
-        return float(jnp.real(num_v / den_v)) * float(
-            jnp.exp(num_l - den_l))
-
-    energy = _ray(mpo, mps)
-    residual = _ray(pen, mps) / lam
+    energy = _rayleigh(mpo, mps)
+    residual = _rayleigh(pen, mps) / lam
     return mps, energy, residual

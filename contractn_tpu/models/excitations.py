@@ -284,64 +284,72 @@ def quasiparticle_dispersion(mpo_cell, ks, bond_dim=12, ground=None,
 # --------------------------------------------------------------------- #
 
 
-def _overlap_g(b, al, ar, ac, op, k, tol=1e-10):
+def _e_left_mix(al, ar):
+    """The (bra ``AL``, ket ``AR``) right-to-left mixed transfer and its
+    Frobenius adjoint: ``z'[i, j] = sum_s conj(AL_s)[i, b] z[b, k]
+    AR_s[j, k]``."""
+
+    def e_left(z):
+        t = peinsum("sjk,bk->sbj", ar, z)
+        return peinsum("sib,sbj->ij", jnp.conj(al), t)
+
+    def e_left_adj(y):
+        return peinsum("sib,ij,sjk->bk", al, y, jnp.conj(ar))
+
+    return e_left, e_left_adj
+
+
+def _deflation_pair(al, ar, dtype, iters=80):
+    """Dominant (right, left) eigenvectors of the marginal mixed
+    transfer, by power iteration — basis-independent, computed ONCE per
+    momentum and shared across every ``_overlap_g`` call."""
+    bond = al.shape[1]
+    e_left, e_left_adj = _e_left_mix(al, ar)
+
+    def power(f):
+        v0 = jnp.ones((bond, bond), dtype)
+        v0 = v0 + 0.3 * jnp.arange(bond, dtype=dtype)[None, :]
+
+        def body(_, v):
+            w = f(v)
+            return w / jnp.maximum(jnp.linalg.norm(w), 1e-300)
+
+        return jax.lax.fori_loop(0, iters, body, v0)
+
+    rv, lv = power(e_left), power(e_left_adj)
+    return rv, lv, jnp.sum(jnp.conj(lv) * rv)
+
+
+def _overlap_g(b, al, ar, ac, op, k, defl, tol=1e-10):
     """``G(B) = <Phi_k(B)| O_k |GS>`` per site (linear in ``conj(B)``).
 
-    Three position classes of the operator relative to the bra's ``B``:
-    on-site (``O AC`` against ``B``), to the right (mixed ``AR``-bra /
-    ``AL``-ket transfers, phase ``e^{+ik}`` per step), and to the left
-    (mixed ``AL``-bra / ``AR``-ket transfers, ``e^{-ik}``); both
-    geometric sums are marginal-mode GMRES solves like the excitation
-    environments.
+    Position classes of the operator relative to the bra's ``B``:
+    on-site (``O AC`` against ``B``) and strictly left (mixed
+    ``AL``-bra / ``AR``-ket transfers, ``e^{-ik}`` per step, a
+    marginal-mode GMRES solve); the strictly-right branch would start
+    from ``sum_s B_s^H AL_s`` — EXACTLY the left gauge-fixing
+    constraint, identically zero — and is omitted.  ``defl`` is the
+    precomputed :func:`_deflation_pair` (the mixed transfer is marginal,
+    ``|lam| = 1``; deflating its dominant pair keeps the solve
+    well-posed at ``k = 0``, where the physical source has no component
+    along it — connected correlators decay).
     """
     bond = al.shape[1]
     oac = peinsum("st,tij->sij", op, ac)
     # on-site
     g = peinsum("sij,sij->", jnp.conj(b), oac)
 
-    # O strictly RIGHT of B would start from sum_s B_s^H AL_s — which
-    # is EXACTLY the left gauge-fixing constraint, identically zero; the
-    # whole right branch vanishes and is omitted.
-
     # O strictly left of B: accumulate right-to-left
     z1 = peinsum("sbc,skc->bk", jnp.conj(b), ar)
     phl = jnp.exp(-1j * k)
-
-    def e_left(z):
-        # bra AL, ket AR one-site mixed transfer: z'[i, j] =
-        # sum_s conj(AL_s)[i, b] z[b, k] AR_s[j, k]
-        t = peinsum("sjk,bk->sbj", ar, z)
-        return peinsum("sib,sbj->ij", jnp.conj(al), t)
-
-    def e_left_adj(y):
-        # Frobenius adjoint of e_left
-        return peinsum("sib,ij,sjk->bk", al, y, jnp.conj(ar))
-
-    # the mixed transfer is marginal (|lam| = 1); deflate its dominant
-    # pair by power iteration so the solve is well-posed at k = 0 (the
-    # physical source has no component there — connected correlators
-    # decay — and the deflation just removes the numerical 0/0)
-    def _power(f):
-        v0 = jnp.ones((bond, bond), z1.dtype)
-        v0 = v0 + 0.3 * jnp.arange(bond, dtype=z1.dtype)[None, :]
-
-        def body(_, v):
-            w = f(v)
-            return w / jnp.maximum(jnp.linalg.norm(w), 1e-300)
-
-        return jax.lax.fori_loop(0, 80, body, v0)
-
-    rv, lv = _power(e_left), _power(e_left_adj)
-    denom = jnp.sum(jnp.conj(lv) * rv)
+    e_left, _ = _e_left_mix(al, ar)
+    rv, lv, denom = defl
 
     def deflate(x):
         return x - rv * (jnp.sum(jnp.conj(lv) * x) / denom)
 
-    def e_left_defl(z):
-        return e_left(deflate(z))
-
-    geol = _phase_solve(e_left_defl, deflate(z1), phl, (bond, bond),
-                        tol=tol)
+    geol = _phase_solve(lambda z: e_left(deflate(z)), deflate(z1),
+                        phl, (bond, bond), tol=tol)
     g = g + phl * peinsum("sab,sak,bk->", jnp.conj(al), oac,
                           deflate(geol))
     return g
@@ -399,12 +407,14 @@ def spectral_weights(ground, mpo_cell, op, k, tol=1e-10):
     n = n_t * bond
     basis = jnp.eye(n, dtype=cdt).reshape(n, n_t, bond)
 
+    defl = _deflation_pair(al, ar, cdt)
+
     @jax.jit
     def g_of(xb):
         b = jnp.matmul(vl, xb,
                        precision=jax.lax.Precision.HIGHEST
                        ).reshape(al.shape)
-        return _overlap_g(b, al, ar, ac, op, k_arr, tol=tol)
+        return _overlap_g(b, al, ar, ac, op, k_arr, defl, tol=tol)
 
     src = jax.vmap(g_of)(basis)  # src_i = <e_i, S>
     amps = jnp.matmul(jnp.conj(vecs).T, src,

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.stabilize import peinsum
-from .ctmrg_cell import ctmrg_cell, rotate
+from .ctmrg_cell import ctmrg_cell, pair_weight_h, rotate
 from .ipeps import peps_double_layer, peps_double_layer_open
 
 _LAM_TOL = 1e-9  # relative cutoff for guarded bond-weight inverses
@@ -196,14 +196,6 @@ def su_cell_absorb(gamma_a, gamma_b, lams):
 # --------------------------------------------------------------------- #
 
 
-def _pair_weight_cell(env, cell, x, y, c_left, c_right):
-    """Horizontal 1x2 patch over ``(x, y), (x+1, y)`` with the given
-    closed center tensors (mirrors ``ctmrg_cell.pair_weight_h``)."""
-    from .ctmrg_cell import pair_weight_h
-
-    return pair_weight_h(cell, env, c_left, c_right, x, y)
-
-
 def _pair_weight_cell_op(env, cell, x, y, ao_l, ao_r, op4):
     """Same patch with OPEN pair tensors ``(d, d, q, q, q, q)``
     contracted against ``op4[s1', s2', s1, s2]`` (bra first)."""
@@ -248,8 +240,8 @@ def cell_energy_from_env(a_site, b_site, h2, cell, env):
                 num = _pair_weight_cell_op(env_, cell_, x, y,
                                            opens_[x][y], opens_[x2][y],
                                            op4)
-                den = _pair_weight_cell(env_, cell_, x, y,
-                                        cell_[x][y], cell_[x2][y])
+                den = pair_weight_h(cell_, env_, cell_[x][y],
+                                    cell_[x2][y], x, y)
                 tot = tot + num / den
         return tot
 
@@ -258,10 +250,11 @@ def cell_energy_from_env(a_site, b_site, h2, cell, env):
     # the horizontal patch (open tensors rotate like sites on their
     # virtual legs: (p, P, u, l, d, r) -> (p, P, r, u, l, d)).
     cell_r, env_r = rotate(cell, env)
+    lx, ly = len(opens), len(opens[0])
     opens_r = tuple(
-        tuple(jnp.transpose(opens[(-yp) % 2][xp], (0, 1, 5, 2, 3, 4))
-              for yp in range(2))
-        for xp in range(2)
+        tuple(jnp.transpose(opens[(-yp) % lx][xp], (0, 1, 5, 2, 3, 4))
+              for yp in range(lx))
+        for xp in range(ly)
     )
     total = total + h_bonds(cell_r, env_r, opens_r)
     return total / 4.0

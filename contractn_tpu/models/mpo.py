@@ -143,6 +143,19 @@ def mpo_from_bond_term(h2, n_sites, d=2, tol=1e-12, dtype=None):
     return MPO(cores, left, right)
 
 
+def rayleigh(mpo, mps):
+    """``Re <psi|H|psi> / <psi|psi>`` as a host float, overflow-safe.
+
+    Both expectation and norm come back in split format; combining the
+    log registers BEFORE exponentiating keeps thousand-site chains
+    finite.  The single home of an idiom that previously lived at six
+    call sites.
+    """
+    num_v, num_l = mpo.expectation(mps)
+    den_v, den_l = mps.norm_squared()
+    return float(jnp.real(num_v / den_v)) * float(jnp.exp(num_l - den_l))
+
+
 def mpo_sum(m1, m2):
     """``H1 + H2`` as one MPO by direct sum of the virtual channels.
 

@@ -36,6 +36,7 @@ import numpy as np
 from ..ops.krylov import lanczos_basis as _lanczos_basis
 from ..ops.krylov import masked_tridiagonal as _masked_tridiagonal
 from ..ops.stabilize import dot_precision, peinsum
+from .mpo import rayleigh as _rayleigh
 from .dmrg import (
     _heff_matvec,
     _ragged_sites,
@@ -169,10 +170,7 @@ def tdvp_step(mpo, mps, dt, max_bond=None, imaginary=False, iters=16):
     out = _rebuild_uniform(sites, dtype)
 
     # Energy of the OUTPUT state (cheap: environments are one pass)
-    num_v, num_l = mpo.expectation(out)
-    den_v, den_l = out.norm_squared()
-    energy = float(jnp.real(num_v / den_v)) * float(jnp.exp(num_l - den_l))
-    return out, energy
+    return out, _rayleigh(mpo, out)
 
 
 def tdvp_evolve(mpo, mps0, dt, n_steps, max_bond=None, imaginary=False,
@@ -274,10 +272,7 @@ def tdvp1_step(mpo, mps, dt, imaginary=False, iters=16):
 
     dtype = np.asarray(sites[0]).dtype
     out = _rebuild_uniform(sites, dtype)
-    num_v, num_l = mpo.expectation(out)
-    den_v, den_l = out.norm_squared()
-    energy = float(jnp.real(num_v / den_v)) * float(jnp.exp(num_l - den_l))
-    return out, energy
+    return out, _rayleigh(mpo, out)
 
 
 def tdvp1_evolve(mpo, mps0, dt, n_steps, imaginary=False, iters=16):

@@ -39,12 +39,27 @@ def eigh_safe(m, eps=_EPS):
     """``(vals, vecs) = eigh(m)`` with a degeneracy-broadened VJP.
 
     Forward pass is exactly ``jnp.linalg.eigh``; only the reverse rule
-    differs (Lorentzian-broadened eigenvalue gaps).
+    differs (Lorentzian-broadened eigenvalue gaps).  REAL symmetric
+    input only — the VJP uses plain transposes and omits the complex
+    phase terms, so complex input would get silently wrong gradients;
+    it is rejected instead.
     """
+    if jnp.iscomplexobj(m):
+        raise TypeError(
+            "eigh_safe implements the REAL-symmetric VJP only; a "
+            "complex input would receive a silently wrong gradient"
+        )
     return jnp.linalg.eigh(m)
 
 
 def _eigh_fwd(m, eps):
+    # under jax.grad this fwd rule runs INSTEAD of the primal body, so
+    # the real-only guard must live here too
+    if jnp.iscomplexobj(m):
+        raise TypeError(
+            "eigh_safe implements the REAL-symmetric VJP only; a "
+            "complex input would receive a silently wrong gradient"
+        )
     vals, vecs = jnp.linalg.eigh(m)
     return (vals, vecs), (vals, vecs)
 
@@ -72,12 +87,24 @@ def svd_safe(m, eps=_EPS):
 
     Forward is ``jnp.linalg.svd(m, full_matrices=False)``; the reverse
     rule broadens both the ``1/(s_i^2 - s_j^2)`` gap factors and the
-    ``1/s`` inverses (rank deficiency), real matrices only.
+    ``1/s`` inverses (rank deficiency).  REAL matrices only (see
+    :func:`eigh_safe`); complex input is rejected rather than given a
+    silently wrong gradient.
     """
+    if jnp.iscomplexobj(m):
+        raise TypeError(
+            "svd_safe implements the REAL VJP only; a complex input "
+            "would receive a silently wrong gradient"
+        )
     return jnp.linalg.svd(m, full_matrices=False)
 
 
 def _svd_fwd(m, eps):
+    if jnp.iscomplexobj(m):  # see _eigh_fwd
+        raise TypeError(
+            "svd_safe implements the REAL VJP only; a complex input "
+            "would receive a silently wrong gradient"
+        )
     out = jnp.linalg.svd(m, full_matrices=False)
     return out, out
 

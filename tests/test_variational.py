@@ -123,3 +123,20 @@ def test_variational_cell_beats_simple_update_heisenberg():
     assert e_var < e_su - 1e-3, (e_var, e_su)
     assert e_var > -0.669437 - 1e-9  # variational bound (exact QMC)
     assert all(b <= a + 1e-4 for a, b in zip(trace, trace[1:]))
+
+
+def test_safe_decompositions_reject_complex():
+    """The broadened VJPs implement the REAL rules only; complex input
+    must raise (silently wrong gradients otherwise) — both on the
+    primal call and under jax.grad (which runs the fwd rule instead)."""
+    import pytest
+
+    m = jnp.eye(3, dtype=jnp.complex128)
+    with pytest.raises(TypeError):
+        eigh_safe(m)
+    with pytest.raises(TypeError):
+        svd_safe(m)
+    with pytest.raises(TypeError):
+        jax.grad(lambda x: jnp.sum(jnp.abs(eigh_safe(x)[0])))(m)
+    with pytest.raises(TypeError):
+        jax.grad(lambda x: jnp.sum(jnp.abs(svd_safe(x)[1])))(m)
