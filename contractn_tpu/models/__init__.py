@@ -13,6 +13,7 @@ from .canonical import (
 from .circuits import (
     CircuitState,
     tebd_evolve,
+    thermal_correlation,
     thermal_expectation,
     thermal_state,
 )
@@ -111,6 +112,7 @@ __all__ = [
     "tebd_evolve",
     "thermal_state",
     "thermal_expectation",
+    "thermal_correlation",
     "ctmrg_environment",
     "ctmrg_cell",
     "site_expectation",

@@ -221,3 +221,33 @@ def test_complex_gates_and_thermal_terms_survive():
         np.sum(wts * np.diag(vecs.conj().T @ op @ vecs)) / np.sum(wts)
     ))
     assert np.isclose(got, exact, atol=3e-3), (got, exact)
+
+
+def test_thermal_correlation_matches_dense():
+    """Finite-T dynamic correlation tr(e^{-bH} Z_1(t) Z_1)/Z on 4 sites:
+    purification + real-time Trotter vs dense matrix exponentials."""
+    from scipy.linalg import expm
+
+    from contractn_tpu.models.circuits import thermal_correlation
+    from contractn_tpu.models.itebd import tfim_h2
+
+    n, beta, site = 4, 1.0, 1
+    h2 = np.asarray(tfim_h2(j=1.0, h=1.2))
+    ham = np.zeros((2 ** n, 2 ** n))
+    for i in range(n - 1):
+        ham += np.kron(np.kron(np.eye(2 ** i), h2),
+                       np.eye(2 ** (n - i - 2)))
+    z = np.diag([1.0, -1.0])
+    obs = np.kron(np.kron(np.eye(2 ** site), z),
+                  np.eye(2 ** (n - site - 1)))
+    rho = expm(-beta * ham)
+    zf = np.trace(rho)
+
+    times, vals = thermal_correlation(h2, n, beta, z, site, t_max=1.5,
+                                      n_steps=60, max_bond=16)
+    for idx in (0, 20, 40, 60):
+        u = expm(-1j * ham * times[idx])
+        want = np.trace(rho @ (u.conj().T @ obs @ u) @ obs) / zf
+        assert abs(vals[idx] - want) < 1e-4, (times[idx], vals[idx], want)
+    # t = 0 is the static fluctuation <Z^2>_beta, real and exact
+    assert abs(vals[0].imag) < 1e-12
