@@ -50,6 +50,7 @@ from .ipeps_cell import (
     su_cell_absorb,
 )
 from .features import one_hot, trig_features, fourier_features
+from .fermions import free_fermion_energy, kitaev_chain_mpo
 from .dmrg import (
     dmrg,
     dmrg_excited,
@@ -154,6 +155,8 @@ __all__ = [
     "idmrg",
     "tfim_mpo",
     "heisenberg_mpo",
+    "kitaev_chain_mpo",
+    "free_fermion_energy",
     "sample",
     "itebd_ground_state",
     "unit_cell_core",

@@ -478,7 +478,8 @@ def total_sz_penalty_mpo(n_sites, q, lam=1.0, dtype=jnp.float64):
     sector — see :func:`dmrg_sector`.
     """
     z = _SZ / 2.0
-    onsite = (z @ z) - 2.0 * q * z + (q * q / n_sites) * _ID
+    # z^2 = I/4 exactly for spin-1/2
+    onsite = (0.25 + q * q / n_sites) * _ID - 2.0 * q * z
     w = np.zeros((2, 2, 3, 3))
     w[:, :, 0, 0] = _ID
     w[:, :, 2, 2] = _ID
