@@ -26,6 +26,8 @@ from .ctmrg import (
 from .ctmrg_cell import (
     ctmrg_cell,
     pair_expectation_h,
+    row_correlator,
+    row_transfer_spectrum,
     site_expectation,
 )
 from .decompositions import cp_tn, tucker_tn, tensor_ring_tn, mps_tn
@@ -118,6 +120,8 @@ __all__ = [
     "ctmrg_cell",
     "site_expectation",
     "pair_expectation_h",
+    "row_correlator",
+    "row_transfer_spectrum",
     "free_energy_per_site",
     "ipeps_energy",
     "ipeps_expect_bond",

@@ -326,3 +326,113 @@ def pair_expectation_h(a, env, left_imp, right_imp, x=0, y=0):
                         jnp.asarray(right_imp), x, y)
     den = pair_weight_h(a, env, a[x][y], a[x2][y], x, y)
     return num / den
+
+
+# --------------------------------------------------------------------- #
+# Row correlators and 2D correlation lengths
+# --------------------------------------------------------------------- #
+
+
+def _row_start(env, center, x, y, prec):
+    """Left cap ``[C1 T1; T4 center; C4 T3]`` -> open ``(top, q, bot)``
+    channel vector."""
+    c1, _, _, c4, t1, _, t3, t4 = env
+    return jnp.einsum(
+        "ab,auc,blg,uldr,gi,idj->crj",
+        c1[x][y], t1[x][y], t4[x][y], center, c4[x][y], t3[x][y],
+        precision=prec,
+    )
+
+
+def _row_apply(env, a, vec, x, y, prec):
+    """Absorb one interior column ``[T1; a; T3]`` into the channel."""
+    _, _, _, _, t1, _, t3, _ = env
+    t = jnp.einsum("crj,cve->vrje", vec, t1[x][y], precision=prec)
+    t = jnp.einsum("vrje,vrys->jeys", t, a[x][y], precision=prec)
+    return jnp.einsum("jeys,jyk->esk", t, t3[x][y], precision=prec)
+
+
+def _row_end(env, center, vec, x, y, prec):
+    """Close the channel with ``[T1 C2; center T2; T3 C3]``."""
+    _, c2, c3, _, t1, t2, t3, _ = env
+    return jnp.einsum(
+        "crj,cve,ef,vrys,fsh,jyk,hk->",
+        vec, t1[x][y], c2[x][y], center, t2[x][y], t3[x][y],
+        c3[x][y], precision=prec,
+    )
+
+
+def row_correlator(a, env, imp1, imp2, distances, x=0, y=0,
+                   connected=True):
+    """``<imp1_(x,y) imp2_(x+r,y)>`` along a row, for each ``r`` in
+    ``distances`` (``r >= 1``), inside the converged environment.
+
+    One left cap, ``r - 1`` column absorptions, one right cap per
+    distance — the channel is reused incrementally so the total cost is
+    ``O(max(distances))``.  ``connected=True`` subtracts
+    ``<imp1> <imp2>``.
+    """
+    lx = len(a)
+    prec = dot_precision(a[0][0].dtype)
+    distances = [int(r) for r in distances]
+    if any(r < 1 for r in distances):
+        raise ValueError("row_correlator needs distances >= 1")
+    imp1 = jnp.asarray(imp1)
+    imp2 = jnp.asarray(imp2)
+
+    def sweep(center1):
+        """Channel values for all requested r with the given start."""
+        vec = _row_start(env, center1, x, y, prec)
+        out = {}
+        for r in range(1, max(distances) + 1):
+            if r in out:
+                continue
+            xe = (x + r) % lx
+            if r in distances:
+                out[r] = (
+                    _row_end(env, imp2, vec, xe, y, prec),
+                    _row_end(env, a[xe][y], vec, xe, y, prec),
+                )
+            if r < max(distances):
+                vec = _row_apply(env, a, vec, (x + r) % lx, y, prec)
+        return out
+
+    num = sweep(imp1)
+    den = sweep(a[x][y])
+    vals = []
+    for r in distances:
+        val = (num[r][0] / den[r][1])
+        if connected:
+            e1 = site_expectation(a, env, imp1, x, y)
+            e2 = site_expectation(a, env, imp2, (x + r) % lx, y)
+            val = val - e1 * e2
+        vals.append(val)
+    return vals
+
+
+def row_transfer_spectrum(a, env, y=0, n_eigs=4):
+    """Leading eigenvalues of the row-channel transfer operator (the
+    product of the cell's ``Lx`` column maps) and the 2D correlation
+    length along the row, ``xi = -Lx / log |lam2 / lam1|`` (in lattice
+    units).
+    """
+    lx = len(a)
+    prec = dot_precision(a[0][0].dtype)
+    _, _, _, _, t1, _, t3, _ = env
+
+    def col_matrix(x):
+        m = jnp.einsum(
+            "cve,vrys,jyk->eskcrj", t1[x][y], a[x][y], t3[x][y],
+            precision=prec,
+        )
+        dim = m.shape[0] * m.shape[1] * m.shape[2]
+        return m.reshape(dim, dim)
+
+    m = col_matrix(0)
+    for x in range(1, lx):
+        m = jnp.matmul(col_matrix(x), m, precision=prec)
+    vals = jnp.linalg.eigvals(m)
+    order = jnp.argsort(-jnp.abs(vals))[:n_eigs]
+    lead = vals[order]
+    xi = -lx / jnp.log(jnp.abs(lead[1] / lead[0]))
+    return np.asarray(lead), float(xi)

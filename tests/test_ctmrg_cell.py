@@ -126,3 +126,72 @@ def test_checkerboard_afm_matches_onsager():
                                          imps[1][0], 0, 0))
     # eps = 1e-4 symmetry-breaking field shifts the correlator O(eps)
     assert np.isclose(ss_afm, -ss_fm, atol=3e-4), (ss_afm, ss_fm)
+
+
+def test_row_correlator_distance_one_equals_pair_patch():
+    beta = 0.3
+    a = ising_tensor(beta)
+    imp = ising_tensor(beta, field_op=[1.0, -1.0])
+    cell = ((a,),)
+    env = ctmrg_cell(cell, chi=16, iters=80)
+    from contractn_tpu.models.ctmrg_cell import row_correlator
+
+    c1 = row_correlator(cell, env, imp, imp, [1], connected=False)[0]
+    p1 = pair_expectation_h(cell, env, imp, imp, 0, 0)
+    assert np.isclose(float(c1), float(p1), rtol=1e-12)
+
+
+def test_transfer_spectrum_matches_onsager_correlation_length():
+    """2D Ising (T > Tc): the row-channel transfer spectrum's
+    correlation length against the exact axial Onsager value
+    ``1/xi = ln coth(beta) - 2 beta``; and the real-space correlator
+    decay agrees once the Ornstein-Zernike ``r^{-1/2}`` prefactor is
+    divided out."""
+    from contractn_tpu.models.ctmrg_cell import (
+        row_correlator,
+        row_transfer_spectrum,
+    )
+
+    beta = 0.3
+    a = ising_tensor(beta)
+    imp = ising_tensor(beta, field_op=[1.0, -1.0])
+    cell = ((a,),)
+    env = ctmrg_cell(cell, chi=24, iters=100)
+    _, xi = row_transfer_spectrum(cell, env)
+    xi_exact = 1.0 / (np.log(1.0 / np.tanh(beta)) - 2.0 * beta)
+    assert abs(xi - xi_exact) / xi_exact < 0.02, (xi, xi_exact)
+
+    cs = row_correlator(cell, env, imp, imp, [8, 10])
+    c8, c10 = (float(np.real(v)) for v in cs)
+    # pure OZ form C(r) ~ r^{-1/2} e^{-r/xi}
+    rate = (np.log(c8 / c10) - 0.5 * np.log(10.0 / 8.0)) / 2.0
+    assert abs(rate - 1.0 / xi_exact) < 0.02, (1.0 / rate, xi_exact)
+
+
+def test_quantum_row_correlator_matches_classical():
+    """sqrt-Boltzmann iPEPS <Z_0 Z_r> through the double-layer cell
+    channel == the classical correlator (two independent code paths)."""
+    from contractn_tpu.models.ctmrg_cell import row_correlator
+    from contractn_tpu.models.ipeps import peps_double_layer
+
+    beta = 0.35
+    b = np.array([[np.exp(beta / 2), np.exp(-beta / 2)],
+                  [np.exp(-beta / 2), np.exp(beta / 2)]])
+    vals, vecs = np.linalg.eigh(b)
+    w = vecs * np.sqrt(np.maximum(vals, 0.0))[None, :]
+    a_q = jnp.asarray(np.einsum("su,sl,sd,sr->suldr", w, w, w, w))
+    sz = np.diag([1.0, -1.0])
+    dl = peps_double_layer(a_q)
+    dl_imp = peps_double_layer(a_q, sz)
+    cell_q = ((dl,),)
+    env_q = ctmrg_cell(cell_q, chi=16, iters=100)
+    got = [float(np.real(v)) for v in row_correlator(
+        cell_q, env_q, dl_imp, dl_imp, [1, 3, 5])]
+
+    a_c = ising_tensor(beta)
+    imp_c = ising_tensor(beta, field_op=[1.0, -1.0])
+    cell_c = ((a_c,),)
+    env_c = ctmrg_cell(cell_c, chi=16, iters=100)
+    want = [float(np.real(v)) for v in row_correlator(
+        cell_c, env_c, imp_c, imp_c, [1, 3, 5])]
+    assert np.allclose(got, want, rtol=1e-8), (got, want)
