@@ -48,6 +48,7 @@ from .ipeps_cell import (
     cell_energy,
     cell_site_expectations,
     ipeps_cell_ground_state,
+    ipeps_cell_scan,
     simple_update_cell,
     su_cell_absorb,
 )
@@ -134,6 +135,7 @@ __all__ = [
     "cell_energy",
     "cell_site_expectations",
     "ipeps_cell_ground_state",
+    "ipeps_cell_scan",
     "tfim_bond_term_2d",
     "heisenberg_bond_term_2d",
     "variational_ipeps",

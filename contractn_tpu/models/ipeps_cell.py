@@ -312,3 +312,51 @@ def ipeps_cell_ground_state(h2, bond_dim, chi, d=2,
     a_site, b_site = su_cell_absorb(ga, gb, lams)
     return a_site, b_site, cell_energy(a_site, b_site, h2, chi,
                                        iters=iters)
+
+
+def ipeps_cell_scan(h2_batch, bond_dim, chi, d=2,
+                    schedule=((0.1, 150), (0.02, 150), (0.005, 80)),
+                    iters=120, ops=(), dtype=jnp.float64, init=None):
+    """Batched checkerboard ground states over a FAMILY of bond terms —
+    the 2D analog of :func:`~contractn_tpu.models.ensemble.dmrg_ensemble`.
+
+    The entire pipeline — Trotter gates from each ``h2``, the
+    checkerboard simple update, the directional CTMRG environment, the
+    eight-bond energy, and any requested one-site observables — is one
+    ``jit(vmap(...))`` XLA program: a 2D phase-diagram scan runs as a
+    single batched computation (MXU-batched einsums and SVDs), with the
+    per-sample code path IDENTICAL to the unbatched one (pinned by the
+    tests).
+
+    Args:
+        h2_batch: ``(B, d^2, d^2)`` bond terms.
+        ops: one-site observables ``(d, d)`` measured at cell site
+            (0, 0) of each sample.
+
+    Returns:
+        dict with ``a, b`` (batched site tensors), ``energy (B,)`` and
+        ``moments (B, len(ops))``.
+    """
+    h2_batch = jnp.asarray(h2_batch, dtype)
+    ops = tuple(jnp.asarray(o) for o in ops)
+
+    def single(h2):
+        ga, gb, lams = simple_update_cell(h2, bond_dim, d=d,
+                                          schedule=schedule,
+                                          dtype=dtype, init=init)
+        a_site, b_site = su_cell_absorb(ga, gb, lams)
+        cell = checkerboard_cell(a_site, b_site)
+        env = ctmrg_cell(cell, chi, iters=iters)
+        energy = jnp.real(
+            cell_energy_from_env(a_site, b_site, h2, cell, env))
+        from .ctmrg_cell import site_expectation
+
+        moms = [jnp.real(site_expectation(
+            cell, env, peps_double_layer(a_site, op), 0, 0))
+            for op in ops]
+        moments = (jnp.stack(moms) if moms
+                   else jnp.zeros((0,), jnp.real(energy).dtype))
+        return a_site, b_site, energy, moments
+
+    a, b, energy, moments = jax.jit(jax.vmap(single))(h2_batch)
+    return {"a": a, "b": b, "energy": energy, "moments": moments}
