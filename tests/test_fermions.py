@@ -89,3 +89,32 @@ def test_majorana_degeneracy_in_topological_phase():
     # Kitaev point (delta=t, mu=0): exact zero-mode doublet
     assert topo[1] - topo[0] < 1e-12
     assert triv[1] - triv[0] > 0.5
+
+
+def test_vumps_and_excitations_match_bdg_bulk():
+    """Thermodynamic limit: VUMPS on the Kitaev MPO reproduces the BdG
+    bulk-energy integral to machine precision, and the tangent-space
+    quasiparticle band equals the BdG dispersion at the JW-shifted
+    momentum ``omega(k) = eps_BdG(pi - k)`` (the string attaches a
+    momentum-pi offset to single fermions in the spin chain's trivial
+    parity sector)."""
+    from scipy.integrate import quad
+
+    from contractn_tpu.models import vumps
+    from contractn_tpu.models.excitations import excitation_spectrum
+
+    t, d, mu = 1.0, 0.4, 3.0  # trivial phase: single-particle gap
+    mpo = kitaev_chain_mpo(2, t, d, mu)
+    g = vumps(mpo, bond_dim=12, iters=80)
+
+    def eps(k):
+        return np.sqrt((2 * t * np.cos(k) + mu) ** 2
+                       + 4 * d * d * np.sin(k) ** 2)
+
+    e_exact = -mu / 2.0 - quad(eps, -np.pi, np.pi)[0] / (4 * np.pi)
+    assert np.isclose(g["energy"], e_exact, atol=1e-10)
+
+    for k in (0.0, 1.0, np.pi):
+        om = np.asarray(excitation_spectrum(g, mpo, k))
+        assert np.isclose(om[0], eps(np.pi - k), atol=1e-7), (
+            k, om[0], eps(np.pi - k))
