@@ -181,6 +181,17 @@ def tebd_evolve(mps, h2, t, n_steps, max_bond, imaginary=False):
 # ---------------------------------------------------------------------- #
 
 
+def _double_system_gate(g, d, dtype=None):
+    """Two-site gate on the SYSTEM half of the doubled (purification)
+    index: ``u[(s1 a1)(s2 a2), (s1' a1')(s2' a2')] = g[(s1 s2),
+    (s1' s2')] delta(a1, a1') delta(a2, a2')`` — the single home of the
+    doubling convention for thermal_state AND thermal_correlation."""
+    g4 = np.asarray(g).reshape(d, d, d, d)  # (s1, s2, s1', s2')
+    out = np.einsum("stuv,ab,cf->satcubvf", g4, np.eye(d), np.eye(d))
+    gd = out.dtype if dtype is None else np.result_type(dtype, out.dtype)
+    return jnp.asarray(out.reshape(d ** 4, d ** 4), gd)
+
+
 def thermal_state(h2, n_sites, beta, max_bond, d=2, n_steps=None,
                   dtype=jnp.float64):
     """Purified thermal state ``|psi_beta>`` with
@@ -205,17 +216,9 @@ def thermal_state(h2, n_sites, beta, max_bond, d=2, n_steps=None,
     iden = jnp.asarray(np.eye(d).reshape(d * d) / np.sqrt(d), dtype)
     state = CircuitState.product(n_sites, iden, max_bond=max_bond)
 
-    # gate on SYSTEM indices of two neighboring doubled sites:
-    # u[(s1 a1)(s2 a2), (s1' a1')(s2' a2')] =
-    #     g[(s1 s2), (s1' s2')] delta(a1, a1') delta(a2, a2')
-    def doubled(g):
-        g4 = np.asarray(g).reshape(d, d, d, d)  # (s1, s2, s1', s2')
-        out = np.einsum("stuv,ab,cf->satcubvf", g4, np.eye(d), np.eye(d))
-        gd = np.result_type(dtype, out.dtype)  # keep complex terms complex
-        return jnp.asarray(out.reshape(d ** 4, d ** 4), gd)
-
-    g_half = doubled(two_site_gate(h2, d_beta / 2.0))
-    g_full = doubled(two_site_gate(h2, d_beta))
+    g_half = _double_system_gate(two_site_gate(h2, d_beta / 2.0), d,
+                                 dtype)
+    g_full = _double_system_gate(two_site_gate(h2, d_beta), d, dtype)
     for _ in range(n_steps):
         state.apply_layer(g_half, start=0)   # even bonds, half step
         state.apply_layer(g_full, start=1)   # odd bonds, full step
@@ -276,14 +279,8 @@ def thermal_correlation(h2, n_sites, beta, op, site, t_max, n_steps,
     dt = t_max / n_steps
     coef = 1j * dt
 
-    def doubled(g):
-        g4 = np.asarray(g).reshape(d, d, d, d)
-        out = np.einsum("stuv,ab,cf->satcubvf", g4, np.eye(d),
-                        np.eye(d))
-        return jnp.asarray(out.reshape(d ** 4, d ** 4))
-
-    g_half = doubled(two_site_gate(h2, coef / 2.0))
-    g_full = doubled(two_site_gate(h2, coef))
+    g_half = _double_system_gate(two_site_gate(h2, coef / 2.0), d)
+    g_full = _double_system_gate(two_site_gate(h2, coef), d)
 
     def measure():
         bra = psi.finalize()

@@ -380,59 +380,103 @@ def row_correlator(a, env, imp1, imp2, distances, x=0, y=0,
     imp1 = jnp.asarray(imp1)
     imp2 = jnp.asarray(imp2)
 
-    def sweep(center1):
-        """Channel values for all requested r with the given start."""
+    def sweep(center1, center2_of):
+        """Channel closures at every requested r with the given caps."""
         vec = _row_start(env, center1, x, y, prec)
         out = {}
         for r in range(1, max(distances) + 1):
-            if r in out:
-                continue
             xe = (x + r) % lx
             if r in distances:
-                out[r] = (
-                    _row_end(env, imp2, vec, xe, y, prec),
-                    _row_end(env, a[xe][y], vec, xe, y, prec),
-                )
+                out[r] = _row_end(env, center2_of(xe), vec, xe, y, prec)
             if r < max(distances):
-                vec = _row_apply(env, a, vec, (x + r) % lx, y, prec)
+                vec = _row_apply(env, a, vec, xe, y, prec)
         return out
 
-    num = sweep(imp1)
-    den = sweep(a[x][y])
+    num = sweep(imp1, lambda xe: imp2)
+    den = sweep(a[x][y], lambda xe: a[xe][y])
+    if connected:
+        e1 = site_expectation(a, env, imp1, x, y)
+        e2_cache = {}
     vals = []
     for r in distances:
-        val = (num[r][0] / den[r][1])
+        val = num[r] / den[r]
         if connected:
-            e1 = site_expectation(a, env, imp1, x, y)
-            e2 = site_expectation(a, env, imp2, (x + r) % lx, y)
-            val = val - e1 * e2
+            xe = (x + r) % lx
+            if xe not in e2_cache:
+                e2_cache[xe] = site_expectation(a, env, imp2, xe, y)
+            val = val - e1 * e2_cache[xe]
         vals.append(val)
     return vals
 
 
-def row_transfer_spectrum(a, env, y=0, n_eigs=4):
-    """Leading eigenvalues of the row-channel transfer operator (the
-    product of the cell's ``Lx`` column maps) and the 2D correlation
-    length along the row, ``xi = -Lx / log |lam2 / lam1|`` (in lattice
-    units).
+def row_transfer_spectrum(a, env, y=0, iters=300):
+    """Leading two eigenvalues of the row-channel transfer operator
+    (the product of the cell's ``Lx`` column maps) and the 2D
+    correlation length along the row, ``xi = -Lx / log |lam2/lam1|``
+    (lattice units; ``inf`` when degenerate).
+
+    Device-side power iteration with transpose-eigenvector deflation —
+    the nonsymmetric dense ``eigvals`` is CPU-only in XLA, and the 1D
+    analog (:func:`~contractn_tpu.models.umps.transfer_spectrum`)
+    avoids it the same way.
     """
     lx = len(a)
     prec = dot_precision(a[0][0].dtype)
     _, _, _, _, t1, _, t3, _ = env
+    shp = (t1[0][y].shape[0], a[0][y].shape[1], t3[0][y].shape[0])
 
-    def col_matrix(x):
-        m = jnp.einsum(
-            "cve,vrys,jyk->eskcrj", t1[x][y], a[x][y], t3[x][y],
-            precision=prec,
-        )
-        dim = m.shape[0] * m.shape[1] * m.shape[2]
-        return m.reshape(dim, dim)
+    def apply_m(vec):
+        for x in range(lx):
+            vec = _row_apply(env, a, vec, x, y, prec)
+        return vec
 
-    m = col_matrix(0)
-    for x in range(1, lx):
-        m = jnp.matmul(col_matrix(x), m, precision=prec)
-    vals = jnp.linalg.eigvals(m)
-    order = jnp.argsort(-jnp.abs(vals))[:n_eigs]
-    lead = vals[order]
-    xi = -lx / jnp.log(jnp.abs(lead[1] / lead[0]))
-    return np.asarray(lead), float(xi)
+    def apply_mt(vec):
+        # plain transpose of the column maps, applied in reverse order
+        for x in reversed(range(lx)):
+            t = jnp.einsum("cve,esk->cvsk", t1[x][y], vec,
+                           precision=prec)
+            t = jnp.einsum("vrws,cvsk->crwk", a[x][y], t,
+                           precision=prec)
+            vec = jnp.einsum("jwk,crwk->crj", t3[x][y], t,
+                             precision=prec)
+        return vec
+
+    dt = a[0][y].dtype
+    v0 = jnp.ones(shp, dt)
+    v0 = v0 + 0.3 * jnp.reshape(
+        jnp.arange(np.prod(shp), dtype=dt), shp) / np.prod(shp)
+
+    def power(f, vec, defl):
+        if defl is not None:
+            w1, r1, denom = defl
+
+            def project(x):
+                return x - r1 * (jnp.sum(w1 * x) / denom)
+        else:
+            def project(x):
+                return x
+
+        def body(_, carry):
+            v, _ = carry
+            new = f(project(v))
+            lam = jnp.sum(jnp.conj(v) * new)
+            return new / jnp.maximum(jnp.linalg.norm(new), 1e-300), lam
+
+        return jax.lax.fori_loop(
+            0, iters, body, (vec, jnp.zeros((), dt)))
+
+    (r1, lam1) = power(apply_m, v0, None)
+    (w1, _) = power(apply_mt, v0, None)
+    denom = jnp.sum(w1 * r1)
+    v2 = jnp.sin(1.7 * jnp.reshape(
+        jnp.arange(np.prod(shp), dtype=dt), shp))
+    (_, lam2) = power(apply_m, v2, (w1, r1, denom))
+
+    lam1_f = complex(np.asarray(lam1))
+    lam2_f = complex(np.asarray(lam2))
+    ratio = abs(lam2_f) / abs(lam1_f) if lam1_f else 0.0
+    if ratio >= 1.0 - 1e-12 or ratio == 0.0:
+        xi = float("inf")
+    else:
+        xi = -lx / np.log(ratio)
+    return np.asarray([lam1_f, lam2_f]), float(xi)

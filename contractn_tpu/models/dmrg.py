@@ -427,7 +427,8 @@ def idmrg(mpo_cell, max_bond, steps=60, d=None, dtype=jnp.float64,
 
 _SX = np.array([[0.0, 1.0], [1.0, 0.0]])
 _SZ = np.array([[1.0, 0.0], [0.0, -1.0]])
-_SY_IM = np.array([[0.0, -1.0], [1.0, 0.0]])  # i * sigma_y (real)
+_SY_IM = np.array([[0.0, -1.0], [1.0, 0.0]])  # -i * sigma_y (real);
+# only ever used quadratically, where the overall sign cancels
 _ID = np.eye(2)
 
 

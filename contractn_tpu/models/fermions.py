@@ -22,6 +22,11 @@ Exactness anchor: these are quadratic Hamiltonians, so the OPEN-chain
 ground energy follows from the single-particle Bogoliubov-de-Gennes
 spectrum; ``free_fermion_energy`` computes it (filled negative modes /
 ``-(1/2) sum |eps_bdg|``) and the tests pin DMRG against it at 1e-9.
+In the thermodynamic limit, VUMPS on this MPO reproduces the BdG
+bulk-energy integral to machine precision, and the tangent-space
+quasiparticle band equals the BdG dispersion at the Jordan-Wigner-
+shifted momentum ``omega(k) = eps_BdG(pi - k)`` (the string attaches a
+momentum-pi offset to single fermions in the even parity sector).
 
 The reference has no fermionic (or any model) capability; SURVEY.md §2.
 """
@@ -29,10 +34,8 @@ The reference has no fermionic (or any model) capability; SURVEY.md §2.
 import jax.numpy as jnp
 import numpy as np
 
-from .dmrg import _ID, _SX, _SZ
+from .dmrg import _ID, _SX, _SY_IM, _SZ
 from .mpo import MPO
-
-_SY_IM = np.array([[0.0, 1.0], [-1.0, 0.0]])  # iY (real)
 
 
 def kitaev_chain_mpo(n_sites, t=1.0, delta=0.0, mu=0.0,

@@ -338,7 +338,25 @@ def ipeps_cell_scan(h2_batch, bond_dim, chi, d=2,
         ``moments (B, len(ops))``.
     """
     h2_batch = jnp.asarray(h2_batch, dtype)
-    ops = tuple(jnp.asarray(o) for o in ops)
+    ops_arr = (jnp.stack([jnp.asarray(o, dtype) for o in ops])
+               if ops else jnp.zeros((0, d, d), dtype))
+    if init is not None:
+        init = tuple(jnp.asarray(t, dtype) for t in init)
+    a, b, energy, moments = _scan_impl(
+        h2_batch, ops_arr, init, bond_dim, chi, d, tuple(
+            (float(t), int(n)) for t, n in schedule), int(iters))
+    return {"a": a, "b": b, "energy": energy, "moments": moments}
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _scan_impl(h2_batch, ops_arr, init, bond_dim, chi, d, schedule,
+               iters):
+    """Module-level jitted core of :func:`ipeps_cell_scan` — a stable
+    function identity, so repeated scans with the same shapes/settings
+    reuse the compiled program (remote TPU compiles cost minutes)."""
+    from .ctmrg_cell import site_expectation
+
+    dtype = h2_batch.dtype
 
     def single(h2):
         ga, gb, lams = simple_update_cell(h2, bond_dim, d=d,
@@ -349,14 +367,11 @@ def ipeps_cell_scan(h2_batch, bond_dim, chi, d=2,
         env = ctmrg_cell(cell, chi, iters=iters)
         energy = jnp.real(
             cell_energy_from_env(a_site, b_site, h2, cell, env))
-        from .ctmrg_cell import site_expectation
-
         moms = [jnp.real(site_expectation(
-            cell, env, peps_double_layer(a_site, op), 0, 0))
-            for op in ops]
+            cell, env, peps_double_layer(a_site, ops_arr[i]), 0, 0))
+            for i in range(ops_arr.shape[0])]
         moments = (jnp.stack(moms) if moms
-                   else jnp.zeros((0,), jnp.real(energy).dtype))
+                   else jnp.zeros((0,), energy.dtype))
         return a_site, b_site, energy, moments
 
-    a, b, energy, moments = jax.jit(jax.vmap(single))(h2_batch)
-    return {"a": a, "b": b, "energy": energy, "moments": moments}
+    return jax.vmap(single)(h2_batch)
