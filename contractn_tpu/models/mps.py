@@ -238,6 +238,51 @@ class MPS:
         val, log = _stab_step(val, log, 0)
         return (val, log) if split_format else destabilize(val, log)
 
+    def site_expectations(self, op):
+        """``<psi| O_i |psi> / <psi|psi>`` at EVERY site, one program.
+
+        Left and right density environments come from two
+        ``lax.scan``s (each environment renormalized per step; the
+        factors cancel in the per-site ratio, so thousand-site chains
+        never overflow), then all ``n`` one-site sandwiches evaluate as
+        one ``vmap``.  ``op (d, d)``; returns ``(n,)``.
+        """
+        from ..ops.stabilize import dot_precision
+
+        op = jnp.asarray(op)
+        prec = dot_precision(self.cores.dtype, op.dtype)
+        cores = self.cores
+
+        def lstep(rho, a):
+            new = jnp.einsum("ab,dax,dby->xy", rho, jnp.conj(a), a,
+                             precision=prec)
+            new = new / jnp.maximum(
+                jnp.max(jnp.abs(new)), 1e-300)
+            return new, rho  # emit the env BEFORE absorbing site i
+
+        l0 = jnp.outer(jnp.conj(self.left), self.left)
+        _, ls = jax.lax.scan(lstep, l0, cores)
+
+        def rstep(rho, a):
+            new = jnp.einsum("xy,dax,dby->ab", rho, jnp.conj(a), a,
+                             precision=prec)
+            new = new / jnp.maximum(
+                jnp.max(jnp.abs(new)), 1e-300)
+            return new, rho
+
+        r0 = jnp.outer(jnp.conj(self.right), self.right)
+        _, rs = jax.lax.scan(rstep, r0, cores, reverse=True)
+
+        def one(l_env, a, r_env):
+            # mixed dtypes promote inside einsum (never narrowed)
+            num = jnp.einsum("ab,sax,st,tby,xy->", l_env, jnp.conj(a),
+                             op, a, r_env, precision=prec)
+            den = jnp.einsum("ab,sax,sby,xy->", l_env, jnp.conj(a), a,
+                             r_env, precision=prec)
+            return num / den
+
+        return jax.vmap(one)(ls, cores, rs)
+
     # -- interop with the graph layer ----------------------------------- #
 
     def to_tn(self):

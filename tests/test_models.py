@@ -286,3 +286,50 @@ def test_premix_and_perphys_kernels_match_site_scan():
         assert np.allclose(got, base, rtol=1e-10), fn.__name__
         got = dense(fn(cores, left, right, x, stabilize_every=5))
         assert np.allclose(got, base, rtol=1e-10), (fn.__name__, "cadence")
+
+
+def test_site_expectations_profile():
+    """Per-site <Z_i> profile: closed form on a product MPS, and dense
+    ED comparison on the open TFIM chain's inhomogeneous magnetization
+    (edge effects make every site different)."""
+    from contractn_tpu.models.dmrg import dmrg, tfim_mpo
+
+    sz = np.diag([1.0, -1.0])
+    # product state |v>^n through from_dense
+    v = np.array([2.0, 1.0]) / np.sqrt(5.0)
+    n = 5
+    psi = np.array([1.0])
+    for _ in range(n):
+        psi = np.kron(psi, v)
+    mps = MPS.from_dense(jnp.asarray(psi), 2)
+    prof = np.asarray(mps.site_expectations(sz))
+    want = (v[0] ** 2 - v[1] ** 2)
+    assert np.allclose(prof, want, atol=1e-12)
+
+    # open TFIM chain: edge-dependent <X_i> profile vs exact ED
+    n, h = 8, 0.8
+    mpo = tfim_mpo(n, j=1.0, h=h)
+    mps0 = MPS.random(jax.random.PRNGKey(0), n, 2, 12,
+                      dtype=jnp.float64)
+    gs, _, _ = dmrg(mpo, mps0, max_bond=12, sweeps=5)
+    sx = np.array([[0.0, 1.0], [1.0, 0.0]])
+    prof_x = np.asarray(gs.site_expectations(sx))
+
+    ham = np.zeros((2 ** n, 2 ** n))
+    for i in range(n - 1):
+        zz = np.kron(np.kron(np.eye(2 ** i), np.kron(sz, sz)),
+                     np.eye(2 ** (n - i - 2)))
+        ham -= zz
+    for i in range(n):
+        ham -= h * np.kron(np.kron(np.eye(2 ** i), sx),
+                           np.eye(2 ** (n - i - 1)))
+    w, vv = np.linalg.eigh(ham)
+    g0 = vv[:, 0]
+    for i in range(n):
+        xi = np.kron(np.kron(np.eye(2 ** i), sx),
+                     np.eye(2 ** (n - i - 1)))
+        want = g0 @ xi @ g0
+        assert np.isclose(prof_x[i], want, atol=1e-8), (i, prof_x[i],
+                                                        want)
+    # edge vs bulk genuinely differ (the profile is nontrivial)
+    assert abs(prof_x[0] - prof_x[n // 2]) > 1e-3
