@@ -1,6 +1,6 @@
 from .mps import MPS
 from .mpo import MPO, mpo_from_bond_term, mpo_sum
-from .boundary import apply_mpo_to_mps
+from .boundary import apply_mpo_to_mps, peps_expectation, peps_norm
 from .canonical import (
     compress,
     compress_fixed,
@@ -105,6 +105,8 @@ __all__ = [
     "right_canonicalize",
     "mps_add",
     "apply_mpo_to_mps",
+    "peps_expectation",
+    "peps_norm",
     "compress_mpo",
     "imaginary_time_step",
     "cp_tn",

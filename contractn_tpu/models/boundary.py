@@ -238,14 +238,9 @@ def boundary_contract(tn, grid, chi=None, split_format=True):
     return destabilize(val, log)
 
 
-def peps_norm(tn, grid, chi=None, split_format=True):
-    """``<P|P>`` of an OPEN PEPS (physical modes) via the double layer.
-
-    Each double-layer site is ``T (x) conj(T)`` with the physical index
-    contracted, giving a closed grid with squared bond dimensions that the
-    boundary sweep contracts at polynomial cost.  This is how 2D quantum
-    state norms / expectation values are actually computed at scale.
-    """
+def _double_layer_grid(grid, op=None, site=None):
+    """Closed double-layer tensor grid of an open PEPS, optionally with
+    a one-site operator inserted between the layers at ``site``."""
     rows, cols = len(grid), len(grid[0])
     expected_ndim = {
         (True, True): 2, (True, False): 3, (False, True): 3,
@@ -259,7 +254,7 @@ def peps_norm(tn, grid, chi=None, split_format=True):
             corner = (r in (0, rows - 1), c in (0, cols - 1))
             if node.ndim != expected_ndim[corner] + 1:
                 raise ValueError(
-                    "peps_norm expects an open grid (phys_dim set)"
+                    "expected an open grid (phys_dim set)"
                 )
             t = np.asarray(node.tensor)
             # pad the four virtual bonds (phys stays last)
@@ -271,12 +266,49 @@ def peps_norm(tn, grid, chi=None, split_format=True):
                 t = t[:, :, None]
             if c == cols - 1:
                 t = t[:, :, :, None]
-            dbl = np.einsum("uldrp,ULDRp->uUlLdDrR", t, np.conj(t))
+            if op is not None and (r, c) == tuple(site):
+                # <bra| O |ket>: O[P, p] with the bra index first
+                dbl = np.einsum("uldrp,Pp,ULDRP->uUlLdDrR",
+                                t, np.asarray(op), np.conj(t))
+            else:
+                dbl = np.einsum("uldrp,ULDRp->uUlLdDrR", t, np.conj(t))
             s = t.shape
             row_list.append(
                 dbl.reshape(s[0] ** 2, s[1] ** 2, s[2] ** 2, s[3] ** 2)
             )
         tensor_grid.append(row_list)
+    return tensor_grid
+
+
+def peps_expectation(tn, grid, op, site, chi=None):
+    """``<P| O_site |P> / <P|P>`` for an open finite PEPS.
+
+    Two boundary-MPS sweeps (impurity and norm) of the double-layer
+    grid; ``op (d, d)``, ``site = (row, col)``.  Validated against the
+    dense contraction of the same PEPS in ``tests/test_boundary.py``.
+    """
+    rows, cols = len(grid), len(grid[0])
+    r, c = site
+    if not (0 <= r < rows and 0 <= c < cols):
+        raise ValueError(f"site {site} outside the {rows}x{cols} grid")
+    num_v, num_l = _sweep_dispatch(
+        _double_layer_grid(grid, op=op, site=site), chi)
+    den_v, den_l = _sweep_dispatch(_double_layer_grid(grid), chi)
+    return (num_v / den_v) * jnp.exp(num_l - den_l)
+
+
+def peps_norm(tn, grid, chi=None, split_format=True):
+    """``<P|P>`` of an OPEN PEPS (physical modes) via the double layer.
+
+    Each double-layer site is ``T (x) conj(T)`` with the physical index
+    contracted, giving a closed grid with squared bond dimensions that the
+    boundary sweep contracts at polynomial cost.  This is how 2D quantum
+    state norms / expectation values are actually computed at scale.
+    """
+    try:
+        tensor_grid = _double_layer_grid(grid)
+    except ValueError:
+        raise ValueError("peps_norm expects an open grid (phys_dim set)")
     val, log = _sweep_dispatch(tensor_grid, chi)
     if split_format:
         return val, log

@@ -172,3 +172,26 @@ def test_scanned_sweep_large_grid_no_overflow():
     v, log = boundary_contract(tn, grid, chi=8)
     assert np.isfinite(float(v)) and np.isfinite(float(log))
     assert abs(float(v)) > 0
+
+
+def test_peps_expectation_matches_dense_oracle():
+    """One-site observables of a random open PEPS via two boundary
+    sweeps == the dense contraction of the same network (row-major
+    dangler order pins the flat-index mapping)."""
+    from contractn_tpu.models.boundary import peps_expectation
+
+    rng = np.random.default_rng(0)
+    tn, grid = peps_tn(2, 3, bond_dim=2, phys_dim=2, rng=rng)
+    psi = np.asarray(tn.contract(split_format=False)).reshape(-1)
+    sz = np.diag([1.0, -1.0])
+    for site, flat in [((0, 0), 0), ((1, 2), 5), ((0, 1), 1)]:
+        got = complex(np.asarray(peps_expectation(tn, grid, sz, site)))
+        op_full = np.eye(1)
+        for k in range(6):
+            op_full = np.kron(op_full, sz if k == flat else np.eye(2))
+        want = (psi.conj() @ op_full @ psi) / (psi.conj() @ psi)
+        assert abs(got - want) < 1e-12, (site, got, want)
+    import pytest
+
+    with pytest.raises(ValueError):
+        peps_expectation(tn, grid, sz, (5, 0))
