@@ -248,10 +248,13 @@ def thermal_expectation(state, op, site, d=2):
 
 
 def thermal_correlation(h2, n_sites, beta, op, site, t_max, n_steps,
-                        max_bond, d=2, dtype=jnp.float64):
+                        max_bond, d=2, site2=None, dtype=jnp.float64):
     """Finite-temperature dynamic correlation function via purification:
 
-        ``C(t) = tr(e^{-beta H} O_site(t) O_site) / Z``.
+        ``C(t) = tr(e^{-beta H} O_site2(t) O_site) / Z``
+
+    (``site2`` defaults to ``site``; distinct sites give the
+    spatially-resolved response ``C_{ij}(t)``).
 
     Workflow (all existing machinery composed): build the purified
     thermal state, create ``|phi> = (O x 1_ancilla)_site |psi_beta>``,
@@ -268,6 +271,7 @@ def thermal_correlation(h2, n_sites, beta, op, site, t_max, n_steps,
     """
     from .itebd import two_site_gate
 
+    site2 = site if site2 is None else site2
     psi = thermal_state(h2, n_sites, beta, max_bond, d=d, dtype=dtype)
     psi.log_norm = 0.0  # the base purification norm cancels in the ratio
     op_doubled = jnp.asarray(
@@ -285,7 +289,7 @@ def thermal_correlation(h2, n_sites, beta, op, site, t_max, n_steps,
     def measure():
         bra = psi.finalize()
         ket_state = CircuitState(list(phi.sites))
-        ket_state.apply_gate(op_doubled, site)
+        ket_state.apply_gate(op_doubled, site2)
         ket = ket_state.finalize()
         num_v, num_l = bra.inner(ket)
         den_v, den_l = bra.norm_squared()

@@ -251,3 +251,13 @@ def test_thermal_correlation_matches_dense():
         assert abs(vals[idx] - want) < 1e-4, (times[idx], vals[idx], want)
     # t = 0 is the static fluctuation <Z^2>_beta, real and exact
     assert abs(vals[0].imag) < 1e-12
+
+    # spatially-resolved variant: O at site 0, measured at site 2
+    t2, v2 = thermal_correlation(h2, n, beta, z, 0, t_max=1.0,
+                                 n_steps=40, max_bond=16, site2=2)
+    obs2 = np.kron(np.kron(np.eye(4), z), np.eye(2))
+    obs0 = np.kron(z, np.eye(8))
+    for idx in (0, 20, 40):
+        u = expm(-1j * ham * t2[idx])
+        want = np.trace(rho @ (u.conj().T @ obs2 @ u) @ obs0) / zf
+        assert abs(v2[idx] - want) < 1e-3, (t2[idx], v2[idx], want)
