@@ -420,3 +420,27 @@ def spectral_weights(ground, mpo_cell, op, k, tol=1e-10):
     amps = jnp.matmul(jnp.conj(vecs).T, src,
                       precision=jax.lax.Precision.HIGHEST)
     return omegas - lam0, jnp.abs(amps) ** 2
+
+
+def dynamic_structure_factor(ground, mpo_cell, op, ks, omegas,
+                             eta=0.05, tol=1e-10):
+    """Lorentzian-broadened ``S(k, w)`` map from the tangent-space
+    poles: ``S(k, w) = sum_a weight_a(k) * (eta/pi) / ((w - w_a)^2 +
+    eta^2)``.
+
+    One :func:`spectral_weights` diagonalization per momentum; the
+    returned array is ``(len(ks), len(omegas))``, ready for plotting a
+    spectral-function intensity map.  Exact pole positions/weights are
+    available from :func:`spectral_weights` directly.
+    """
+    ks = np.atleast_1d(np.asarray(ks, float))
+    omegas = np.asarray(omegas, float)
+    out = np.zeros((ks.size, omegas.size))
+    for i, k in enumerate(ks):
+        om, wt = spectral_weights(ground, mpo_cell, op, float(k),
+                                  tol=tol)
+        om, wt = np.asarray(om), np.asarray(wt)
+        lor = (eta / np.pi) / (
+            (omegas[None, :] - om[:, None]) ** 2 + eta * eta)
+        out[i] = wt @ lor
+    return out

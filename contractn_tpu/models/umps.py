@@ -211,3 +211,26 @@ def expect_local(core, op, iters=300):
     den = lam1 * jnp.trace(jnp.matmul(left, r, precision=prec))
     val = complex(np.asarray(num)) / complex(np.asarray(den))
     return val if np.iscomplexobj(np.asarray(core)) else float(val.real)
+
+
+def static_structure_factor(core, op, ks, max_distance=60, iters=300):
+    """``S(k) = sum_x e^{ikx} <O_0 O_x>_c`` of a uniform MPS.
+
+    Connected real-space correlators out to ``max_distance`` (plus the
+    on-site ``<O^2> - <O>^2`` term) cosine-transformed at each momentum
+    — adequate whenever ``max_distance >> xi``.  For gapped states this
+    equals the total tangent-space spectral weight
+    (:func:`~contractn_tpu.models.excitations.spectral_weights`)
+    identically; the tests pin that sum rule.
+    """
+    op = jnp.asarray(op)
+    xs = list(range(1, int(max_distance) + 1))
+    cx = np.real(np.asarray(correlate(core, op, op, xs, iters=iters)))
+    m1 = expect_local(core, op, iters=iters)
+    prec = dot_precision(core.dtype)
+    op2 = jnp.einsum("st,tu->su", op, op, precision=prec)
+    m2 = expect_local(core, op2, iters=iters)
+    c0 = float(np.real(m2)) - float(np.real(m1)) ** 2
+    ks = np.atleast_1d(np.asarray(ks, float))
+    out = c0 + 2.0 * np.cos(np.outer(ks, xs)) @ cx
+    return out if out.shape != (1,) else float(out[0])

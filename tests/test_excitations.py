@@ -106,24 +106,31 @@ def test_spectral_weights_sum_rule():
     machinery, the deflated momentum solves (k = 0 included), and the
     transfer-spectrum correlators.  Deep in the paramagnet the lowest
     pole carries essentially all of it (Z creates one quasiparticle)."""
-    from contractn_tpu.models.excitations import spectral_weights
-    from contractn_tpu.models.umps import correlate, expect_local
+    from contractn_tpu.models.excitations import (
+        dynamic_structure_factor,
+        spectral_weights,
+    )
+    from contractn_tpu.models.umps import static_structure_factor
 
     h = 3.0  # deep paramagnet
     mpo = tfim_mpo(2, j=1.0, h=h)
     ground = vumps(mpo, bond_dim=8, iters=60)
     z = np.diag([1.0, -1.0])
-    for k in (0.0, 1.0, np.pi):
+    ks = (0.0, 1.0, np.pi)
+    sks = static_structure_factor(ground["al"], z, ks)
+    for k, sk in zip(ks, sks):
         om, wt = spectral_weights(ground, mpo, z, k)
         om, wt = np.asarray(om), np.asarray(wt)
         assert not np.any(np.isnan(wt))
-        # static structure factor S(k) = sum_j e^{ikj} <Z_0 Z_j>_c
-        js = np.arange(1, 40)
-        cj = np.asarray(correlate(ground["al"], z, z, js))
-        mz = float(expect_local(ground["al"], z))
-        c0 = 1.0 - mz * mz  # Z^2 = I on site
-        sk = c0 + 2.0 * np.sum(np.cos(k * js) * np.real(cj))
         total = float(wt.sum())
         assert np.isclose(total, sk, rtol=1e-6), (k, total, sk)
         # the weight is concentrated in the lowest (single-mode) pole
         assert wt[0] > 0.99 * total, (k, wt[:4], total)
+
+    # the broadened S(k, w) map integrates back to S(k) (Lorentzian
+    # tails leak a couple of percent at this eta/grid)
+    om_grid = np.linspace(0.0, 25.0, 600)
+    smap = dynamic_structure_factor(ground, mpo, z, [1.0], om_grid,
+                                    eta=0.05)
+    integral = np.trapezoid(smap[0], om_grid)
+    assert abs(integral - sks[1]) / sks[1] < 0.05, (integral, sks[1])
