@@ -442,5 +442,5 @@ def dynamic_structure_factor(ground, mpo_cell, op, ks, omegas,
         om, wt = np.asarray(om), np.asarray(wt)
         lor = (eta / np.pi) / (
             (omegas[None, :] - om[:, None]) ** 2 + eta * eta)
-        out[i] = wt @ lor
+        out[i] = np.sum(wt[:, None] * lor, axis=0)
     return out

@@ -232,5 +232,7 @@ def static_structure_factor(core, op, ks, max_distance=60, iters=300):
     m2 = expect_local(core, op2, iters=iters)
     c0 = float(np.real(m2)) - float(np.real(m1)) ** 2
     ks = np.atleast_1d(np.asarray(ks, float))
-    out = c0 + 2.0 * np.cos(np.outer(ks, xs)) @ cx
+    # host-side float64 numpy sum (no device matmul precision concerns)
+    out = c0 + 2.0 * np.sum(np.cos(np.outer(ks, xs)) * cx[None, :],
+                            axis=1)
     return out if out.shape != (1,) else float(out[0])
