@@ -238,46 +238,45 @@ def boundary_contract(tn, grid, chi=None, split_format=True):
     return destabilize(val, log)
 
 
-def _double_layer_grid(grid, op=None, site=None):
-    """Closed double-layer tensor grid of an open PEPS, optionally with
-    a one-site operator inserted between the layers at ``site``."""
-    rows, cols = len(grid), len(grid[0])
+def _double_layer_site(grid, r, c, rows, cols, op=None):
+    """One closed double-layer site of an open PEPS, optionally with a
+    one-site operator inserted between the layers."""
     expected_ndim = {
         (True, True): 2, (True, False): 3, (False, True): 3,
         (False, False): 4,
     }
-    tensor_grid = []
-    for r in range(rows):
-        row_list = []
-        for c in range(cols):
-            node = grid[r][c]
-            corner = (r in (0, rows - 1), c in (0, cols - 1))
-            if node.ndim != expected_ndim[corner] + 1:
-                raise ValueError(
-                    "expected an open grid (phys_dim set)"
-                )
-            t = np.asarray(node.tensor)
-            # pad the four virtual bonds (phys stays last)
-            if r == 0:
-                t = t[None]
-            if c == 0:
-                t = t[:, None]
-            if r == rows - 1:
-                t = t[:, :, None]
-            if c == cols - 1:
-                t = t[:, :, :, None]
-            if op is not None and (r, c) == tuple(site):
-                # <bra| O |ket>: O[P, p] with the bra index first
-                dbl = np.einsum("uldrp,Pp,ULDRP->uUlLdDrR",
-                                t, np.asarray(op), np.conj(t))
-            else:
-                dbl = np.einsum("uldrp,ULDRp->uUlLdDrR", t, np.conj(t))
-            s = t.shape
-            row_list.append(
-                dbl.reshape(s[0] ** 2, s[1] ** 2, s[2] ** 2, s[3] ** 2)
-            )
-        tensor_grid.append(row_list)
-    return tensor_grid
+    node = grid[r][c]
+    corner = (r in (0, rows - 1), c in (0, cols - 1))
+    if node.ndim != expected_ndim[corner] + 1:
+        raise ValueError("expected an open grid (phys_dim set)")
+    t = np.asarray(node.tensor)
+    # pad the four virtual bonds (phys stays last)
+    if r == 0:
+        t = t[None]
+    if c == 0:
+        t = t[:, None]
+    if r == rows - 1:
+        t = t[:, :, None]
+    if c == cols - 1:
+        t = t[:, :, :, None]
+    if op is not None:
+        # <bra| O |ket>: O[P, p] with the bra index first
+        dbl = np.einsum("uldrp,Pp,ULDRP->uUlLdDrR",
+                        t, np.asarray(op), np.conj(t))
+    else:
+        dbl = np.einsum("uldrp,ULDRp->uUlLdDrR", t, np.conj(t))
+    s = t.shape
+    return dbl.reshape(s[0] ** 2, s[1] ** 2, s[2] ** 2, s[3] ** 2)
+
+
+def _double_layer_grid(grid):
+    """Closed double-layer tensor grid of an open PEPS."""
+    rows, cols = len(grid), len(grid[0])
+    return [
+        [_double_layer_site(grid, r, c, rows, cols)
+         for c in range(cols)]
+        for r in range(rows)
+    ]
 
 
 def peps_expectation(tn, grid, op, site, chi=None):
@@ -291,9 +290,16 @@ def peps_expectation(tn, grid, op, site, chi=None):
     r, c = site
     if not (0 <= r < rows and 0 <= c < cols):
         raise ValueError(f"site {site} outside the {rows}x{cols} grid")
-    num_v, num_l = _sweep_dispatch(
-        _double_layer_grid(grid, op=op, site=site), chi)
-    den_v, den_l = _sweep_dispatch(_double_layer_grid(grid), chi)
+    norm_grid = _double_layer_grid(grid)
+    # the impurity grid differs at exactly one site: build just that one
+    dressed = _double_layer_site(grid, r, c, rows, cols, op=op)
+    num_grid = [
+        [dressed if (rr, cc) == (r, c) else norm_grid[rr][cc]
+         for cc in range(cols)]
+        for rr in range(rows)
+    ]
+    num_v, num_l = _sweep_dispatch(num_grid, chi)
+    den_v, den_l = _sweep_dispatch(norm_grid, chi)
     return (num_v / den_v) * jnp.exp(num_l - den_l)
 
 
@@ -305,10 +311,7 @@ def peps_norm(tn, grid, chi=None, split_format=True):
     boundary sweep contracts at polynomial cost.  This is how 2D quantum
     state norms / expectation values are actually computed at scale.
     """
-    try:
-        tensor_grid = _double_layer_grid(grid)
-    except ValueError:
-        raise ValueError("peps_norm expects an open grid (phys_dim set)")
+    tensor_grid = _double_layer_grid(grid)
     val, log = _sweep_dispatch(tensor_grid, chi)
     if split_format:
         return val, log

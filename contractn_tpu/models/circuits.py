@@ -272,6 +272,11 @@ def thermal_correlation(h2, n_sites, beta, op, site, t_max, n_steps,
     from .itebd import two_site_gate
 
     site2 = site if site2 is None else site2
+    for name, val in (("site", site), ("site2", site2)):
+        if not 0 <= val < n_sites:
+            raise ValueError(
+                f"{name} must satisfy 0 <= {name} < {n_sites}, got {val}"
+            )
     psi = thermal_state(h2, n_sites, beta, max_bond, d=d, dtype=dtype)
     psi.log_norm = 0.0  # the base purification norm cancels in the ratio
     op_doubled = jnp.asarray(

@@ -434,7 +434,7 @@ def dynamic_structure_factor(ground, mpo_cell, op, ks, omegas,
     available from :func:`spectral_weights` directly.
     """
     ks = np.atleast_1d(np.asarray(ks, float))
-    omegas = np.asarray(omegas, float)
+    omegas = np.atleast_1d(np.asarray(omegas, float))
     out = np.zeros((ks.size, omegas.size))
     for i, k in enumerate(ks):
         om, wt = spectral_weights(ground, mpo_cell, op, float(k),
@@ -442,5 +442,5 @@ def dynamic_structure_factor(ground, mpo_cell, op, ks, omegas,
         om, wt = np.asarray(om), np.asarray(wt)
         lor = (eta / np.pi) / (
             (omegas[None, :] - om[:, None]) ** 2 + eta * eta)
-        out[i] = np.sum(wt[:, None] * lor, axis=0)
+        out[i] = np.matmul(wt, lor)
     return out

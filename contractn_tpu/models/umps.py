@@ -223,16 +223,28 @@ def static_structure_factor(core, op, ks, max_distance=60, iters=300):
     (:func:`~contractn_tpu.models.excitations.spectral_weights`)
     identically; the tests pin that sum rule.
     """
-    op = jnp.asarray(op)
+    op = jnp.asarray(op, core.dtype)
     xs = list(range(1, int(max_distance) + 1))
     cx = np.real(np.asarray(correlate(core, op, op, xs, iters=iters)))
-    m1 = expect_local(core, op, iters=iters)
+    # one transfer-spectrum solve serves both on-site moments (the
+    # correlate() call above needs its own distance-resolved scan)
+    spec = transfer_spectrum(core, iters=iters)
+    left, r, lam1 = spec["l"], spec["r"], spec["lam1"]
     prec = dot_precision(core.dtype)
-    op2 = jnp.einsum("st,tu->su", op, op, precision=prec)
-    m2 = expect_local(core, op2, iters=iters)
-    c0 = float(np.real(m2)) - float(np.real(m1)) ** 2
+
+    def local(o):
+        x = jnp.einsum("st,tij->sij", o, core, precision=prec)
+        x = jnp.einsum("sij,jk->sik", x, r, precision=prec)
+        t_o_r = jnp.einsum("sik,slk->il", x, jnp.conj(core),
+                           precision=prec)
+        num = jnp.trace(jnp.matmul(left, t_o_r, precision=prec))
+        den = lam1 * jnp.trace(jnp.matmul(left, r, precision=prec))
+        return float(np.real(np.asarray(num / den)))
+
+    m1 = local(op)
+    m2 = local(jnp.einsum("st,tu->su", op, op, precision=prec))
+    c0 = m2 - m1 * m1
+    scalar_in = np.ndim(ks) == 0
     ks = np.atleast_1d(np.asarray(ks, float))
-    # host-side float64 numpy sum (no device matmul precision concerns)
-    out = c0 + 2.0 * np.sum(np.cos(np.outer(ks, xs)) * cx[None, :],
-                            axis=1)
-    return out if out.shape != (1,) else float(out[0])
+    out = c0 + 2.0 * np.matmul(np.cos(np.outer(ks, xs)), cx)
+    return float(out[0]) if scalar_in else out
