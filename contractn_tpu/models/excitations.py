@@ -207,21 +207,12 @@ def _dense_heff(vl, al, ar, c, fl, fr, w, k, is_zero, eye_diag,
     return 0.5 * (h + jnp.conj(h).T)
 
 
-def excitation_spectrum(ground, mpo_cell, k, tol=1e-10):
-    """All quasiparticle bands at momentum ``k`` above a VUMPS ground
-    state.
-
-    Args:
-        ground: the dict returned by :func:`~contractn_tpu.models.
-            vumps.vumps` (keys ``al, ar, c, energy``).
-        mpo_cell: the SAME MPO handed to VUMPS (uniform triangular
-            bulk; its ``cores[0]`` is used).
-        k: momentum in ``[-pi, pi]``.
-
-    Returns:
-        ascending ``((d-1) D^2,)`` array of excitation energies
-        relative to the ground state.
-    """
+def prepare_excitations(ground, mpo_cell, tol=1e-10):
+    """Momentum-INDEPENDENT preparation for the excitation machinery:
+    energy-subtracted MPO, ground environments, tangent basis, sparsity
+    masks, and the regularization constant ``lam0`` — computed once and
+    reused across every momentum (the GMRES environment solves are the
+    expensive part)."""
     al, ar, c = ground["al"], ground["ar"], ground["c"]
     e0 = ground["energy"]
     w = jnp.asarray(mpo_cell.cores[0])
@@ -252,10 +243,37 @@ def excitation_spectrum(ground, mpo_cell, k, tol=1e-10):
         jnp.sum(jnp.conj(ac) * _h_ac(fl, w, fr, ac))
         / jnp.sum(jnp.conj(ac) * ac)
     )
-    h = _dense_heff(vl, al, ar, c, fl, fr, w,
-                    jnp.asarray(float(k), cdt), is_zero, eye_diag,
-                    tol=tol)
-    return jnp.linalg.eigvalsh(h) - lam0
+    return {
+        "al": al, "ar": ar, "c": c, "ac": ac, "w": w, "fl": fl,
+        "fr": fr, "vl": vl, "is_zero": is_zero, "eye_diag": eye_diag,
+        "lam0": lam0, "cdt": cdt,
+    }
+
+
+def excitation_spectrum(ground, mpo_cell, k, tol=1e-10, prep=None):
+    """All quasiparticle bands at momentum ``k`` above a VUMPS ground
+    state.
+
+    Args:
+        ground: the dict returned by :func:`~contractn_tpu.models.
+            vumps.vumps` (keys ``al, ar, c, energy``).
+        mpo_cell: the SAME MPO handed to VUMPS (uniform triangular
+            bulk; its ``cores[0]`` is used).
+        k: momentum in ``[-pi, pi]``.
+        prep: optional :func:`prepare_excitations` result — pass it
+            when evaluating many momenta to skip the k-independent
+            environment solves.
+
+    Returns:
+        ascending ``((d-1) D^2,)`` array of excitation energies
+        relative to the ground state.
+    """
+    p = prep if prep is not None else prepare_excitations(
+        ground, mpo_cell, tol=tol)
+    h = _dense_heff(p["vl"], p["al"], p["ar"], p["c"], p["fl"],
+                    p["fr"], p["w"], jnp.asarray(float(k), p["cdt"]),
+                    p["is_zero"], p["eye_diag"], tol=tol)
+    return jnp.linalg.eigvalsh(h) - p["lam0"]
 
 
 def quasiparticle_dispersion(mpo_cell, ks, bond_dim=12, ground=None,
@@ -271,9 +289,10 @@ def quasiparticle_dispersion(mpo_cell, ks, bond_dim=12, ground=None,
     """
     if ground is None:
         ground = vumps(mpo_cell, bond_dim, **vumps_kwargs)
+    prep = prepare_excitations(ground, mpo_cell, tol=tol)
     omegas = np.stack([
-        np.asarray(excitation_spectrum(ground, mpo_cell, k,
-                                       tol=tol))[:n_bands]
+        np.asarray(excitation_spectrum(ground, mpo_cell, k, tol=tol,
+                                       prep=prep))[:n_bands]
         for k in ks
     ])
     return ground, omegas
@@ -372,35 +391,18 @@ def spectral_weights(ground, mpo_cell, op, k, tol=1e-10):
         ``(omegas, weights)`` — ascending energies and the matching
         per-site pole weights.
     """
-    al, ar, c = ground["al"], ground["ar"], ground["c"]
-    ac, e0 = ground["ac"], ground["energy"]
-    w = jnp.asarray(mpo_cell.cores[0])
+    p = prepare_excitations(ground, mpo_cell, tol=tol)
+    al, ar, c, ac, w = p["al"], p["ar"], p["c"], p["ac"], p["w"]
+    vl, fl, fr, cdt = p["vl"], p["fl"], p["fr"], p["cdt"]
     d = w.shape[0]
-    w = w.at[:, :, 0, -1].add(-e0 * jnp.eye(d, dtype=w.dtype))
-    cdt = jnp.result_type(al.dtype, jnp.complex64)
-    al, ar, c, ac, w = (t.astype(cdt) for t in (al, ar, c, ac, w))
     op = jnp.asarray(op, cdt)
     # subtract the disconnected part so G measures the CONNECTED weight
     op = op - (peinsum("st,tij,sij->", op, ac, jnp.conj(ac))
                / peinsum("sij,sij->", ac, jnp.conj(ac))
                ) * jnp.eye(d, dtype=cdt)
-    fl, fr, _ = mpo_environments(al, ar, c, w, tol=tol)
-    vl = _null_space_left(al)
-    w_np = np.asarray(w)
-    nw = w_np.shape[2]
-    is_zero = tuple(tuple(bool(v) for v in row)
-                    for row in (np.abs(w_np).sum(axis=(0, 1)) == 0.0))
-    eye_diag = tuple(
-        bool(np.allclose(w_np[:, :, ch, ch], np.eye(d)))
-        for ch in range(nw)
-    )
-    lam0 = jnp.real(
-        jnp.sum(jnp.conj(ac) * _h_ac(fl, w, fr, ac))
-        / jnp.sum(jnp.conj(ac) * ac)
-    )
     k_arr = jnp.asarray(float(k), cdt)
-    h = _dense_heff(vl, al, ar, c, fl, fr, w, k_arr, is_zero, eye_diag,
-                    tol=tol)
+    h = _dense_heff(vl, al, ar, c, fl, fr, w, k_arr, p["is_zero"],
+                    p["eye_diag"], tol=tol)
     omegas, vecs = jnp.linalg.eigh(h)
 
     n_t, bond = vl.shape[1], al.shape[1]
@@ -419,7 +421,7 @@ def spectral_weights(ground, mpo_cell, op, k, tol=1e-10):
     src = jax.vmap(g_of)(basis)  # src_i = <e_i, S>
     amps = jnp.matmul(jnp.conj(vecs).T, src,
                       precision=jax.lax.Precision.HIGHEST)
-    return omegas - lam0, jnp.abs(amps) ** 2
+    return omegas - p["lam0"], jnp.abs(amps) ** 2
 
 
 def dynamic_structure_factor(ground, mpo_cell, op, ks, omegas,
