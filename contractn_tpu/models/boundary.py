@@ -159,9 +159,34 @@ def _boundary_sweep_scanned(tensor_grid, chi):
     return val, log + total_log
 
 
+def _single_row_sweep(row):
+    """A 1-row grid is a plain matrix chain over the horizontal bonds.
+
+    ``_boundary_sweep`` would use row 0 both as the opening boundary and
+    as the closing row (squaring the value), so the single-row case gets
+    its own stabilized left-to-right product.  Returns split-format
+    ``(mantissa, log)`` with mean ``|mantissa| = 1``.
+    """
+    v = row[0][0, :, 0, :]  # (left=1, right)
+    log = 0.0
+    for t in row[1:]:
+        v = v @ t[0, :, 0, :]
+        norm = float(np.mean(np.abs(v)))
+        if norm > 1e-7:
+            v = v / norm
+            log += np.log(norm)
+    val = v[0, 0]
+    mag = abs(val)
+    if mag > 1e-7:
+        val, log = val / mag, log + np.log(mag)
+    return jnp.asarray(val), jnp.asarray(log)
+
+
 def _sweep_dispatch(tensor_grid, chi):
     """Scanned device-side sweep when a fixed ``chi`` is given and the
     grid is uniform; exact host sweep otherwise."""
+    if len(tensor_grid) == 1:
+        return _single_row_sweep(tensor_grid[0])
     if (chi is not None and len(tensor_grid) >= 2
             and _rows_uniform(tensor_grid)):
         return _boundary_sweep_scanned(tensor_grid, chi)
@@ -241,13 +266,11 @@ def boundary_contract(tn, grid, chi=None, split_format=True):
 def _double_layer_site(grid, r, c, rows, cols, op=None):
     """One closed double-layer site of an open PEPS, optionally with a
     one-site operator inserted between the layers."""
-    expected_ndim = {
-        (True, True): 2, (True, False): 3, (False, True): 3,
-        (False, False): 4,
-    }
     node = grid[r][c]
-    corner = (r in (0, rows - 1), c in (0, cols - 1))
-    if node.ndim != expected_ndim[corner] + 1:
+    # virtual legs = number of existing lattice neighbors (NOT a corner
+    # table: an interior site of a 1xN or Nx1 grid has only 2 neighbors)
+    n_virtual = (r > 0) + (c > 0) + (r < rows - 1) + (c < cols - 1)
+    if node.ndim != n_virtual + 1:
         raise ValueError("expected an open grid (phys_dim set)")
     t = np.asarray(node.tensor)
     # pad the four virtual bonds (phys stays last)

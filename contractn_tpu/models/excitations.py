@@ -374,7 +374,7 @@ def _overlap_g(b, al, ar, ac, op, k, defl, tol=1e-10):
     return g
 
 
-def spectral_weights(ground, mpo_cell, op, k, tol=1e-10):
+def spectral_weights(ground, mpo_cell, op, k, tol=1e-10, prep=None):
     """Excitation energies and spectral weights of a one-site operator.
 
     The dynamical structure factor within the single-mode (tangent
@@ -387,11 +387,20 @@ def spectral_weights(ground, mpo_cell, op, k, tol=1e-10):
     static structure factor, saturating when the operator creates a
     single quasiparticle).
 
+    Args (beyond the obvious):
+        prep: optional dict from :func:`prepare_excitations` — the
+            k-independent ground environments (GMRES solves) are the
+            dominant prep cost, so callers looping over momenta (e.g.
+            :func:`dynamic_structure_factor`) compute it ONCE and pass
+            it through.  The k-independent deflation pair is likewise
+            cached into the dict on first use.
+
     Returns:
         ``(omegas, weights)`` — ascending energies and the matching
         per-site pole weights.
     """
-    p = prepare_excitations(ground, mpo_cell, tol=tol)
+    p = prep if prep is not None else prepare_excitations(
+        ground, mpo_cell, tol=tol)
     al, ar, c, ac, w = p["al"], p["ar"], p["c"], p["ac"], p["w"]
     vl, fl, fr, cdt = p["vl"], p["fl"], p["fr"], p["cdt"]
     d = w.shape[0]
@@ -409,7 +418,10 @@ def spectral_weights(ground, mpo_cell, op, k, tol=1e-10):
     n = n_t * bond
     basis = jnp.eye(n, dtype=cdt).reshape(n, n_t, bond)
 
-    defl = _deflation_pair(al, ar, cdt)
+    defl = p.get("defl")
+    if defl is None:
+        defl = _deflation_pair(al, ar, cdt)
+        p["defl"] = defl  # k-independent: cache for the next momentum
 
     @jax.jit
     def g_of(xb):
@@ -438,9 +450,10 @@ def dynamic_structure_factor(ground, mpo_cell, op, ks, omegas,
     ks = np.atleast_1d(np.asarray(ks, float))
     omegas = np.atleast_1d(np.asarray(omegas, float))
     out = np.zeros((ks.size, omegas.size))
+    prep = prepare_excitations(ground, mpo_cell, tol=tol)
     for i, k in enumerate(ks):
         om, wt = spectral_weights(ground, mpo_cell, op, float(k),
-                                  tol=tol)
+                                  tol=tol, prep=prep)
         om, wt = np.asarray(om), np.asarray(wt)
         lor = (eta / np.pi) / (
             (omegas[None, :] - om[:, None]) ** 2 + eta * eta)

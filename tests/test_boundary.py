@@ -195,3 +195,25 @@ def test_peps_expectation_matches_dense_oracle():
 
     with pytest.raises(ValueError):
         peps_expectation(tn, grid, sz, (5, 0))
+
+
+def test_peps_expectation_single_row_and_column_grids():
+    """1xN and Nx1 open grids are valid (interior sites have 2 virtual
+    legs, not the corner table's 3) and match the dense oracle —
+    regression for the round-2 advisor finding on ``_double_layer_site``.
+    """
+    from contractn_tpu.models.boundary import peps_expectation
+
+    sz = np.diag([1.0, -1.0])
+    for rows, cols in [(1, 4), (4, 1), (1, 1)]:
+        rng = np.random.default_rng(7 * rows + cols)
+        tn, grid = peps_tn(rows, cols, bond_dim=2, phys_dim=2, rng=rng)
+        psi = np.asarray(tn.contract(split_format=False)).reshape(-1)
+        n = rows * cols
+        for site, flat in [((0, 0), 0), ((rows - 1, cols - 1), n - 1)]:
+            got = complex(np.asarray(peps_expectation(tn, grid, sz, site)))
+            op_full = np.eye(1)
+            for k in range(n):
+                op_full = np.kron(op_full, sz if k == flat else np.eye(2))
+            want = (psi.conj() @ op_full @ psi) / (psi.conj() @ psi)
+            assert abs(got - want) < 1e-10, (rows, cols, site, got, want)
