@@ -409,16 +409,19 @@ def row_correlator(a, env, imp1, imp2, distances, x=0, y=0,
     return vals
 
 
-def row_transfer_spectrum(a, env, y=0, iters=300):
+def row_transfer_spectrum(a, env, y=0, iters=40):
     """Leading two eigenvalues of the row-channel transfer operator
     (the product of the cell's ``Lx`` column maps) and the 2D
     correlation length along the row, ``xi = -Lx / log |lam2/lam1|``
     (lattice units; ``inf`` when degenerate).
 
-    Device-side power iteration with transpose-eigenvector deflation —
-    the nonsymmetric dense ``eigvals`` is CPU-only in XLA, and the 1D
-    analog (:func:`~contractn_tpu.models.umps.transfer_spectrum`)
-    avoids it the same way.
+    Device-side Arnoldi (:func:`contractn_tpu.ops.krylov.arnoldi_eigs`):
+    the ``iters`` transfer matvecs run as one jitted program on the
+    default backend, and only the tiny Hessenberg eigenproblem runs on
+    the host (XLA's dense nonsymmetric ``eig`` is CPU-only).  Unlike
+    the round-2 power iteration this resolves complex subleading pairs
+    (incommensurate correlations) and converges in ~40 Krylov steps
+    where deflated power iteration needed 3 x 300 sweeps.
     """
     lx = len(a)
     prec = dot_precision(a[0][0].dtype)
@@ -430,50 +433,15 @@ def row_transfer_spectrum(a, env, y=0, iters=300):
             vec = _row_apply(env, a, vec, x, y, prec)
         return vec
 
-    def apply_mt(vec):
-        # plain transpose of the column maps, applied in reverse order
-        for x in reversed(range(lx)):
-            t = jnp.einsum("cve,esk->cvsk", t1[x][y], vec,
-                           precision=prec)
-            t = jnp.einsum("vrws,cvsk->crwk", a[x][y], t,
-                           precision=prec)
-            vec = jnp.einsum("jwk,crwk->crj", t3[x][y], t,
-                             precision=prec)
-        return vec
-
     dt = a[0][y].dtype
     v0 = jnp.ones(shp, dt)
     v0 = v0 + 0.3 * jnp.reshape(
         jnp.arange(np.prod(shp), dtype=dt), shp) / np.prod(shp)
 
-    def power(f, vec, defl):
-        if defl is not None:
-            w1, r1, denom = defl
+    from ..ops.krylov import arnoldi_eigs
 
-            def project(x):
-                return x - r1 * (jnp.sum(w1 * x) / denom)
-        else:
-            def project(x):
-                return x
-
-        def body(_, carry):
-            v, _ = carry
-            new = f(project(v))
-            lam = jnp.sum(jnp.conj(v) * new)
-            return new / jnp.maximum(jnp.linalg.norm(new), 1e-300), lam
-
-        return jax.lax.fori_loop(
-            0, iters, body, (vec, jnp.zeros((), dt)))
-
-    (r1, lam1) = power(apply_m, v0, None)
-    (w1, _) = power(apply_mt, v0, None)
-    denom = jnp.sum(w1 * r1)
-    v2 = jnp.sin(1.7 * jnp.reshape(
-        jnp.arange(np.prod(shp), dtype=dt), shp))
-    (_, lam2) = power(apply_m, v2, (w1, r1, denom))
-
-    lam1_f = complex(np.asarray(lam1))
-    lam2_f = complex(np.asarray(lam2))
+    vals, _ = arnoldi_eigs(apply_m, v0, int(iters), k=2)
+    lam1_f, lam2_f = complex(vals[0]), complex(vals[1])
     ratio = abs(lam2_f) / abs(lam1_f) if lam1_f else 0.0
     if ratio >= 1.0 - 1e-12 or ratio == 0.0:
         xi = float("inf")

@@ -62,8 +62,14 @@ def _boundary_env(vec, bond_dim, dtype):
     )
 
 
-def _dmrg_uniform_core(mpo, mps0, sweeps, iters):
-    """The whole optimization as one traceable program (jit/vmap it)."""
+def _dmrg_uniform_core(mpo, mps0, sweeps, iters, solver=None):
+    """The whole optimization as one traceable program (jit/vmap it).
+
+    ``solver(L, w1, w2, R, theta0) -> (energy, theta)`` overrides the
+    local two-site ground-state solve — the seam the tensor-parallel
+    sweep (:mod:`contractn_tpu.parallel.tp_dmrg`) plugs its bond-sharded
+    Lanczos into while reusing this exact sweep structure.
+    """
     sites = _pad_boundary_sites(mps0)
     n, d, bond, _ = sites.shape
     dt = jnp.result_type(sites.dtype, mpo.cores.dtype)
@@ -89,13 +95,15 @@ def _dmrg_uniform_core(mpo, mps0, sweeps, iters):
     )
     envs_l = jnp.zeros((n + 1,) + l0.shape, dt).at[0].set(l0)
 
+    if solver is None:
+        def solver(L, w1, w2, R, theta0):
+            return lanczos_ground(
+                lambda t: _heff_matvec(L, w1, w2, R, t), theta0, iters
+            )
+
     def solve_site(envs_l_i, w1, w2, envs_r_i2, s1, s2):
         theta0 = peinsum("apj,bjq->abpq", s1, s2)
-        return lanczos_ground(
-            lambda t: _heff_matvec(envs_l_i, w1, w2, envs_r_i2, t),
-            theta0,
-            iters,
-        )
+        return solver(envs_l_i, w1, w2, envs_r_i2, theta0)
 
     def sweep(k, carry):
         sites, envs_l, envs_r, energies = carry

@@ -348,12 +348,11 @@ def ipeps_cell_scan(h2_batch, bond_dim, chi, d=2,
     return {"a": a, "b": b, "energy": energy, "moments": moments}
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
-def _scan_impl(h2_batch, ops_arr, init, bond_dim, chi, d, schedule,
+def _scan_core(h2_batch, ops_arr, init, bond_dim, chi, d, schedule,
                iters):
-    """Module-level jitted core of :func:`ipeps_cell_scan` — a stable
-    function identity, so repeated scans with the same shapes/settings
-    reuse the compiled program (remote TPU compiles cost minutes)."""
+    """Unjitted vmapped core — shared by the single-device jit below and
+    by the mesh-sharded wrapper (:mod:`contractn_tpu.parallel.ensembles`),
+    so the per-sample program is IDENTICAL on both paths."""
     from .ctmrg_cell import site_expectation
 
     dtype = h2_batch.dtype
@@ -375,3 +374,13 @@ def _scan_impl(h2_batch, ops_arr, init, bond_dim, chi, d, schedule,
         return a_site, b_site, energy, moments
 
     return jax.vmap(single)(h2_batch)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _scan_impl(h2_batch, ops_arr, init, bond_dim, chi, d, schedule,
+               iters):
+    """Module-level jitted core of :func:`ipeps_cell_scan` — a stable
+    function identity, so repeated scans with the same shapes/settings
+    reuse the compiled program (remote TPU compiles cost minutes)."""
+    return _scan_core(h2_batch, ops_arr, init, bond_dim, chi, d,
+                      schedule, iters)

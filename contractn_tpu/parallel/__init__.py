@@ -1,5 +1,7 @@
+from .ensembles import dmrg_ensemble_sharded, ipeps_cell_scan_sharded
 from .fit import fit_tn, make_tn_train_step
 from .mesh import make_mesh
+from .tp_dmrg import dmrg_uniform_tp, heff_matvec_tp
 from .pipeline import make_pipeline_train_step, pipeline_mps_forward
 from .sharded import sharded_mps_forward, segment_mps_forward
 from .tp import make_tp_train_step, segment_mps_forward_3d
@@ -12,6 +14,10 @@ from .training import (
 
 __all__ = [
     "make_mesh",
+    "dmrg_ensemble_sharded",
+    "ipeps_cell_scan_sharded",
+    "dmrg_uniform_tp",
+    "heff_matvec_tp",
     "fit_tn",
     "make_tn_train_step",
     "make_pipeline_train_step",

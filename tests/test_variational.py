@@ -125,18 +125,99 @@ def test_variational_cell_beats_simple_update_heisenberg():
     assert all(b <= a + 1e-4 for a, b in zip(trace, trace[1:]))
 
 
-def test_safe_decompositions_reject_complex():
-    """The broadened VJPs implement the REAL rules only; complex input
-    must raise (silently wrong gradients otherwise) — both on the
-    primal call and under jax.grad (which runs the fwd rule instead)."""
-    import pytest
+def _complex_fd(loss, m0, g, atol):
+    """Check a JAX complex gradient elementwise against central finite
+    differences (convention: d/dRe = Re(g), d/dIm = -Im(g))."""
+    eps = 1e-6
+    n, k = m0.shape
+    for i in range(n):
+        for j in range(k):
+            e = np.zeros((n, k), complex)
+            e[i, j] = eps
+            fd_re = (loss(m0 + e) - loss(m0 - e)) / (2 * eps)
+            fd_im = (loss(m0 + 1j * e) - loss(m0 - 1j * e)) / (2 * eps)
+            assert np.isclose(float(fd_re), np.real(g[i, j]),
+                              atol=atol), (i, j)
+            assert np.isclose(float(fd_im), -np.imag(g[i, j]),
+                              atol=atol), (i, j)
 
-    m = jnp.eye(3, dtype=jnp.complex128)
-    with pytest.raises(TypeError):
-        eigh_safe(m)
-    with pytest.raises(TypeError):
-        svd_safe(m)
-    with pytest.raises(TypeError):
-        jax.grad(lambda x: jnp.sum(jnp.abs(eigh_safe(x)[0])))(m)
-    with pytest.raises(TypeError):
-        jax.grad(lambda x: jnp.sum(jnp.abs(svd_safe(x)[1])))(m)
+
+def test_eigh_safe_complex_matches_stock_when_nondegenerate():
+    """Complex-Hermitian input (round 3): the broadened VJP equals the
+    stock complex eigh gradient away from degeneracies."""
+    rng = np.random.default_rng(4)
+    m0 = rng.normal(size=(5, 5)) + 1j * rng.normal(size=(5, 5))
+    m0 = jnp.asarray(0.5 * (m0 + m0.conj().T))
+
+    def loss(m, safe):
+        f = eigh_safe if safe else jnp.linalg.eigh
+        w, v = f(0.5 * (m + m.conj().T))
+        p = v[:, -2:] @ v[:, -2:].conj().T  # gauge-invariant projector
+        tgt = jnp.arange(25.0).reshape(5, 5)
+        return jnp.sum(jnp.real(p) * tgt) + jnp.sum(w ** 2)
+
+    g_stock = jax.grad(lambda m: loss(m, False))(m0)
+    g_safe = jax.grad(lambda m: loss(m, True))(m0)
+    assert np.allclose(np.asarray(g_stock), np.asarray(g_safe),
+                       atol=1e-9)
+
+
+def test_eigh_safe_complex_degenerate_matches_finite_differences():
+    """Exactly degenerate complex-Hermitian spectrum: stock gradient is
+    NaN, the broadened one matches finite differences of a
+    gauge-invariant loss to 1e-6."""
+
+    def loss(m, safe=True):
+        f = eigh_safe if safe else jnp.linalg.eigh
+        w, v = f(0.5 * (m + jnp.conj(m.T)))
+        p = v[:, -2:] @ jnp.conj(v[:, -2:].T)
+        tgt = jnp.arange(9.0).reshape(3, 3)
+        return jnp.sum(jnp.real(p) * tgt) + jnp.sum(w ** 3)
+
+    md_exact = jnp.asarray(np.diag([1.0, 2.0, 2.0]).astype(complex))
+    assert np.any(np.isnan(np.asarray(
+        jax.grad(lambda m: loss(m, False))(md_exact))))
+    g_safe = np.asarray(jax.grad(loss)(md_exact))
+    assert not np.any(np.isnan(g_safe))
+    _complex_fd(lambda m: float(loss(jnp.asarray(m))),
+                np.asarray(md_exact), g_safe, atol=1e-6)
+
+
+def test_svd_safe_complex_matches_stock_and_finite_differences():
+    """Complex rectangular input: equals the stock complex SVD gradient
+    when nondegenerate; finite and FD-correct on degenerate spectra
+    where stock is NaN."""
+    rng = np.random.default_rng(5)
+    a0 = jnp.asarray(rng.normal(size=(6, 4))
+                     + 1j * rng.normal(size=(6, 4)))
+
+    def loss(a, safe):
+        if safe:
+            u, s, vh = svd_safe(a)
+        else:
+            u, s, vh = jnp.linalg.svd(a, full_matrices=False)
+        # gauge-invariant pieces: singular values + |entries| of the
+        # partial isometry over the top-2 subspace (invariant under the
+        # joint U(2) gauge rotation of a degenerate pair — a rank-1
+        # factor would make the PRIMAL discontinuous at degeneracy and
+        # FD meaningless)
+        r2 = u[:, :2] @ vh[:2, :]
+        tgt = jnp.arange(float(r2.size)).reshape(r2.shape)
+        return jnp.sum(s ** 2) + jnp.sum(jnp.abs(r2) ** 2 * tgt)
+
+    g_stock = jax.grad(lambda a: loss(a, False))(a0)
+    g_safe = jax.grad(lambda a: loss(a, True))(a0)
+    assert np.allclose(np.asarray(g_stock), np.asarray(g_safe),
+                       atol=1e-9)
+
+    ad = np.zeros((4, 3), complex)
+    ad[:3, :3] = np.diag([2.0, 2.0, 1.0])
+    ad[0, 1] = 0.05j
+    ad[1, 0] = 0.05j
+    adx = jnp.asarray(np.diag([2.0, 2.0, 1.0]).astype(complex))
+    assert np.any(np.isnan(np.asarray(
+        jax.grad(lambda a: loss(a, False))(adx))))
+    g_deg = np.asarray(jax.grad(lambda a: loss(a, True))(adx))
+    assert not np.any(np.isnan(g_deg))
+    _complex_fd(lambda a: float(loss(jnp.asarray(a), True)),
+                np.asarray(adx), g_deg, atol=1e-5)
