@@ -95,6 +95,16 @@ def ctmrg_environment(a, chi, iters=200, boundary=None):
             f"chi ({chi}) must be >= the site tensor's bond dimension "
             f"({q}) — the seed environment already has that width"
         )
+    if jnp.iscomplexobj(a):
+        raise TypeError(
+            "the C4v CTMRG renormalizes with a SYMMETRIC-corner eigh "
+            "(m + m.T), which is structurally real-only — a complex "
+            "double layer's enlarged corner is Hermitian only up to a "
+            "layer swap, so the projectors silently degrade.  Use the "
+            "checkerboard cell machinery (models.ipeps_cell / "
+            "models.ctmrg_cell / variational_ipeps_cell), whose "
+            "biorthogonal SVD projectors are complex-safe."
+        )
     prec = dot_precision(a.dtype)
     if boundary is None:
         c = jnp.einsum("uldr->dr", a, precision=prec)

@@ -338,7 +338,11 @@ def simple_update(h2, bond_dim, d=2,
         gamma = gamma + jnp.asarray(noise, dtype)
     else:
         gamma = jnp.asarray(init, dtype)
-    lam = jnp.ones((bond_dim,), dtype) / np.sqrt(bond_dim)
+    # bond weights are singular values: REAL even for complex dtypes
+    # (a complex lam would break the fori_loop carry when the SVD
+    # returns real s)
+    rdt = jnp.zeros((), dtype).real.dtype
+    lam = jnp.ones((bond_dim,), rdt) / np.sqrt(bond_dim)
 
     h2 = jnp.asarray(h2, dtype)
     for dt, n_iter in schedule:

@@ -164,7 +164,9 @@ def simple_update_cell(h2, bond_dim, d=2,
         ga, gb = jnp.asarray(ga, dtype), jnp.asarray(gb, dtype)
     else:
         ga, gb = (jnp.asarray(t, dtype) for t in init)
-    lam = jnp.ones((bond_dim,), dtype) / np.sqrt(bond_dim)
+    # bond weights are singular values: REAL even for complex dtypes
+    rdt = jnp.zeros((), dtype).real.dtype
+    lam = jnp.ones((bond_dim,), rdt) / np.sqrt(bond_dim)
     carry = (ga, gb, lam, lam, lam, lam)
 
     h2 = jnp.asarray(h2, dtype)

@@ -131,6 +131,13 @@ def variational_ipeps(h2, bond_dim, chi, d=2, steps=200, lr=2e-3,
     """
     import optax
 
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        raise TypeError(
+            "variational_ipeps measures through the C4v symmetric-"
+            "corner CTMRG, which is real-only (see ctmrg_environment); "
+            "for complex Hamiltonians use variational_ipeps_cell, "
+            "whose biorthogonal projectors are complex-safe"
+        )
     if init is None:
         gamma, lam = simple_update(h2, bond_dim, d=d,
                                    schedule=su_schedule, dtype=dtype)
@@ -151,6 +158,10 @@ def variational_ipeps(h2, bond_dim, chi, d=2, steps=200, lr=2e-3,
             p, c, t, s = carry
             (e, (cn, tn)), g = jax.value_and_grad(
                 loss, has_aux=True)(p, c, t)
+            # complex params: JAX's grad of a real loss is
+            # dE/dRe - i dE/dIm; descent moves along its CONJUGATE
+            # (identity for real dtypes)
+            g = jax.tree_util.tree_map(jnp.conj, g)
             updates, s = opt.update(g, s, p)
             p = optax.apply_updates(p, updates)
             cn = jax.lax.stop_gradient(cn)
@@ -163,8 +174,10 @@ def variational_ipeps(h2, bond_dim, chi, d=2, steps=200, lr=2e-3,
 
     params, c, t, es = run(params, env[0], env[1], opt_state)
     a_site = symmetrize_c4v(params)
-    e_final = float(ipeps_energy(np.asarray(a_site), h2, chi,
-                                 iters=env_iters))
+    # real part only: for Hermitian h2 the energy's imaginary part is
+    # numerical noise (complex dtypes supported since round 3)
+    e_final = float(np.real(np.asarray(
+        ipeps_energy(np.asarray(a_site), h2, chi, iters=env_iters))))
     return a_site, e_final, [float(x) for x in np.asarray(es)]
 
 
@@ -252,6 +265,7 @@ def variational_ipeps_cell(h2, bond_dim, chi, d=2, steps=150, lr=2e-3,
             (e, env_new), g = jax.value_and_grad(
                 lambda ps: loss(ps[0], ps[1], env), has_aux=True
             )((pa, pb))
+            g = jax.tree_util.tree_map(jnp.conj, g)  # see variational_ipeps
             updates, s = opt.update(g, s, (pa, pb))
             pa2, pb2 = optax.apply_updates((pa, pb), updates)
             return ((pa2, pb2), jax.lax.stop_gradient(env_new), s), e

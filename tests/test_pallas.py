@@ -68,3 +68,26 @@ def test_mps_evaluate_kernel_option():
     v1 = np.asarray(a1) * np.exp(np.asarray(l1))
     v2 = np.asarray(a2) * np.exp(np.asarray(l2))
     assert np.allclose(v1, v2, rtol=1e-4)
+
+
+def test_epilogue_kernel_matches_scan():
+    """Round-3 fused-epilogue kernel (ONE dot per grid step, VMEM
+    carry) == the scan evaluator, interpret mode, several shapes."""
+    from contractn_tpu.ops.pallas_epilogue import mps_evaluate_epilogue
+    from contractn_tpu.ops.scan import mps_evaluate
+
+    for (n, d, bond, batch) in [(12, 2, 8, 16), (6, 3, 4, 8),
+                                (9, 2, 16, 24)]:
+        key = jax.random.PRNGKey(n)
+        kc, kl, kr, kx = jax.random.split(key, 4)
+        cores = (1 / np.sqrt(d * bond)) * jax.random.normal(
+            kc, (n, d, bond, bond), jnp.float32)
+        left = jax.random.normal(kl, (bond,), jnp.float32)
+        right = jax.random.normal(kr, (bond,), jnp.float32)
+        x = jax.random.normal(kx, (batch, n, d), jnp.float32)
+        a1, l1 = mps_evaluate(cores, left, right, x)
+        a2, l2 = mps_evaluate_epilogue(cores, left, right, x,
+                                       interpret=True)
+        ref = np.asarray(a1) * np.exp(np.asarray(l1) - float(l1[0]))
+        got = np.asarray(a2) * np.exp(np.asarray(l2) - float(l1[0]))
+        assert np.allclose(got, ref, rtol=2e-4), (n, d, bond, batch)

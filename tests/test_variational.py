@@ -221,3 +221,45 @@ def test_svd_safe_complex_matches_stock_and_finite_differences():
     assert not np.any(np.isnan(g_deg))
     _complex_fd(lambda a: float(loss(jnp.asarray(a), True)),
                 np.asarray(adx), g_deg, atol=1e-5)
+
+
+def test_variational_cell_complex_hamiltonian_converges():
+    """Time-reversal-breaking (complex Hermitian) Hamiltonian: the cell
+    variational flow runs in complex128 end-to-end — complex simple
+    update, biorthogonal cell CTMRG, conjugated-gradient Adam — and
+    strictly improves the simple-update energy with a stable trace.
+    The C4v path raises instead (symmetric-corner eigh is real-only)."""
+    import pytest
+
+    from contractn_tpu.models.ipeps import tfim_bond_term_2d
+    from contractn_tpu.models.ipeps_cell import ipeps_cell_ground_state
+    from contractn_tpu.models.variational import (
+        variational_ipeps,
+        variational_ipeps_cell,
+    )
+
+    sx = np.array([[0.0, 1.0], [1.0, 0.0]])
+    sy = np.array([[0.0, -1.0j], [1.0j, 0.0]])
+    h2 = np.asarray(tfim_bond_term_2d(1.0, 3.0)).astype(complex)
+    h2 = h2 + 0.15 * (np.kron(sx, sy) + np.kron(sy, sx))
+    assert np.allclose(h2, h2.conj().T)
+    sched = ((0.1, 60), (0.02, 40))
+
+    _, _, e_su = ipeps_cell_ground_state(
+        h2, bond_dim=2, chi=8, schedule=sched, iters=60,
+        dtype=jnp.complex128)
+    e_su = float(np.real(np.asarray(e_su)))
+    _, _, e_var, trace = variational_ipeps_cell(
+        jnp.asarray(h2), bond_dim=2, chi=8, steps=25, lr=3e-3,
+        su_schedule=sched, env_iters=60, dtype=jnp.complex128)
+    trace = np.asarray(trace)
+    assert np.all(np.isfinite(trace))
+    assert np.isclose(trace[0], e_su, atol=1e-4)
+    assert e_var < e_su - 1e-6, (e_var, e_su)
+    # near-monotone (Adam micro-oscillates), same tolerance as the
+    # real-dtype optimizer tests
+    assert all(b <= a + 1e-4 for a, b in zip(trace, trace[1:]))
+
+    with pytest.raises(TypeError, match="complex"):
+        variational_ipeps(jnp.asarray(h2), bond_dim=2, chi=8,
+                          steps=2, dtype=jnp.complex128)
