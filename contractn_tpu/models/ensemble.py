@@ -62,15 +62,26 @@ def _boundary_env(vec, bond_dim, dtype):
     )
 
 
-def _dmrg_uniform_core(mpo, mps0, sweeps, iters, solver=None):
+def _dmrg_uniform_core(mpo, mps0, sweeps, iters, solver=None,
+                       masks=None, splitter=None):
     """The whole optimization as one traceable program (jit/vmap it).
 
     ``solver(L, w1, w2, R, theta0) -> (energy, theta)`` overrides the
     local two-site ground-state solve — the seam the tensor-parallel
     sweep (:mod:`contractn_tpu.parallel.tp_dmrg`) plugs its bond-sharded
     Lanczos into while reusing this exact sweep structure.
+
+    ``masks (N, d, D, D)`` (0/1) constrains every site tensor to a
+    charge-allowed block structure, and ``splitter(theta, i, to_left)``
+    overrides the two-site SVD split — the exact-U(1) hooks
+    (:mod:`contractn_tpu.models.u1`).  The two go together: a plain SVD
+    orders the middle bond by singular value, not by the static charge
+    layout the masks encode, so masking without a charge-aligned
+    splitter annihilates the state.
     """
     sites = _pad_boundary_sites(mps0)
+    if masks is not None:
+        sites = sites * masks.astype(sites.dtype)
     n, d, bond, _ = sites.shape
     dt = jnp.result_type(sites.dtype, mpo.cores.dtype)
     sites = sites.astype(dt)
@@ -105,6 +116,16 @@ def _dmrg_uniform_core(mpo, mps0, sweeps, iters, solver=None):
         theta0 = peinsum("apj,bjq->abpq", s1, s2)
         return solver(envs_l_i, w1, w2, envs_r_i2, theta0)
 
+    if splitter is None:
+        def splitter(theta, i, to_left):
+            return _split_theta(theta, bond, to_left)
+
+    def apply_masks(t1, t2, i):
+        if masks is None:
+            return t1, t2
+        return (t1 * masks[i].astype(t1.dtype),
+                t2 * masks[i + 1].astype(t2.dtype))
+
     def sweep(k, carry):
         sites, envs_l, envs_r, energies = carry
 
@@ -117,7 +138,8 @@ def _dmrg_uniform_core(mpo, mps0, sweeps, iters, solver=None):
             energy, theta = solve_site(
                 envs_l[i], w1, w2, envs_r[i + 2], s1, s2
             )
-            t1, t2 = _split_theta(theta, bond, to_left=True)
+            t1, t2 = splitter(theta, i, True)
+            t1, t2 = apply_masks(t1, t2, i)
             sites = sites.at[i].set(t1).at[i + 1].set(t2)
             envs_l = envs_l.at[i + 1].set(
                 _update_left(envs_l[i], t1, w1)
@@ -138,7 +160,8 @@ def _dmrg_uniform_core(mpo, mps0, sweeps, iters, solver=None):
             energy, theta = solve_site(
                 envs_l[i], w1, w2, envs_r[i + 2], s1, s2
             )
-            t1, t2 = _split_theta(theta, bond, to_left=False)
+            t1, t2 = splitter(theta, i, False)
+            t1, t2 = apply_masks(t1, t2, i)
             sites = sites.at[i].set(t1).at[i + 1].set(t2)
             envs_r = envs_r.at[i + 1].set(
                 _update_right(envs_r[i + 2], t2, w2)
