@@ -521,3 +521,34 @@ def dmrg_sector(mpo, mps0, q, lam=None, max_bond=None, sweeps=4,
     energy = _rayleigh(mpo, mps)
     residual = _rayleigh(pen, mps) / lam
     return mps, energy, residual
+
+
+def xx_dimerized_mpo(n_sites, j=1.0, delta=0.5, dtype=jnp.float64):
+    """Dimerized XX chain ``H = sum_i J_i (S^x S^x + S^y S^y)`` with
+    alternating bonds ``J_i = J (1 + delta)`` / ``J (1 - delta)``.
+
+    The canonical exactly-solvable TWO-SITE-CELL model: Jordan-Wigner
+    maps it to free fermions with alternating hoppings ``t_i = J_i / 2``
+    and exact two-band dispersion ``|t_1 + t_2 e^{i kappa}|`` in the
+    cell momentum — the validation anchor for the blocked-cell
+    excitation machinery (:func:`~contractn_tpu.models.mpo.block_mpo`).
+    Bond ``(i, i + 1)``'s coupling sits in site ``i``'s emitting
+    channel entries, so a 2-core slice is a valid alternating cell.
+    """
+    sp = np.array([[0.0, 1.0], [0.0, 0.0]])
+    sm = sp.T
+    cores = []
+    for i in range(n_sites):
+        ji = j * (1 + delta if i % 2 == 0 else 1 - delta)
+        w = np.zeros((2, 2, 4, 4))
+        w[:, :, 0, 0] = np.eye(2)
+        w[:, :, 3, 3] = np.eye(2)
+        w[:, :, 0, 1] = (ji / 2) * sp
+        w[:, :, 0, 2] = (ji / 2) * sm
+        w[:, :, 1, 3] = sm
+        w[:, :, 2, 3] = sp
+        cores.append(w)
+    cores = jnp.asarray(np.stack(cores), dtype)
+    left = jnp.asarray(np.array([1.0, 0, 0, 0]), dtype)
+    right = jnp.asarray(np.array([0, 0, 0, 1.0]), dtype)
+    return MPO(cores, left, right)

@@ -14,7 +14,7 @@ import numpy as np
 
 from ..ops.scan import _stab_step
 from ..ops.stabilize import destabilize
-from ..ops.stabilize import peinsum
+from ..ops.stabilize import dot_precision, peinsum
 
 
 @jax.tree_util.register_pytree_node_class
@@ -183,3 +183,40 @@ def mpo_sum(m1, m2):
     right = jnp.concatenate([jnp.asarray(m1.right, dt),
                              jnp.asarray(m2.right, dt)])
     return MPO(cores, left, right)
+
+
+def block_mpo(mpo, block=2):
+    """Coarse-grain an MPO by contracting ``block`` consecutive cores.
+
+    The blocked core ``W_blk[(s1..sb), (t1..tb), a, c] = (W_1 W_2 ...
+    W_b)[a, c]`` (matrix product over the shared channel bond) acts on
+    the ``d^block``-dimensional blocked site.  Products of triangular
+    finite-state MPOs stay triangular with identity corners, so a
+    blocked cell feeds straight into :func:`~contractn_tpu.models.
+    vumps.vumps` / the excitation machinery — the route to MULTI-SITE
+    unit cells (staggered or dimerized chains) through the one-site
+    algorithms, at the cost of ``d -> d^block``.
+
+    ``mpo.n_sites`` must divide by ``block``; boundary vectors are
+    unchanged (they contract the outer channel bonds).
+    """
+    cores = jnp.asarray(mpo.cores)
+    n, d, _, wdim, _ = cores.shape
+    if n % block:
+        raise ValueError(
+            f"n_sites={n} must divide by block={block}"
+        )
+    prec = dot_precision(cores.dtype)
+    blocked = cores.reshape(n // block, block, d, d, wdim, wdim)
+
+    def contract_block(ws):
+        out = ws[0]  # (d, d, W, W), phys legs accumulate left
+        for i in range(1, block):
+            out = jnp.einsum("ABxm,abmc->AaBbxc", out, ws[i],
+                             precision=prec)
+            dd = out.shape[0] * out.shape[1]
+            out = out.reshape(dd, dd, wdim, wdim)
+        return out
+
+    new_cores = jax.vmap(contract_block)(blocked)
+    return MPO(new_cores, mpo.left, mpo.right)

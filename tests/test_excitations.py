@@ -134,3 +134,51 @@ def test_spectral_weights_sum_rule():
                                     eta=0.05)
     integral = np.trapezoid(smap[0], om_grid)
     assert abs(integral - sks[1]) / sks[1] < 0.05, (integral, sks[1])
+
+
+def test_blocked_cell_dispersion_tfim_folding():
+    """Two-site-cell excitations by MPO blocking: the one-site TFIM
+    re-described on a 2-site cell must reproduce the exact Pfeuty
+    dispersion FOLDED into the cell Brillouin zone — the lowest band at
+    cell momentum kappa equals min(omega(kappa/2), omega(kappa/2 + pi))
+    to machine-ish precision.  (Higher blocked bands are genuine
+    two-particle continuum states and are not pinned.)"""
+    from contractn_tpu.models import tfim_mpo
+    from contractn_tpu.models.mpo import block_mpo
+    from contractn_tpu.models.excitations import quasiparticle_dispersion
+
+    h = 1.5
+    blocked = block_mpo(tfim_mpo(2, h=h), 2)
+    assert blocked.cores.shape == (1, 4, 4, 3, 3)
+    ks = [0.0, 0.9, 2.2]
+    _, om = quasiparticle_dispersion(blocked, ks, bond_dim=12,
+                                     n_bands=1, iters=50)
+
+    def pfeuty(k):
+        return 2 * np.sqrt(1 + h * h - 2 * h * np.cos(k))
+
+    for i, kk in enumerate(ks):
+        want = min(pfeuty(kk / 2), pfeuty(kk / 2 + np.pi))
+        assert abs(om[i, 0] - want) < 1e-6, (kk, om[i, 0], want)
+
+
+def test_blocked_cell_dispersion_dimerized_xx_exact_band():
+    """A GENUINE two-site cell: the dimerized XX chain.  Jordan-Wigner
+    gives the exact single-fermion band |t1 + t2 e^{i(kappa + pi)}|
+    (the JW pi-shift, same convention as models/fermions.py) with
+    t_i = J_i / 2; the blocked tangent ansatz reproduces it to 1e-6,
+    doubly degenerate (Delta Sz = +-1)."""
+    from contractn_tpu.models import xx_dimerized_mpo
+    from contractn_tpu.models.mpo import block_mpo
+    from contractn_tpu.models.excitations import quasiparticle_dispersion
+
+    j, delta = 1.0, 0.5
+    t1, t2 = j * (1 + delta) / 2, j * (1 - delta) / 2
+    blocked = block_mpo(xx_dimerized_mpo(2, j, delta), 2)
+    ks = [0.0, 1.0, 2.0, np.pi]
+    _, om = quasiparticle_dispersion(blocked, ks, bond_dim=16,
+                                     n_bands=2, iters=80)
+    for i, kk in enumerate(ks):
+        want = abs(t1 + t2 * np.exp(1j * (kk + np.pi)))
+        assert abs(om[i, 0] - want) < 1e-6, (kk, om[i, 0], want)
+        assert abs(om[i, 1] - want) < 1e-6  # Sz = +-1 degeneracy
