@@ -40,7 +40,8 @@ from .stabilize import MIN_NORM
 
 
 def _kernel(mats_ref, x_ref, left_ref, v_out_ref, log_out_ref,
-            v_scr, log_scr, *, phys_dim, bond_dim, n_sites, acc_dtype):
+            v_scr, log_scr, *, phys_dim, bond_dim, n_steps, k_sites,
+            acc_dtype):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -51,29 +52,36 @@ def _kernel(mats_ref, x_ref, left_ref, v_out_ref, log_out_ref,
         log_scr[:] = jnp.zeros_like(log_scr)
 
     gemm_dt = mats_ref.dtype
-    z = jnp.dot(
-        v_scr[:].astype(gemm_dt),
-        mats_ref[0],
-        preferred_element_type=acc_dtype,
-    )  # (B, d*D)
-    w = x_ref[0].astype(acc_dtype)  # (B, d) — lanes padded, tiny
-    acc = z[:, 0:bond_dim] * w[:, 0:1]
-    for k in range(1, phys_dim):
-        acc = acc + (z[:, k * bond_dim:(k + 1) * bond_dim]
-                     * w[:, k:k + 1])
-    norm = jnp.sum(jnp.abs(acc), axis=1, keepdims=True) / bond_dim
-    safe = jnp.where(norm > MIN_NORM, norm, jnp.ones_like(norm))
-    v_scr[:] = acc / safe
-    log_scr[:] = log_scr[:] + jnp.log(safe)
+    v = v_scr[:]
+    log = log_scr[:]
+    for s_idx in range(k_sites):  # static unroll: k dots per grid step
+        z = jnp.dot(
+            v.astype(gemm_dt),
+            mats_ref[s_idx],
+            preferred_element_type=acc_dtype,
+        )  # (B, d*D)
+        w = x_ref[s_idx].astype(acc_dtype)  # (B, d)
+        acc = z[:, 0:bond_dim] * w[:, 0:1]
+        for k in range(1, phys_dim):
+            acc = acc + (z[:, k * bond_dim:(k + 1) * bond_dim]
+                         * w[:, k:k + 1])
+        norm = jnp.sum(jnp.abs(acc), axis=1, keepdims=True) / bond_dim
+        safe = jnp.where(norm > MIN_NORM, norm, jnp.ones_like(norm))
+        v = acc / safe
+        log = log + jnp.log(safe.astype(jnp.float32))
+    v_scr[:] = v
+    log_scr[:] = log
 
-    @pl.when(i == n_sites - 1)
+    @pl.when(i == n_steps - 1)
     def _finish():
         v_out_ref[:] = v_scr[:]
         log_out_ref[:] = log_scr[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def mps_evaluate_epilogue(cores, left, right, x, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "acc_dtype",
+                                              "sites_per_step"))
+def mps_evaluate_epilogue(cores, left, right, x, interpret=False,
+                          acc_dtype=None, sites_per_step=1):
     """Batched MPS evaluation via the fused-epilogue Pallas kernel.
 
     Args:
@@ -81,6 +89,11 @@ def mps_evaluate_epilogue(cores, left, right, x, interpret=False):
         left, right: ``(D,)`` boundary vectors.
         x: ``(B, N, d)`` input weights.
         interpret: run under the Pallas interpreter (CPU tests).
+        acc_dtype: carry/accumulator dtype (default f32; bf16 trades
+            the per-step casts for carry precision).
+        sites_per_step: sites advanced per grid step (static unroll of
+            ``k`` dependent dots per body — fewer grid-step scheduling
+            bubbles at the same math).
 
     Returns:
         Split-format ``(amp, log)`` of shape ``(B,)`` — identical
@@ -89,7 +102,14 @@ def mps_evaluate_epilogue(cores, left, right, x, interpret=False):
     """
     n_sites, phys_dim, bond_dim, _ = cores.shape
     batch = x.shape[0]
-    acc_dtype = jnp.float32
+    if acc_dtype is None:
+        acc_dtype = jnp.float32
+    acc_dtype = jnp.dtype(acc_dtype)
+    ks = int(sites_per_step)
+    if n_sites % ks:
+        raise ValueError(
+            f"n_sites={n_sites} must divide by sites_per_step={ks}")
+    n_steps = n_sites // ks
     # (N, D_in, d*D_out): GEMM RHS per site
     mats = jnp.transpose(cores, (0, 2, 1, 3)).reshape(
         n_sites, bond_dim, phys_dim * bond_dim
@@ -100,16 +120,17 @@ def mps_evaluate_epilogue(cores, left, right, x, interpret=False):
         _kernel,
         phys_dim=phys_dim,
         bond_dim=bond_dim,
-        n_sites=n_sites,
+        n_steps=n_steps,
+        k_sites=ks,
         acc_dtype=acc_dtype,
     )
     v, log = pl.pallas_call(
         kernel,
-        grid=(n_sites,),
+        grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((1, bond_dim, phys_dim * bond_dim),
+            pl.BlockSpec((ks, bond_dim, phys_dim * bond_dim),
                          lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, batch, phys_dim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((ks, batch, phys_dim), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, bond_dim), lambda i: (0, 0)),
         ],
         out_specs=[
@@ -118,17 +139,19 @@ def mps_evaluate_epilogue(cores, left, right, x, interpret=False):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((batch, bond_dim), acc_dtype),
-            jax.ShapeDtypeStruct((batch, 1), acc_dtype),
+            # the log register stays f32 even under a bf16 carry: N
+            # accumulated adds would lose the split-format exactness
+            jax.ShapeDtypeStruct((batch, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((batch, bond_dim), acc_dtype),
-            pltpu.VMEM((batch, 1), acc_dtype),
+            pltpu.VMEM((batch, 1), jnp.float32),
         ],
         interpret=interpret,
     )(mats, x_t, left.reshape(1, bond_dim).astype(cores.dtype))
 
     amp = jnp.einsum(
-        "bi,i->b", v, right.astype(acc_dtype),
+        "bi,i->b", v.astype(jnp.float32), right.astype(jnp.float32),
         precision=jax.lax.Precision.HIGHEST,
     )
     log = log[:, 0]

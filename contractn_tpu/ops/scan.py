@@ -146,8 +146,11 @@ def mps_evaluate_premix(cores, left, right, x, stabilize_every=1):
     ``(B, d, D)`` intermediate that (measured, D=128) fails to fuse and
     goes through HBM.
 
-    Measured on the v5e (round 2): D=128 bf16 forward 8.08 ms -> 1.78 ms
-    (33.5 -> 152 effective TFLOP/s, 78% of peak); D=64 60.7 -> ~66.
+    Measured on the v5e: D=64 bf16 forward 72 effective TFLOP/s (the
+    shape-tuned winner, ~98% of the bare-chain ceiling).  At D=128 the
+    premixed ``(B, 256)`` carry layout is PATHOLOGICAL (10.2 TFLOP/s,
+    re-confirmed round 3) — use :func:`mps_evaluate_perphys` there
+    (``mps_evaluate_auto`` picks correctly).
 
     Same split-format semantics as :func:`mps_evaluate`.
     """
