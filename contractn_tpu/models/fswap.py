@@ -1,0 +1,275 @@
+"""Fermionic PEPS via parity swap gates: the graded-contraction core.
+
+A fermionic PEPS on the open square lattice is DEFINED in Fock space:
+one fermionic mode per physical site and per bond endpoint, per-site
+creation operators ordered ``(phys, u, l, d, r)``, sites applied
+row-major, and maximally-entangled bond pairs ``<0|(1 + b_first
+b_second)`` (first = left/upper endpoint) closing the virtual modes:
+
+    ``|psi> = <Omega_virt| prod_s Q_s |vac>,
+      Q_s = sum A_s[n, u, l, d, r] (f^d)^n (b_u^d)^u ... (b_r^d)^r``
+
+Amplitudes are then the BOSONIC contraction of the same tensors with a
+sign per virtual configuration.  That sign was derived in round 3 by
+fitting the exact operator-reordering parity (``fpeps_sign``, the spec)
+over GF(2) on seven lattice shapes and verified on 4400 random
+configurations across eleven shapes (``tests/test_fswap.py`` re-runs a
+sample against an independent Fock-space oracle).  It factorizes into
+swap-gate form:
+
+* SITE-LOCAL gates — at every site, ``(-1)`` to the pairwise parity
+  products of the leg pairs ``(l, r), (d, r), (l, d), (u, r)`` (NOT
+  ``(u, l)`` / ``(u, d)``) — absorbable into the tensors once
+  (:func:`absorb_site_signs`);
+* ROW STRINGS between vertical bonds: all same-row pairs — which
+  collapses to the row-parity binomial ``(-1)^C(P_r, 2)`` — plus the
+  adjacent-row staircase ``sum_{c' <= c} p_v(r, c) p_v(r+1, c')``,
+  exactly a Jordan-Wigner string local to a left-to-right row sweep.
+
+Everything here is exact-tested against the Fock oracle; the dense
+evaluators (norms, local expectations) are the validation anchors for
+wiring the rule into the scalable contractors.  Only leg PARITIES
+enter the signs, so general bond dimensions carry a parity vector per
+leg (multiple states per parity class are sign-inert "flavors").
+
+The reference has no fermionic capability of any kind (SURVEY.md §2).
+"""
+
+import itertools
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def fpeps_sign(ly, lx, ph, pv):
+    """The sign of one virtual-parity configuration (the derived rule).
+
+    Args:
+        ph: ``(ly, lx-1)`` horizontal-bond parities (0/1).
+        pv: ``(ly-1, lx)`` vertical-bond parities.
+    """
+    e = 0
+    for r in range(ly):
+        for c in range(lx - 1):
+            h = ph[r][c]
+            if not h:
+                continue
+            if c + 1 < lx - 1:
+                e += h * ph[r][c + 1]
+            if r < ly - 1:
+                e += h * (pv[r][c] + pv[r][c + 1])
+            if r > 0:
+                e += h * pv[r - 1][c]
+    for r in range(ly - 1):
+        for c in range(lx):
+            for c2 in range(c + 1, lx):
+                e += pv[r][c] * pv[r][c2]
+            if r + 1 < ly - 1:
+                for c2 in range(0, c + 1):
+                    e += pv[r][c] * pv[r + 1][c2]
+    return (-1) ** (e % 2)
+
+
+def fpeps_sign_oracle(ly, lx, nbits, ph, pv):
+    """Independent spec: exact operator-reordering parity of the
+    monomial (list bookkeeping, no Fock vectors).  ``fpeps_sign`` must
+    (and does) reproduce it; kept for the tests' cross-validation."""
+    seq = []
+    for r in range(ly):
+        for c in range(lx):
+            if nbits[r][c]:
+                seq.append(("p", r, c))
+            if r > 0 and pv[r - 1][c]:
+                seq.append(("v", r - 1, c, "lo"))
+            if c > 0 and ph[r][c - 1]:
+                seq.append(("h", r, c - 1, "rt"))
+            if r < ly - 1 and pv[r][c]:
+                seq.append(("v", r, c, "up"))
+            if c < lx - 1 and ph[r][c]:
+                seq.append(("h", r, c, "lf"))
+    sign = 1
+
+    def annihilate(m):
+        nonlocal sign
+        i = seq.index(m)
+        sign *= (-1) ** i
+        seq.pop(i)
+
+    for r in range(ly):
+        for c in range(lx - 1):
+            if ph[r][c]:
+                annihilate(("h", r, c, "rt"))
+                annihilate(("h", r, c, "lf"))
+    for r in range(ly - 1):
+        for c in range(lx):
+            if pv[r][c]:
+                annihilate(("v", r, c, "lo"))
+                annihilate(("v", r, c, "up"))
+    for r in range(ly):
+        for c in range(lx):
+            if nbits[r][c]:
+                annihilate(("p", r, c))
+    assert not seq
+    return sign
+
+
+def parity_even_tensor(rng, shape, parities):
+    """Random tensor supported on the parity-even block (the fermionic
+    tensor condition).  ``parities``: one 0/1 vector per axis."""
+    a = rng.standard_normal(shape)
+    for idx in np.ndindex(*shape):
+        if sum(int(p[i]) for p, i in zip(parities, idx)) % 2:
+            a[idx] = 0.0
+    return a
+
+
+def absorb_site_signs(a, leg_parities):
+    """Multiply a ``(d, u, l, d, r)``-ordered site tensor by the
+    site-local swap factors ``(-1)^{lr + dr + ld + ur}``.
+
+    ``leg_parities = (pu, pl, pd, pr)`` (parity vector per leg; legs a
+    site does not have are length-1 even).  After this absorption only
+    the row-string ``v x v`` gates remain — the piece a row-sweep
+    contractor applies as a Jordan-Wigner string on its open legs.
+    """
+    pu, pl, pd, pr = [np.asarray(p) for p in leg_parities]
+    sgn = np.ones(a.shape[1:])
+    lr = pl[:, None] * pr[None, :]
+    sgn = sgn * (-1.0) ** (
+        lr[None, :, None, :]
+        + (pd[:, None] * pr[None, :])[None, None, :, :]
+        + (pl[:, None] * pd[None, :])[None, :, :, None]
+        + (pu[:, None] * pr[None, :])[:, None, None, :]
+    )
+    return a * sgn[None]
+
+
+def _bond_iter(ly, lx, dims_h, dims_v):
+    hkeys = [(r, c) for r in range(ly) for c in range(lx - 1)]
+    vkeys = [(r, c) for r in range(ly - 1) for c in range(lx)]
+    ranges = [range(dims_h[k]) for k in hkeys] + [
+        range(dims_v[k]) for k in vkeys
+    ]
+    for combo in itertools.product(*ranges):
+        xh = {k: v for k, v in zip(hkeys, combo[: len(hkeys)])}
+        xv = {k: v for k, v in zip(vkeys, combo[len(hkeys):])}
+        yield xh, xv
+
+
+def fpeps_amplitudes_dense(tensors, ph_vec, pv_vec, d=2):
+    """ALL amplitudes ``psi(n)`` of a small fermionic PEPS, exactly.
+
+    Args:
+        tensors: ``grid[r][c]`` of ``(d, Du, Dl, Dd, Dr)`` arrays
+            (missing boundary legs have dim 1); parity-even w.r.t. the
+            parity vectors.
+        ph_vec / pv_vec: dict ``(r, c) -> parity vector`` per
+            horizontal / vertical bond.
+
+    Enumerates virtual configurations (exponential — validation-scale
+    grids only) and applies :func:`fpeps_sign` per configuration.
+    Returns a ``(d,) * (ly * lx)`` array, sites row-major.
+    """
+    ly, lx = len(tensors), len(tensors[0])
+    dims_h = {k: len(v) for k, v in ph_vec.items()}
+    dims_v = {k: len(v) for k, v in pv_vec.items()}
+    out = np.zeros((d,) * (ly * lx))
+    for xh, xv in _bond_iter(ly, lx, dims_h, dims_v):
+        ph = [[int(ph_vec[(r, c)][xh[(r, c)]]) for c in range(lx - 1)]
+              for r in range(ly)]
+        pv = [[int(pv_vec[(r, c)][xv[(r, c)]]) for c in range(lx)]
+              for r in range(ly - 1)]
+        sgn = fpeps_sign(ly, lx, ph, pv)
+        term = np.ones(())
+        for r in range(ly):
+            for c in range(lx):
+                u = xv[(r - 1, c)] if r > 0 else 0
+                left = xh[(r, c - 1)] if c > 0 else 0
+                dn = xv[(r, c)] if r < ly - 1 else 0
+                rt = xh[(r, c)] if c < lx - 1 else 0
+                term = np.multiply.outer(
+                    term, tensors[r][c][:, u, left, dn, rt]
+                )
+        out = out + sgn * term
+    return out
+
+
+def random_fpeps(ly, lx, bond_parities=(0, 1), d=2, seed=0):
+    """Random parity-even fermionic PEPS on an ``ly x lx`` open grid.
+
+    Every interior bond carries the parity vector ``bond_parities``;
+    boundary legs are trivial (dim 1, even).  Returns ``(tensors,
+    ph_vec, pv_vec)`` in the :func:`fpeps_amplitudes_dense` format.
+    """
+    rng = np.random.default_rng(seed)
+    bp = np.asarray(bond_parities)
+    ph_vec = {(r, c): bp for r in range(ly) for c in range(lx - 1)}
+    pv_vec = {(r, c): bp for r in range(ly - 1) for c in range(lx)}
+    pphys = np.arange(d) % 2  # |0> even, |1> one fermion, ...
+    triv = np.zeros(1, np.int64)
+    tensors = []
+    for r in range(ly):
+        row = []
+        for c in range(lx):
+            pu = pv_vec[(r - 1, c)] if r > 0 else triv
+            pl = ph_vec[(r, c - 1)] if c > 0 else triv
+            pd = pv_vec[(r, c)] if r < ly - 1 else triv
+            pr = ph_vec[(r, c)] if c < lx - 1 else triv
+            shape = (d, len(pu), len(pl), len(pd), len(pr))
+            row.append(parity_even_tensor(
+                rng, shape, [pphys, pu, pl, pd, pr]))
+        tensors.append(row)
+    return tensors, ph_vec, pv_vec
+
+
+def fock_state(tensors, ph_vec, pv_vec, d=2):
+    """The fermionic PEPS as a Fock-space vector (row-major JW basis:
+    ``|n> = (f_0^d)^{n_0} (f_1^d)^{n_1} ... |0>``).
+
+    The dense amplitudes ARE the coefficients in this ordered-creation
+    basis (that is what the ``<n|`` readout convention of the sign spec
+    means), so fermionic expectation values of ARBITRARY operators can
+    be taken against explicit JW operator matrices — the bridge the
+    tests use to validate energies of fermionic Hamiltonians.
+    """
+    amps = fpeps_amplitudes_dense(tensors, ph_vec, pv_vec, d=d)
+    return amps.reshape(-1)
+
+
+def fpeps_expectation_dense(tensors, ph_vec, pv_vec, op, d=2):
+    """``<psi| O |psi> / <psi|psi>`` for an operator given as a dense
+    Fock matrix in the row-major JW basis (build fermionic operators
+    with the same convention as :mod:`contractn_tpu.models.fermions2d`).
+    """
+    psi = fock_state(tensors, ph_vec, pv_vec, d=d)
+    num = psi.conj() @ (np.asarray(op) @ psi)
+    den = psi.conj() @ psi
+    return num / den
+
+
+def hopping_fock_matrix(ly, lx, t=1.0, mu=0.0, delta=0.0):
+    """Dense Fock matrix of the 2D spinless-fermion Hamiltonian in the
+    ROW-MAJOR ordering (matching :func:`fock_state`'s basis)."""
+    n = ly * lx
+    sm = np.array([[0.0, 0.0], [1.0, 0.0]])
+    z = np.diag([1.0, -1.0])
+
+    def op_at(mats):
+        m = np.eye(1)
+        for k in range(n):
+            m = np.kron(m, mats.get(k, np.eye(2)))
+        return m
+
+    cs = [op_at({**{j: z for j in range(i)}, i: sm}) for i in range(n)]
+    h = np.zeros((2 ** n, 2 ** n))
+    for r in range(ly):
+        for c in range(lx):
+            i = r * lx + c
+            h += -mu * (cs[i].T @ cs[i])
+            for (r2, c2) in ((r, c + 1), (r + 1, c)):
+                if r2 >= ly or c2 >= lx:
+                    continue
+                j = r2 * lx + c2
+                h += -t * (cs[i].T @ cs[j] + cs[j].T @ cs[i])
+                h += delta * (cs[i].T @ cs[j].T + cs[j] @ cs[i])
+    return h

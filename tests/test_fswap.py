@@ -1,0 +1,206 @@
+"""Fermionic PEPS swap-gate core: the sign rule is the subject.
+
+Three independent layers pin it: the operator-reordering oracle
+(combinatorial spec), a Fock-space construction with explicit fermionic
+modes (2x2), and analytic fermionic states (vertical dimer product)
+whose amplitude SIGNS no bosonic contraction of the same tensors can
+reproduce.
+"""
+
+import itertools
+
+import numpy as np
+
+from contractn_tpu.models.fswap import (
+    absorb_site_signs,
+    fock_state,
+    fpeps_amplitudes_dense,
+    fpeps_expectation_dense,
+    fpeps_sign,
+    fpeps_sign_oracle,
+    hopping_fock_matrix,
+    random_fpeps,
+)
+
+
+def test_sign_rule_matches_reordering_oracle():
+    rng = np.random.default_rng(0)
+    for (ly, lx) in [(2, 2), (3, 3), (2, 4), (4, 2), (4, 4), (3, 5)]:
+        for _ in range(120):
+            ph = [[int(rng.integers(0, 2)) for _ in range(lx - 1)]
+                  for _ in range(ly)]
+            pv = [[int(rng.integers(0, 2)) for _ in range(lx)]
+                  for _ in range(ly - 1)]
+            nb = [[((ph[r][c - 1] if c > 0 else 0)
+                    + (ph[r][c] if c < lx - 1 else 0)
+                    + (pv[r - 1][c] if r > 0 else 0)
+                    + (pv[r][c] if r < ly - 1 else 0)) % 2
+                   for c in range(lx)] for r in range(ly)]
+            assert (fpeps_sign(ly, lx, ph, pv)
+                    == fpeps_sign_oracle(ly, lx, nb, ph, pv))
+
+
+def test_2x2_matches_explicit_fock_modes():
+    """Full amplitude equality against a from-scratch Fock construction
+    with 12 explicit fermionic modes (4 phys + 8 virtual)."""
+    tensors, ph_vec, pv_vec = random_fpeps(2, 2, seed=3)
+    amps = fpeps_amplitudes_dense(tensors, ph_vec, pv_vec)
+
+    n_modes = 12
+    dim = 2 ** n_modes
+    sp = np.array([[0.0, 0.0], [1.0, 0.0]])
+    z = np.diag([1.0, -1.0])
+
+    def cdag(i):
+        m = np.eye(1)
+        for k in range(n_modes):
+            m = np.kron(m, sp if k == i else
+                        (z if k < i else np.eye(2)))
+        return m
+
+    C = [cdag(i) for i in range(n_modes)]
+    vac = np.zeros(dim)
+    vac[0] = 1.0
+    # modes: phys 0..3; virtual 4: s0.r, 5: s1.l, 6: s2.r, 7: s3.l,
+    # 8: s0.d, 9: s2.u, 10: s1.d, 11: s3.u
+    site_ops = {
+        0: [("u", None), ("l", None), ("d", 8), ("r", 4)],
+        1: [("u", None), ("l", 5), ("d", 10), ("r", None)],
+        2: [("u", 9), ("l", None), ("d", None), ("r", 6)],
+        3: [("u", 11), ("l", 7), ("d", None), ("r", None)],
+    }
+    legdims = {0: (1, 1, 2, 2), 1: (1, 2, 2, 1),
+               2: (2, 1, 1, 2), 3: (2, 2, 1, 1)}
+    A = {0: tensors[0][0], 1: tensors[0][1],
+         2: tensors[1][0], 3: tensors[1][1]}
+    state = vac
+    for s in (3, 2, 1, 0):  # rightmost Q acts first
+        q = np.zeros((dim, dim))
+        du, dl, dd, dr = legdims[s]
+        for n in range(2):
+            for u in range(du):
+                for lv in range(dl):
+                    for dn in range(dd):
+                        for rt in range(dr):
+                            coef = A[s][n, u, lv, dn, rt]
+                            if coef == 0.0:
+                                continue
+                            op = np.eye(dim)
+                            vals = dict(zip("uldr", (u, lv, dn, rt)))
+                            ops = []
+                            if n:
+                                ops.append(s)
+                            for leg, mode in site_ops[s]:
+                                if mode is not None and vals[leg]:
+                                    ops.append(mode)
+                            for m in reversed(ops):
+                                op = C[m] @ op
+                            q += coef * op
+                        # (loop body end)
+        state = q @ state
+    for (a, b) in [(4, 5), (6, 7), (8, 9), (10, 11)]:
+        state = state + C[a].T @ (C[b].T @ state)
+    got = np.zeros((2, 2, 2, 2))
+    for nb in itertools.product((0, 1), repeat=4):
+        idx = 0
+        for o in list(nb) + [0] * 8:
+            idx = idx * 2 + o
+        got[nb] = state[idx]
+    np.testing.assert_allclose(got, amps, atol=1e-12)
+
+
+def test_vertical_dimer_product_signs():
+    """|psi> = (1 + c+_{00} c+_{10})(1 + c+_{01} c+_{11})|0> as an
+    fPEPS: the doubly-occupied component MUST carry the fermionic -1
+    (operator reordering), which the same tensors contracted bosonically
+    would get wrong."""
+    d = 2
+    triv = np.zeros((1,), np.int64)
+    bp = np.asarray([0, 1])
+    delta = np.zeros((d, 1, 1, 2, 1))
+    delta[0, 0, 0, 0, 0] = 1.0
+    delta[1, 0, 0, 1, 0] = 1.0
+    delta_u = np.zeros((d, 2, 1, 1, 1))
+    delta_u[0, 0, 0, 0, 0] = 1.0
+    delta_u[1, 1, 0, 0, 0] = 1.0
+    tensors = [[delta, delta], [delta_u, delta_u]]
+    ph_vec = {(0, 0): triv, (1, 0): triv}
+    pv_vec = {(0, 0): bp, (0, 1): bp}
+    amps = fpeps_amplitudes_dense(tensors, ph_vec, pv_vec)
+    # row-major basis |n00 n01 n10 n11>
+    assert amps[0, 0, 0, 0] == 1.0
+    assert amps[1, 0, 1, 0] == 1.0   # c+_00 c+_10 in basis order
+    assert amps[0, 1, 0, 1] == 1.0
+    assert amps[1, 1, 1, 1] == -1.0  # f0 f2 f1 f3 -> -(f0 f1 f2 f3)
+    # everything else zero
+    total = np.sum(np.abs(amps))
+    assert total == 4.0
+
+
+def test_site_sign_absorption_identity():
+    """absorb_site_signs + the remaining row-string gates == the full
+    sign rule (the factorization the scalable contractors rely on)."""
+    ly, lx = 3, 3
+    tensors, ph_vec, pv_vec = random_fpeps(ly, lx, seed=5)
+    want = fpeps_amplitudes_dense(tensors, ph_vec, pv_vec)
+
+    triv = np.zeros((1,), np.int64)
+
+    def legpar(r, c):
+        pu = pv_vec.get((r - 1, c), triv) if r > 0 else triv
+        pl = ph_vec.get((r, c - 1), triv) if c > 0 else triv
+        pd = pv_vec.get((r, c), triv) if r < ly - 1 else triv
+        pr = ph_vec.get((r, c), triv) if c < lx - 1 else triv
+        return (pu, pl, pd, pr)
+
+    absorbed = [[absorb_site_signs(tensors[r][c], legpar(r, c))
+                 for c in range(lx)] for r in range(ly)]
+
+    # contract with ONLY the row-string v-v signs
+    import itertools as it
+    d = 2
+    got = np.zeros((d,) * (ly * lx))
+    hkeys = sorted(ph_vec)
+    vkeys = sorted(pv_vec)
+    for combo in it.product(*(range(2) for _ in hkeys + vkeys)):
+        xh = dict(zip(hkeys, combo[: len(hkeys)]))
+        xv = dict(zip(vkeys, combo[len(hkeys):]))
+        e = 0
+        for r in range(ly - 1):
+            for c in range(lx):
+                p1 = int(pv_vec[(r, c)][xv[(r, c)]])
+                for c2 in range(c + 1, lx):
+                    e += p1 * int(pv_vec[(r, c2)][xv[(r, c2)]])
+                if r + 1 < ly - 1:
+                    for c2 in range(0, c + 1):
+                        e += p1 * int(pv_vec[(r + 1, c2)][xv[(r + 1, c2)]])
+        term = np.ones(())
+        for r in range(ly):
+            for c in range(lx):
+                u = xv[(r - 1, c)] if r > 0 else 0
+                lv = xh[(r, c - 1)] if c > 0 else 0
+                dn = xv[(r, c)] if r < ly - 1 else 0
+                rt = xh[(r, c)] if c < lx - 1 else 0
+                term = np.multiply.outer(
+                    term, absorbed[r][c][:, u, lv, dn, rt])
+        got = got + (-1) ** (e % 2) * term
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_fermionic_expectations_consistent():
+    """Expectations of fermionic operators on a random fPEPS through
+    the Fock bridge: density in [0, 1], energy real, and the state's
+    parity structure exact (odd-parity total sectors carry zero
+    weight for parity-even tensors)."""
+    tensors, ph_vec, pv_vec = random_fpeps(2, 3, seed=7)
+    psi = fock_state(tensors, ph_vec, pv_vec)
+    n_sites = 6
+    # global parity even
+    pars = np.array([bin(i).count("1") % 2 for i in range(2 ** n_sites)])
+    assert np.allclose(psi[pars == 1], 0.0)
+    h = hopping_fock_matrix(2, 3, t=1.0, mu=0.4, delta=0.3)
+    e = fpeps_expectation_dense(tensors, ph_vec, pv_vec, h)
+    assert np.isfinite(e) and abs(np.imag(e)) < 1e-12
+    nop = hopping_fock_matrix(2, 3, t=0.0, mu=-1.0, delta=0.0)
+    dens = fpeps_expectation_dense(tensors, ph_vec, pv_vec, nop)
+    assert 0.0 <= np.real(dens) <= n_sites
