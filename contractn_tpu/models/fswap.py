@@ -273,3 +273,101 @@ def hopping_fock_matrix(ly, lx, t=1.0, mu=0.0, delta=0.0):
                 h += -t * (cs[i].T @ cs[j] + cs[j].T @ cs[i])
                 h += delta * (cs[i].T @ cs[j].T + cs[j] @ cs[i])
     return h
+
+
+# --------------------------------------------------------------------- #
+# Row-sweep contraction (polynomial in ly: strips of bounded width)
+# --------------------------------------------------------------------- #
+
+
+def _double_layer(a, op=None):
+    """Merged-leg double layer ``E[(u ub), (l lb), (d db), (r rb)]`` of a
+    site tensor (site-local sign factors ALREADY absorbed), with an
+    optional parity-even one-site operator between the layers."""
+    if op is None:
+        e = np.einsum("nuldr,nULDR->uUlLdDrR", a, np.conj(a))
+    else:
+        e = np.einsum("nuldr,nm,mULDR->uUlLdDrR", a, np.asarray(op),
+                      np.conj(a))
+    s = a.shape
+    return e.reshape(s[1] ** 2, s[2] ** 2, s[3] ** 2, s[4] ** 2)
+
+
+def fpeps_expectation_sweep(tensors, ph_vec, pv_vec, op=None,
+                            site=None, d=2):
+    """``<psi| O_site |psi>`` (or the norm, ``op=None``) by an exact
+    row sweep — polynomial in ``ly``, dense over a row's merged
+    vertical legs (strips of width ``lx <= ~5`` at D = 2).
+
+    The residual (non-site-local) fermionic signs are applied DURING
+    the left-to-right column sweep of each row absorption with one
+    parity register per layer (the running parity ``K`` of the new
+    row's v-legs):
+
+    * within-row pairs of the new row's v-legs: ``(-1)^{q_c K(<c)}``;
+    * the adjacent-row staircase against the previous row's v-legs:
+      ``(-1)^{p_c (K(<c) + q_c)}``.
+
+    ``op`` (parity-even one-site operator, e.g. the density) inserts
+    between the layers at ``site``.  Exact — validated against the
+    dense-enumeration evaluators, which are themselves Fock-pinned.
+    """
+    ly, lx = len(tensors), len(tensors[0])
+    triv = np.zeros((1,), np.int64)
+
+    def legpar(r, c):
+        pu = pv_vec[(r - 1, c)] if r > 0 else triv
+        pl = ph_vec[(r, c - 1)] if c > 0 else triv
+        pd = pv_vec[(r, c)] if r < ly - 1 else triv
+        pr = ph_vec[(r, c)] if c < lx - 1 else triv
+        return (pu, pl, pd, pr)
+
+    bnd = None  # dense boundary over the previous row's merged v-legs
+    for r in range(ly):
+        old_dims = list(bnd.shape) if bnd is not None else [1] * lx
+        # carry[kk, kb, h2, new_0..new_{c-1}, old_c..old_{lx-1}]
+        carry = np.zeros((2, 2, 1) + tuple(old_dims))
+        carry[0, 0, 0] = (bnd if bnd is not None
+                          else np.ones(tuple(old_dims)))
+        for c in range(lx):
+            pu, pl, pd, pr = legpar(r, c)
+            a_abs = absorb_site_signs(tensors[r][c], (pu, pl, pd, pr))
+            o = op if (site is not None and site == (r, c)) else None
+            e = _double_layer(a_abs, op=o)  # (u2, l2, d2, r2)
+            du2, _, dd2, dr2 = e.shape
+            pdk = np.repeat(pd, len(pd)) % 2  # ket parity of merged d
+            pdb = np.tile(pd, len(pd)) % 2    # bra parity
+            puk = np.repeat(pu, len(pu)) % 2
+            pub = np.tile(pu, len(pu)) % 2
+            out = np.zeros((2, 2, dr2) + carry.shape[3:3 + c]
+                           + (dd2,) + carry.shape[3 + c + 1:])
+            for kk in range(2):
+                for kb in range(2):
+                    for u2 in range(du2):
+                        # slice old leg u2 (axis 1 + c of carry[kk,kb])
+                        sl = np.moveaxis(carry[kk, kb], 1 + c, 0)[u2]
+                        if not sl.any():
+                            continue
+                        pk, pb = int(puk[u2]), int(pub[u2])
+                        for dn2 in range(dd2):
+                            qk, qb = int(pdk[dn2]), int(pdb[dn2])
+                            sgn = (-1) ** ((qk * kk + qb * kb
+                                            + pk * ((kk + qk) % 2)
+                                            + pb * ((kb + qb) % 2))
+                                           % 2)
+                            mat = e[u2, :, dn2, :]  # (l2, r2)
+                            contrib = np.tensordot(sl, mat,
+                                                   axes=([0], [0]))
+                            # axes: (new..., old_{c+1}.., r2) -> front
+                            contrib = np.moveaxis(contrib, -1, 0)
+                            idx = ((kk + qk) % 2, (kb + qb) % 2,
+                                   slice(None)) + (slice(None),) * c                                 + (dn2,)
+                            out[idx] += sgn * contrib
+            carry = out
+        # registers partition the new-leg configurations: summing is exact
+        bnd = carry.sum(axis=(0, 1, 2))
+    return np.asarray(bnd).reshape(())
+
+
+def fpeps_norm_sweep(tensors, ph_vec, pv_vec, d=2):
+    return fpeps_expectation_sweep(tensors, ph_vec, pv_vec)

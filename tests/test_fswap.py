@@ -204,3 +204,39 @@ def test_fermionic_expectations_consistent():
     nop = hopping_fock_matrix(2, 3, t=0.0, mu=-1.0, delta=0.0)
     dens = fpeps_expectation_dense(tensors, ph_vec, pv_vec, nop)
     assert 0.0 <= np.real(dens) <= n_sites
+
+
+def test_row_sweep_matches_fock_and_scales_to_strips():
+    """The register-based row sweep (polynomial in ly) equals the Fock
+    norm on every dense-checkable shape, including a 4-row grid that
+    exercises repeated staircase absorptions; an 8x3 strip runs where
+    dense enumeration cannot."""
+    from contractn_tpu.models.fswap import (
+        fpeps_expectation_sweep,
+        fpeps_norm_sweep,
+    )
+
+    for (ly, lx, seed) in [(2, 2, 0), (2, 3, 1), (3, 3, 2), (4, 2, 6)]:
+        tn, phv, pvv = random_fpeps(ly, lx, seed=seed)
+        psi = fock_state(tn, phv, pvv)
+        want = float(psi @ psi)
+        got = float(fpeps_norm_sweep(tn, phv, pvv))
+        assert abs(got - want) < 1e-12 * abs(want), (ly, lx)
+
+    # one-site density against the Fock bridge
+    tn, phv, pvv = random_fpeps(3, 3, seed=2)
+    nop = np.diag([0.0, 1.0])
+    got = (float(fpeps_expectation_sweep(tn, phv, pvv, op=nop,
+                                         site=(1, 1)))
+           / float(fpeps_norm_sweep(tn, phv, pvv)))
+    psi = fock_state(tn, phv, pvv)
+    m = np.eye(1)
+    for k in range(9):
+        m = np.kron(m, nop if k == 4 else np.eye(2))
+    want = float(psi @ (m @ psi)) / float(psi @ psi)
+    assert abs(got - want) < 1e-12
+
+    # strip far beyond dense enumeration: finite, positive norm
+    tn, phv, pvv = random_fpeps(8, 3, seed=9)
+    val = float(fpeps_norm_sweep(tn, phv, pvv))
+    assert np.isfinite(val) and val > 0.0
