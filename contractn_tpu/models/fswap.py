@@ -371,3 +371,143 @@ def fpeps_expectation_sweep(tensors, ph_vec, pv_vec, op=None,
 
 def fpeps_norm_sweep(tensors, ph_vec, pv_vec, d=2):
     return fpeps_expectation_sweep(tensors, ph_vec, pv_vec)
+
+
+# --------------------------------------------------------------------- #
+# Boundary-MPS contraction (scalable in BOTH dimensions, chi-truncated)
+# --------------------------------------------------------------------- #
+
+
+def _embed_np(mats, phys_shape):
+    """Stack per-column cores into uniform numpy cores, zero-padding the
+    horizontal bonds; returns ``(stacked, e0)``."""
+    h = max(max(m.shape[-2], m.shape[-1]) for m in mats)
+    out = np.zeros((len(mats),) + phys_shape + (h, h), mats[0].dtype)
+    for i, m in enumerate(mats):
+        sl = (i,) + tuple(slice(0, s) for s in m.shape)
+        out[sl] = m
+    e = np.zeros((h,))
+    e[0] = 1.0
+    return out, e
+
+
+def _row_mpo_cores(tensors, ph_vec, pv_vec, r, ly, lx, op, site):
+    """Per-column fermionic row-transfer cores ``(d_out, d_in, W, W)``.
+
+    ``d_in = Du^2`` (old merged v-leg), ``d_out = Dd^2`` (new); the MPO
+    bond is ``(merged h-leg) x (ket register) x (bra register)`` with
+    the string signs and register transitions woven into the elements.
+    """
+    triv = np.zeros((1,), np.int64)
+    cores = []
+    for c in range(lx):
+        pu = pv_vec[(r - 1, c)] if r > 0 else triv
+        pl = ph_vec[(r, c - 1)] if c > 0 else triv
+        pd = pv_vec[(r, c)] if r < ly - 1 else triv
+        pr = ph_vec[(r, c)] if c < lx - 1 else triv
+        a_abs = absorb_site_signs(tensors[r][c], (pu, pl, pd, pr))
+        o = op if (site is not None and site == (r, c)) else None
+        e = _double_layer(a_abs, op=o)  # (u2, l2, d2, r2)
+        du2, dl2, dd2, dr2 = e.shape
+        pdk = np.repeat(pd, len(pd)) % 2
+        pdb = np.tile(pd, len(pd)) % 2
+        puk = np.repeat(pu, len(pu)) % 2
+        pub = np.tile(pu, len(pu)) % 2
+        w = np.zeros((dd2, du2, dl2 * 4, dr2 * 4))
+        for kk in range(2):
+            for kb in range(2):
+                for u2 in range(du2):
+                    pk, pb = int(puk[u2]), int(pub[u2])
+                    for dn2 in range(dd2):
+                        qk, qb = int(pdk[dn2]), int(pdb[dn2])
+                        sgn = (-1.0) ** ((qk * kk + qb * kb
+                                          + pk * ((kk + qk) % 2)
+                                          + pb * ((kb + qb) % 2)) % 2)
+                        win = slice(None)
+                        kk2, kb2 = (kk + qk) % 2, (kb + qb) % 2
+                        # bond layout: h-index major, register minor
+                        for l2 in range(dl2):
+                            for r2 in range(dr2):
+                                w[dn2, u2,
+                                  l2 * 4 + kk * 2 + kb,
+                                  r2 * 4 + kk2 * 2 + kb2] += (
+                                    sgn * e[u2, l2, dn2, r2])
+        cores.append(w)
+    return cores
+
+
+def fpeps_norm_boundary(tensors, ph_vec, pv_vec, op=None, site=None,
+                        chi=None, d=2):
+    """``<psi| O_site |psi>`` / norm of a finite fermionic PEPS by
+    boundary-MPS sweeping — polynomial in BOTH lattice dimensions.
+
+    The fermionic row transfer is an MPO whose virtual bond carries the
+    merged horizontal double-layer leg TIMES the two string-parity
+    registers (:func:`fpeps_expectation_sweep`); the registers start at
+    0 through the left boundary vector and are SUMMED by the right one
+    (they deterministically partition the configurations).  Rows are
+    absorbed with the framework's exact MPO application and truncated
+    back to ``chi`` with the canonical SVD compression; ``chi=None`` is
+    exact.  Returns the plain scalar (log-combined internally).
+
+    Exact agreement with the Fock-pinned dense evaluators is tested on
+    every enumerable shape; truncation behavior on larger grids is
+    monitored through ``chi`` convergence in the tests.
+    """
+    import jax.numpy as jnp2
+
+    from .boundary import apply_mpo_to_mps
+    from .canonical import compress
+    from .mpo import MPO as MPOc
+    from .mps import MPS as MPSc
+
+    ly, lx = len(tensors), len(tensors[0])
+    triv = np.zeros((1,), np.int64)
+
+    # Row 0 as a boundary MPS over its new v-legs: reuse the row-MPO
+    # cores with trivial d_in, turning (d_out, 1, W, W) into MPS cores
+    cores0 = _row_mpo_cores(tensors, ph_vec, pv_vec, 0, ly, lx, op,
+                            site)
+    mats = [w[:, 0] for w in cores0]  # (d_out, W, W)
+    stacked, e0 = _embed_np(mats, (mats[0].shape[0],))
+    wdim = stacked.shape[-1]
+    left = np.zeros((wdim,))
+    left[0] = 1.0  # h edge index 0, registers (0, 0)
+    right = np.zeros((wdim,))
+    # right h-edge is dim 1 => indices 0..3 are (h=0) x registers
+    right[:4] = 1.0
+    boundary = MPSc(jnp2.asarray(stacked), jnp2.asarray(left),
+                    jnp2.asarray(right))
+    total_log = 0.0
+
+    for r in range(1, ly - 1):
+        cores = _row_mpo_cores(tensors, ph_vec, pv_vec, r, ly, lx, op,
+                               site)
+        stacked, _ = _embed_np(cores, cores[0].shape[:2])
+        wdim = stacked.shape[-1]
+        lvec = np.zeros((wdim,))
+        lvec[0] = 1.0
+        rvec = np.zeros((wdim,))
+        rvec[:4] = 1.0
+        row_mpo = MPOc(jnp2.asarray(stacked), jnp2.asarray(lvec),
+                       jnp2.asarray(rvec))
+        boundary = apply_mpo_to_mps(row_mpo, boundary)
+        if chi is not None and boundary.bond_dim > chi:
+            boundary, log_norm, _ = compress(boundary, max_bond=chi)
+            total_log += float(log_norm)
+
+    # closing row: registers trivial (no new legs; old-leg staircase
+    # factors vanish against parity-0 new legs)
+    cores = _row_mpo_cores(tensors, ph_vec, pv_vec, ly - 1, ly, lx,
+                           op, site)
+    mats = [w[0] for w in cores]  # (d_in, W, W); d_out = 1
+    stacked, _ = _embed_np(mats, (mats[0].shape[0],))
+    wdim = stacked.shape[-1]
+    lvec = np.zeros((wdim,))
+    lvec[0] = 1.0
+    rvec = np.zeros((wdim,))
+    rvec[:4] = 1.0
+    closing = MPSc(jnp2.asarray(stacked), jnp2.asarray(lvec),
+                   jnp2.asarray(rvec))
+    val, log = closing.inner(boundary, conjugate=False)
+    return float(val) * float(np.exp(float(log) + total_log))

@@ -240,3 +240,37 @@ def test_row_sweep_matches_fock_and_scales_to_strips():
     tn, phv, pvv = random_fpeps(8, 3, seed=9)
     val = float(fpeps_norm_sweep(tn, phv, pvv))
     assert np.isfinite(val) and val > 0.0
+
+
+def test_boundary_mps_fpeps_matches_and_truncates():
+    """The chi-truncated boundary-MPS fermionic contraction ==
+    the exact sweep on enumerable shapes, and converges in chi on a
+    6x6 grid far beyond dense enumeration."""
+    from contractn_tpu.models.fswap import (
+        fpeps_expectation_sweep,
+        fpeps_norm_boundary,
+        fpeps_norm_sweep,
+    )
+
+    for (ly, lx, seed) in [(2, 2, 0), (3, 3, 2), (4, 2, 6)]:
+        tn, phv, pvv = random_fpeps(ly, lx, seed=seed)
+        want = float(fpeps_norm_sweep(tn, phv, pvv))
+        got = fpeps_norm_boundary(tn, phv, pvv)
+        assert abs(got - want) < 1e-12 * abs(want), (ly, lx)
+
+    # one-site expectation through the boundary route
+    tn, phv, pvv = random_fpeps(3, 3, seed=2)
+    nop = np.diag([0.0, 1.0])
+    want = (float(fpeps_expectation_sweep(tn, phv, pvv, op=nop,
+                                          site=(1, 1)))
+            / float(fpeps_norm_sweep(tn, phv, pvv)))
+    got = (fpeps_norm_boundary(tn, phv, pvv, op=nop, site=(1, 1))
+           / fpeps_norm_boundary(tn, phv, pvv))
+    assert abs(got - want) < 1e-12
+
+    # 6x6: chi convergence (values agree to truncation accuracy)
+    tn, phv, pvv = random_fpeps(6, 6, seed=11)
+    v16 = fpeps_norm_boundary(tn, phv, pvv, chi=16)
+    v32 = fpeps_norm_boundary(tn, phv, pvv, chi=32)
+    assert np.isfinite(v16) and np.isfinite(v32) and v32 > 0
+    assert abs(v16 - v32) < 1e-3 * abs(v32)
