@@ -249,9 +249,10 @@ def fpeps_expectation_dense(tensors, ph_vec, pv_vec, op, d=2):
 
 def hopping_fock_matrix(ly, lx, t=1.0, mu=0.0, delta=0.0):
     """Dense Fock matrix of the 2D spinless-fermion Hamiltonian in the
-    ROW-MAJOR ordering (matching :func:`fock_state`'s basis)."""
+    ROW-MAJOR ordering and THIS module's basis (index 1 = occupied,
+    so ``c`` maps index 1 -> 0 and ``n = diag(0, 1)``)."""
     n = ly * lx
-    sm = np.array([[0.0, 0.0], [1.0, 0.0]])
+    sm = np.array([[0.0, 1.0], [0.0, 0.0]])
     z = np.diag([1.0, -1.0])
 
     def op_at(mats):
@@ -294,7 +295,7 @@ def _double_layer(a, op=None):
 
 
 def fpeps_expectation_sweep(tensors, ph_vec, pv_vec, op=None,
-                            site=None, d=2):
+                            site=None, ops=None, d=2):
     """``<psi| O_site |psi>`` (or the norm, ``op=None``) by an exact
     row sweep — polynomial in ``ly``, dense over a row's merged
     vertical legs (strips of width ``lx <= ~5`` at D = 2).
@@ -332,7 +333,7 @@ def fpeps_expectation_sweep(tensors, ph_vec, pv_vec, op=None,
         for c in range(lx):
             pu, pl, pd, pr = legpar(r, c)
             a_abs = absorb_site_signs(tensors[r][c], (pu, pl, pd, pr))
-            o = op if (site is not None and site == (r, c)) else None
+            o = _op_at(op, site, ops, r, c)
             e = _double_layer(a_abs, op=o)  # (u2, l2, d2, r2)
             du2, _, dd2, dr2 = e.shape
             pdk = np.repeat(pd, len(pd)) % 2  # ket parity of merged d
@@ -391,7 +392,22 @@ def _embed_np(mats, phys_shape):
     return out, e
 
 
-def _row_mpo_cores(tensors, ph_vec, pv_vec, r, ly, lx, op, site):
+def _op_at(op, site, ops, r, c):
+    """Resolve the operator inserted at ``(r, c)``: either the single
+    ``op``/``site`` pair or an ``ops`` dict ``{(r, c): matrix}`` — the
+    dict form is how multi-site JW-string operators (fermionic hopping
+    and pairing) enter: the sign rule has NO dependence on the physical
+    indices, so arbitrary per-site operator insertions between the
+    layers are exact."""
+    if ops is not None and (r, c) in ops:
+        return ops[(r, c)]
+    if site is not None and site == (r, c):
+        return op
+    return None
+
+
+def _row_mpo_cores(tensors, ph_vec, pv_vec, r, ly, lx, op, site,
+                   ops=None):
     """Per-column fermionic row-transfer cores ``(d_out, d_in, W, W)``.
 
     ``d_in = Du^2`` (old merged v-leg), ``d_out = Dd^2`` (new); the MPO
@@ -406,7 +422,7 @@ def _row_mpo_cores(tensors, ph_vec, pv_vec, r, ly, lx, op, site):
         pd = pv_vec[(r, c)] if r < ly - 1 else triv
         pr = ph_vec[(r, c)] if c < lx - 1 else triv
         a_abs = absorb_site_signs(tensors[r][c], (pu, pl, pd, pr))
-        o = op if (site is not None and site == (r, c)) else None
+        o = _op_at(op, site, ops, r, c)
         e = _double_layer(a_abs, op=o)  # (u2, l2, d2, r2)
         du2, dl2, dd2, dr2 = e.shape
         pdk = np.repeat(pd, len(pd)) % 2
@@ -437,7 +453,7 @@ def _row_mpo_cores(tensors, ph_vec, pv_vec, r, ly, lx, op, site):
 
 
 def fpeps_norm_boundary(tensors, ph_vec, pv_vec, op=None, site=None,
-                        chi=None, d=2):
+                        ops=None, chi=None, d=2):
     """``<psi| O_site |psi>`` / norm of a finite fermionic PEPS by
     boundary-MPS sweeping — polynomial in BOTH lattice dimensions.
 
@@ -467,7 +483,7 @@ def fpeps_norm_boundary(tensors, ph_vec, pv_vec, op=None, site=None,
     # Row 0 as a boundary MPS over its new v-legs: reuse the row-MPO
     # cores with trivial d_in, turning (d_out, 1, W, W) into MPS cores
     cores0 = _row_mpo_cores(tensors, ph_vec, pv_vec, 0, ly, lx, op,
-                            site)
+                            site, ops)
     mats = [w[:, 0] for w in cores0]  # (d_out, W, W)
     stacked, e0 = _embed_np(mats, (mats[0].shape[0],))
     wdim = stacked.shape[-1]
@@ -482,7 +498,7 @@ def fpeps_norm_boundary(tensors, ph_vec, pv_vec, op=None, site=None,
 
     for r in range(1, ly - 1):
         cores = _row_mpo_cores(tensors, ph_vec, pv_vec, r, ly, lx, op,
-                               site)
+                               site, ops)
         stacked, _ = _embed_np(cores, cores[0].shape[:2])
         wdim = stacked.shape[-1]
         lvec = np.zeros((wdim,))
@@ -499,7 +515,7 @@ def fpeps_norm_boundary(tensors, ph_vec, pv_vec, op=None, site=None,
     # closing row: registers trivial (no new legs; old-leg staircase
     # factors vanish against parity-0 new legs)
     cores = _row_mpo_cores(tensors, ph_vec, pv_vec, ly - 1, ly, lx,
-                           op, site)
+                           op, site, ops)
     mats = [w[0] for w in cores]  # (d_in, W, W); d_out = 1
     stacked, _ = _embed_np(mats, (mats[0].shape[0],))
     wdim = stacked.shape[-1]
@@ -511,3 +527,76 @@ def fpeps_norm_boundary(tensors, ph_vec, pv_vec, op=None, site=None,
                    jnp2.asarray(rvec))
     val, log = closing.inner(boundary, conjugate=False)
     return float(val) * float(np.exp(float(log) + total_log))
+
+
+def _jw_string_ops(lx, site_a, site_b, kind):
+    """Per-site spin operators of a two-fermion term in row-major JW.
+
+    Returns ONE ordered term; callers sum the orderings.  In THIS
+    module's basis (index 0 = empty, 1 = occupied — the fPEPS Fock
+    definition's ``(f^d)^n``), the JW identities carry PLUS signs
+    (``S+ Z = +S+`` here, unlike the occupied-first convention of
+    ``models.fermions2d``), pinned by the Fock test:
+
+        ``c^d_m c_n   = + S+_m (prod Z) S-_n``   (m < n)
+        ``c^d_m c^d_n = + S+_m (prod Z) S+_n``
+    """
+    sp = np.array([[0.0, 0.0], [1.0, 0.0]])  # create: |0> -> |1>
+    sm = sp.T
+    z = np.diag([1.0, -1.0])
+    (ra, ca), (rb, cb) = site_a, site_b
+    m = ra * lx + ca
+    n = rb * lx + cb
+    if m > n:
+        raise ValueError("order site_a before site_b (row-major)")
+    first, second = {"pdm": (sp, sm), "mdp": (sm, sp),
+                     "pdp": (sp, sp), "mdm": (sm, sm)}[kind]
+    ops = {site_a: first}
+    for k in range(m + 1, n):
+        ops[(k // lx, k % lx)] = z
+    ops[site_b] = second
+    return ops
+
+
+def fpeps_bond_expectation(tensors, ph_vec, pv_vec, site_a, site_b,
+                           t=1.0, delta=0.0, chi=None):
+    """``<psi| -t (c^d_a c_b + h.c.) + delta (c^d_a c^d_b + h.c.) |psi>``
+    (UNNORMALIZED) through the boundary contraction — the fermionic
+    bond-energy patch.  ``site_a`` must precede ``site_b`` row-major.
+    """
+    lx = len(tensors[0])
+    total = 0.0
+    for coeff, kind in ((-t, "pdm"), (-t, "mdp"),
+                        (delta, "pdp"), (delta, "mdm")):
+        if coeff == 0.0:
+            continue
+        ops = _jw_string_ops(lx, site_a, site_b, kind)
+        total += coeff * fpeps_norm_boundary(
+            tensors, ph_vec, pv_vec, ops=ops, chi=chi)
+    return total
+
+
+def fpeps_energy(tensors, ph_vec, pv_vec, t=1.0, mu=0.0, delta=0.0,
+                 chi=None):
+    """Energy of the 2D spinless-fermion Hamiltonian (hopping +
+    chemical potential + pairing) on a finite fermionic PEPS, entirely
+    through chi-truncated boundary sweeps — one contraction per term
+    plus the norm.  Validated against the dense Fock bridge.
+    """
+    ly, lx = len(tensors), len(tensors[0])
+    nop = np.diag([0.0, 1.0])
+    total = 0.0
+    for r in range(ly):
+        for c in range(lx):
+            if mu != 0.0:
+                total += -mu * fpeps_norm_boundary(
+                    tensors, ph_vec, pv_vec, op=nop, site=(r, c),
+                    chi=chi)
+            for (r2, c2) in ((r, c + 1), (r + 1, c)):
+                if r2 >= ly or c2 >= lx:
+                    continue
+                total += fpeps_bond_expectation(
+                    tensors, ph_vec, pv_vec, (r, c), (r2, c2),
+                    t=t, delta=delta, chi=chi)
+    return total / fpeps_norm_boundary(tensors, ph_vec, pv_vec,
+                                       chi=chi)

@@ -274,3 +274,22 @@ def test_boundary_mps_fpeps_matches_and_truncates():
     v32 = fpeps_norm_boundary(tn, phv, pvv, chi=32)
     assert np.isfinite(v16) and np.isfinite(v32) and v32 > 0
     assert abs(v16 - v32) < 1e-3 * abs(v32)
+
+
+def test_fpeps_energy_matches_fock_exactly():
+    """Full 2D fermionic Hamiltonian energies (hopping + mu + pairing)
+    on random fPEPS through chi-truncatable boundary sweeps == the Fock
+    bridge at machine precision — every term is a JW-string operator
+    insertion (the sign rule is independent of the physical indices, so
+    arbitrary per-site operator insertions are exact)."""
+    from contractn_tpu.models.fswap import fpeps_energy
+
+    for (ly, lx, seed, t, mu, delta) in [(2, 2, 0, 1.0, 0.5, 0.0),
+                                         (3, 3, 2, 1.0, 0.3, 0.6),
+                                         (2, 3, 1, 1.0, 0.7, 0.4)]:
+        tn, phv, pvv = random_fpeps(ly, lx, seed=seed)
+        psi = fock_state(tn, phv, pvv)
+        h = hopping_fock_matrix(ly, lx, t=t, mu=mu, delta=delta)
+        want = float(psi @ (h @ psi)) / float(psi @ psi)
+        got = fpeps_energy(tn, phv, pvv, t=t, mu=mu, delta=delta)
+        assert abs(got - want) < 1e-12, (ly, lx, got, want)
