@@ -170,7 +170,7 @@ def _single_row_sweep(row):
     v = row[0][0, :, 0, :]  # (left=1, right)
     log = 0.0
     for t in row[1:]:
-        v = v @ t[0, :, 0, :]
+        v = np.matmul(v, t[0, :, 0, :])
         norm = float(np.mean(np.abs(v)))
         if norm > 1e-7:
             v = v / norm

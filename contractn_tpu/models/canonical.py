@@ -320,9 +320,11 @@ def compress_fixed(mps, chi):
     sites, new_left, new_right, log_svd, err_sq = _fixed_svd_sweep(
         qs, e0, w, int(chi)
     )
-    log_norm = float(log_qr) + float(log_svd)
-    return (MPS(sites, new_left, new_right), log_norm,
-            float(jnp.sqrt(err_sq)))
+    # traced values (no host sync): compress_fixed must be usable
+    # inside jit/grad — the differentiable fermionic-PEPS energy
+    # differentiates straight through it
+    return (MPS(sites, new_left, new_right), log_qr + log_svd,
+            jnp.sqrt(err_sq))
 
 
 def compress(mps, max_bond=None, cutoff=0.0):

@@ -40,6 +40,8 @@ import itertools
 import numpy as np
 import jax.numpy as jnp
 
+from ..ops.stabilize import peinsum
+
 
 def fpeps_sign(ly, lx, ph, pv):
     """The sign of one virtual-parity configuration (the derived rule).
@@ -242,8 +244,8 @@ def fpeps_expectation_dense(tensors, ph_vec, pv_vec, op, d=2):
     with the same convention as :mod:`contractn_tpu.models.fermions2d`).
     """
     psi = fock_state(tensors, ph_vec, pv_vec, d=d)
-    num = psi.conj() @ (np.asarray(op) @ psi)
-    den = psi.conj() @ psi
+    num = np.matmul(psi.conj(), np.matmul(np.asarray(op), psi))
+    den = np.matmul(psi.conj(), psi)
     return num / den
 
 
@@ -266,13 +268,15 @@ def hopping_fock_matrix(ly, lx, t=1.0, mu=0.0, delta=0.0):
     for r in range(ly):
         for c in range(lx):
             i = r * lx + c
-            h += -mu * (cs[i].T @ cs[i])
+            h += -mu * np.matmul(cs[i].T, cs[i])
             for (r2, c2) in ((r, c + 1), (r + 1, c)):
                 if r2 >= ly or c2 >= lx:
                     continue
                 j = r2 * lx + c2
-                h += -t * (cs[i].T @ cs[j] + cs[j].T @ cs[i])
-                h += delta * (cs[i].T @ cs[j].T + cs[j] @ cs[i])
+                h += -t * (np.matmul(cs[i].T, cs[j])
+                           + np.matmul(cs[j].T, cs[i]))
+                h += delta * (np.matmul(cs[i].T, cs[j].T)
+                              + np.matmul(cs[j], cs[i]))
     return h
 
 
@@ -600,3 +604,245 @@ def fpeps_energy(tensors, ph_vec, pv_vec, t=1.0, mu=0.0, delta=0.0,
                     t=t, delta=delta, chi=chi)
     return total / fpeps_norm_boundary(tensors, ph_vec, pv_vec,
                                        chi=chi)
+
+
+# --------------------------------------------------------------------- #
+# Differentiable energy -> gradient-optimized fermionic ground states
+# --------------------------------------------------------------------- #
+
+
+def _sign_block(pu, pd):
+    """Constant ``(d2, u2, 4, 4)`` array: string sign x register
+    transition for one site's merged legs (parities only — the whole
+    fermionic structure enters the DIFFERENTIABLE energy through this
+    tensor-independent constant)."""
+    pdk = np.repeat(pd, len(pd)) % 2
+    pdb = np.tile(pd, len(pd)) % 2
+    puk = np.repeat(pu, len(pu)) % 2
+    pub = np.tile(pu, len(pu)) % 2
+    dd2, du2 = len(pdk), len(puk)
+    s = np.zeros((dd2, du2, 4, 4))
+    for kk in range(2):
+        for kb in range(2):
+            for u2 in range(du2):
+                pk, pb = int(puk[u2]), int(pub[u2])
+                for dn2 in range(dd2):
+                    qk, qb = int(pdk[dn2]), int(pdb[dn2])
+                    sgn = (-1.0) ** ((qk * kk + qb * kb
+                                      + pk * ((kk + qk) % 2)
+                                      + pb * ((kb + qb) % 2)) % 2)
+                    kk2, kb2 = (kk + qk) % 2, (kb + qb) % 2
+                    s[dn2, u2, kk * 2 + kb, kk2 * 2 + kb2] = sgn
+    return s
+
+
+def _truncate_safe(cores, left, right, chi):
+    """Canonicalize-and-truncate a boundary given as a LIST of
+    ``(d, Dl, Dr)`` cores, differentiably: both sweeps use ``svd_safe``
+    (degeneracy-broadened VJPs — the padded/rank-deficient bonds that
+    NaN stock QR/SVD gradients are the NORM here), host-unrolled over
+    the few columns.  Returns ``(cores, log_norm)`` with unit boundary
+    weights absorbed.
+    """
+    from ..ops.linalg_ad import svd_safe
+
+    n = len(cores)
+    carry = left[None, :]
+    log = jnp.zeros(())
+    lcan = []
+    for i in range(n):
+        t = peinsum("ai,dij->daj", carry, cores[i])
+        d_dim, a_dim, j_dim = t.shape
+        m = t.transpose(1, 0, 2).reshape(a_dim * d_dim, j_dim)
+        u, sv, vh = svd_safe(m)
+        k = min(m.shape)
+        lcan.append(u.reshape(a_dim, d_dim, k).transpose(1, 0, 2))
+        nrm = jnp.maximum(jnp.linalg.norm(sv), 1e-300)
+        log = log + jnp.log(nrm)
+        carry = (sv / nrm)[:, None] * vh
+    closing = peinsum("kj,j->k", carry, right)
+    # right-to-left truncation
+    out = [None] * n
+    rcarry = closing[:, None]  # (k, 1)
+    for i in reversed(range(n)):
+        t = peinsum("dik,ka->dia", lcan[i], rcarry)
+        d_dim, i_dim, a_dim = t.shape
+        m = t.transpose(1, 0, 2).reshape(i_dim, d_dim * a_dim)
+        u, sv, vh = svd_safe(m)
+        k = min(min(m.shape), int(chi))
+        u, sv, vh = u[:, :k], sv[:k], vh[:k]
+        out[i] = vh.reshape(k, d_dim, a_dim).transpose(1, 0, 2)
+        nrm = jnp.maximum(jnp.linalg.norm(sv), 1e-300)
+        log = log + jnp.log(nrm)
+        rcarry = u * (sv / nrm)[None, :]
+    # rcarry collapses to the (1, 1) leftmost residue (left vector was
+    # absorbed in the first sweep): fold its sign/scale into core 0
+    out[0] = out[0] * rcarry[0, 0]
+    return out, log
+
+
+def fpeps_energy_diff(tensors, ph_vec, pv_vec, chi, t=1.0, mu=0.0,
+                      delta=0.0):
+    """Differentiable :func:`fpeps_energy` (jnp end to end).
+
+    Same contraction as :func:`fpeps_norm_boundary` with every
+    tensor-dependent step in jnp — the fermionic sign structure enters
+    as the constant :func:`_sign_block` arrays — and the boundary
+    truncated to ``chi`` by the ``svd_safe``-based sweep, so
+    ``jax.grad`` flows through the whole energy (stock QR/SVD VJPs NaN
+    on the rank-deficient bonds this contraction produces).  Feed it
+    parity-even tensors and parity-project gradients
+    (:func:`parity_masks`).
+    """
+    ly, lx = len(tensors), len(tensors[0])
+    triv = np.zeros((1,), np.int64)
+
+    def legpar(r, c):
+        pu = pv_vec[(r - 1, c)] if r > 0 else triv
+        pl = ph_vec[(r, c - 1)] if c > 0 else triv
+        pd = pv_vec[(r, c)] if r < ly - 1 else triv
+        pr = ph_vec[(r, c)] if c < lx - 1 else triv
+        return (pu, pl, pd, pr)
+
+    def row_cores(r, ops):
+        cores = []
+        for c in range(lx):
+            pu, _, pd, _ = legpar(r, c)
+            a = absorb_site_signs(tensors[r][c], legpar(r, c))
+            o = ops.get((r, c)) if ops else None
+            if o is None:
+                e = peinsum("nuldr,nULDR->uUlLdDrR", a, jnp.conj(a))
+            else:
+                e = peinsum("nuldr,nm,mULDR->uUlLdDrR", a,
+                               jnp.asarray(o, a.dtype), jnp.conj(a))
+            sh = tensors[r][c].shape
+            e = e.reshape(sh[1] ** 2, sh[2] ** 2, sh[3] ** 2,
+                          sh[4] ** 2)
+            sb = jnp.asarray(_sign_block(pu, pd))  # (d2, u2, 4, 4)
+            w = (e.transpose(2, 0, 1, 3)[:, :, :, None, :, None]
+                 * sb[:, :, None, :, None, :])
+            d2, u2, dl2, _, dr2, _ = w.shape
+            cores.append(w.reshape(d2, u2, dl2 * 4, dr2 * 4))
+        return cores
+
+    def bvecs(w_left, w_right):
+        lvec = jnp.zeros((w_left,)).at[0].set(1.0)
+        rvec = jnp.zeros((w_right,)).at[jnp.arange(4)].set(1.0)
+        return lvec, rvec
+
+    def contract(ops=None):
+        rows0 = row_cores(0, ops)
+        boundary = [w[:, 0] for w in rows0]  # (d2, Wl, Wr)
+        lvec, rvec = bvecs(boundary[0].shape[1],
+                           boundary[-1].shape[2])
+        boundary, log = _truncate_safe(boundary, lvec, rvec, chi)
+        for r in range(1, ly - 1):
+            rows = row_cores(r, ops)
+            grown = []
+            for c in range(lx):
+                w = rows[c]  # (d2out, d2in, Wl, Wr)
+                b = boundary[c]  # (d2in, Dl, Dr)
+                g = peinsum("DUlr,Uij->Dlirj", w, b)
+                d2o = g.shape[0]
+                grown.append(g.reshape(
+                    d2o, g.shape[1] * g.shape[2],
+                    g.shape[3] * g.shape[4]))
+            lvec, rvec = bvecs(grown[0].shape[1], grown[-1].shape[2])
+            # MPO boundary vectors kron with the MPS unit bonds
+            boundary, lg = _truncate_safe(grown, lvec, rvec, chi)
+            log = log + lg
+        closing = [w[0] for w in row_cores(ly - 1, ops)]
+        lvec, rvec = bvecs(closing[0].shape[1], closing[-1].shape[2])
+        # bilinear closing transfer over columns: the boundary's edge
+        # bonds are unit (its boundary weights were absorbed by the
+        # truncation sweep); the closing row's register structure rides
+        # lvec/rvec
+        carry = jnp.outer(
+            lvec, jnp.zeros((boundary[0].shape[1],)).at[0].set(1.0))
+        for c in range(lx):
+            carry = peinsum("ab,dai,dbj->ij", carry, closing[c],
+                               boundary[c])
+        val = peinsum("ij,i,j->", carry, rvec,
+                         jnp.ones((carry.shape[1],)))
+        return val, log
+
+    norm_v, norm_l = contract(None)
+    total = jnp.zeros(())
+    nop = np.diag([0.0, 1.0])
+    for r in range(ly):
+        for c in range(lx):
+            if mu != 0.0:
+                v, lg = contract({(r, c): nop})
+                total = total - mu * v * jnp.exp(lg - norm_l)
+            for (r2, c2) in ((r, c + 1), (r + 1, c)):
+                if r2 >= ly or c2 >= lx:
+                    continue
+                for coeff, kind in ((-t, "pdm"), (-t, "mdp"),
+                                    (delta, "pdp"), (delta, "mdm")):
+                    if coeff == 0.0:
+                        continue
+                    ops = _jw_string_ops(lx, (r, c), (r2, c2), kind)
+                    v, lg = contract(ops)
+                    total = total + coeff * v * jnp.exp(lg - norm_l)
+    return jnp.real(total / norm_v)
+
+
+def parity_masks(ly, lx, ph_vec, pv_vec, d=2):
+    """0/1 masks of the parity-even blocks, one per site tensor — the
+    projector that keeps a gradient flow on the fermionic manifold."""
+    triv = np.zeros((1,), np.int64)
+    pphys = np.arange(d) % 2
+    masks = []
+    for r in range(ly):
+        row = []
+        for c in range(lx):
+            pu = pv_vec[(r - 1, c)] if r > 0 else triv
+            pl = ph_vec[(r, c - 1)] if c > 0 else triv
+            pd = pv_vec[(r, c)] if r < ly - 1 else triv
+            pr = ph_vec[(r, c)] if c < lx - 1 else triv
+            tot = (pphys[:, None, None, None, None]
+                   + pu[None, :, None, None, None]
+                   + pl[None, None, :, None, None]
+                   + pd[None, None, None, :, None]
+                   + pr[None, None, None, None, :]) % 2
+            row.append((tot == 0).astype(float))
+        masks.append(row)
+    return masks
+
+
+def fpeps_ground_state(ly, lx, t=1.0, mu=0.0, delta=0.0, chi=8,
+                       steps=200, lr=2e-2, seed=0, d=2):
+    """Gradient-optimized fermionic PEPS ground state (finite lattice).
+
+    Adam on the parity-even site tensors through the differentiable
+    boundary energy; gradients are parity-projected every step so the
+    state never leaves the fermionic manifold.  Returns
+    ``(tensors, energy, trace)`` — validated against exact Fock / BdG
+    ground energies in the tests (variational from above).
+    """
+    import jax
+    import optax
+
+    tensors, ph_vec, pv_vec = random_fpeps(ly, lx, seed=seed, d=d)
+    masks = parity_masks(ly, lx, ph_vec, pv_vec, d=d)
+    params = [[jnp.asarray(0.3 * tensors[r][c]) for c in range(lx)]
+              for r in range(ly)]
+
+    def loss(ps):
+        return fpeps_energy_diff(ps, ph_vec, pv_vec, chi, t=t, mu=mu,
+                                 delta=delta)
+
+    opt = optax.adam(lr)
+    state = opt.init(params)
+    trace = []
+    vg = jax.jit(jax.value_and_grad(loss))
+    for _ in range(steps):
+        e, g = vg(params)
+        g = [[g[r][c] * masks[r][c] for c in range(lx)]
+             for r in range(ly)]
+        updates, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+        params = [[params[r][c] * masks[r][c] for c in range(lx)]
+                  for r in range(ly)]
+        trace.append(float(e))
+    return params, trace[-1], trace

@@ -228,7 +228,8 @@ def arnoldi_eigs(matvec, v0, iters, k=2):
     # ordering is deterministic
     order = np.lexsort((-vals.imag, -np.abs(vals)))
     vals = vals[order]
-    lead = (basis_np[:m].T @ vecs[:, order[0]]).reshape(v0.shape)
+    lead = np.matmul(basis_np[:m].T, vecs[:, order[0]]).reshape(
+        v0.shape)
     out = np.zeros((k,), complex)
     out[: min(k, m)] = vals[:k]
     return out, lead

@@ -59,6 +59,7 @@ def _kernel(mats_ref, x_ref, left_ref, v_out_ref, log_out_ref,
             v.astype(gemm_dt),
             mats_ref[s_idx],
             preferred_element_type=acc_dtype,
+            precision=jax.lax.Precision.DEFAULT,  # lint: explicit
         )  # (B, d*D)
         w = x_ref[s_idx].astype(acc_dtype)  # (B, d)
         acc = z[:, 0:bond_dim] * w[:, 0:1]

@@ -293,3 +293,43 @@ def test_fpeps_energy_matches_fock_exactly():
         want = float(psi @ (h @ psi)) / float(psi @ psi)
         got = fpeps_energy(tn, phv, pvv, t=t, mu=mu, delta=delta)
         assert abs(got - want) < 1e-12, (ly, lx, got, want)
+
+
+def test_differentiable_energy_matches_and_has_finite_grad():
+    """The jnp fermionic energy (svd_safe truncation sweeps) equals the
+    host evaluators at machine precision and yields FINITE gradients —
+    stock QR/SVD VJPs NaN on the rank-deficient bonds this contraction
+    produces, which is why the sweep is built on the broadened
+    adjoints."""
+    import jax
+    import jax.numpy as jnp
+
+    from contractn_tpu.models.fswap import fpeps_energy, fpeps_energy_diff
+
+    tn, phv, pvv = random_fpeps(2, 3, seed=1)
+    e_host = fpeps_energy(tn, phv, pvv, t=1.0, mu=0.7, delta=0.4)
+    tnj = [[jnp.asarray(x) for x in row] for row in tn]
+    e_diff = float(fpeps_energy_diff(tnj, phv, pvv, chi=32, t=1.0,
+                                     mu=0.7, delta=0.4))
+    assert abs(e_host - e_diff) < 1e-12
+    g = jax.grad(lambda ps: fpeps_energy_diff(
+        ps, phv, pvv, chi=8, t=1.0, mu=0.7, delta=0.4))(tnj)
+    gn = max(float(jnp.max(jnp.abs(x))) for row in g for x in row)
+    assert np.isfinite(gn) and gn > 0.0
+
+
+def test_fpeps_ground_state_approaches_exact_bdg():
+    """Gradient-optimized D=2 fermionic PEPS on the 2x3 BdG lattice:
+    monotone-ish convergence, variational from ABOVE, within 1.5% of
+    the exact Fock ground energy."""
+    from contractn_tpu.models.fswap import fpeps_ground_state
+
+    ly, lx, t, mu, delta = 2, 3, 1.0, 1.0, 0.6
+    h = hopping_fock_matrix(ly, lx, t=t, mu=mu, delta=delta)
+    e_ed = float(np.linalg.eigvalsh(h)[0])
+    _, e, tr = fpeps_ground_state(ly, lx, t=t, mu=mu, delta=delta,
+                                  chi=12, steps=120, lr=3e-2, seed=0)
+    assert np.all(np.isfinite(tr))
+    assert e >= e_ed - 1e-9          # variational bound
+    assert e - e_ed < 0.12           # close at D=2
+    assert tr[-1] < tr[0] - 1.0      # large actual descent
