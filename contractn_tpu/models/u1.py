@@ -353,3 +353,50 @@ def dmrg_u1(mpo, total_charge, bond_dim, phys_charges=(1, -1),
         mpo, mps0, masks, split_masks, int(sweeps), int(lanczos_iters),
         len(phys_charges), int(bond_dim))
     return mps, energy, energies, masks
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _dmrg_u1_ensemble_jit(mpos, mps0s, masks, split_masks, sweeps,
+                          iters, phys_dim, bond):
+    splitter = _u1_splitter(split_masks, phys_dim, bond)
+    return jax.vmap(
+        lambda m, s: _dmrg_uniform_core(m, s, sweeps, iters,
+                                        masks=masks, splitter=splitter)
+    )(mpos, mps0s)
+
+
+def dmrg_u1_ensemble(mpos, total_charge, bond_dim, phys_charges=(1, -1),
+                     sweeps=6, lanczos_iters=40, key=None,
+                     dtype=jnp.float64):
+    """Exact-sector ground states for a BATCH of Hamiltonians at once.
+
+    The charge masks and the aligned splitter depend only on the sector
+    and lattice (not the Hamiltonian), so a coupling scan — e.g.
+    ``stack_pytrees([xxz_mpo_u1(n, jz=jz) for jz in jzs])`` — shares
+    ONE mask set and runs as one vmapped XLA program, exactly like
+    :func:`~contractn_tpu.models.ensemble.dmrg_ensemble` but conserving
+    the sector structurally.  All MPOs must be channel-charge-definite
+    with the same lattice size.
+
+    Returns ``(mpss, energies, traces, masks)`` with leading axis K.
+    """
+    n_sites = int(mpos.cores.shape[1])
+    k_batch = int(mpos.cores.shape[0])
+    if k_batch < 1:
+        raise ValueError("empty ensemble")
+    # verify charge-definiteness on the first MPO (shared structure)
+    first = jax.tree_util.tree_map(lambda x: x[0], mpos)
+    mpo_channel_charges(first, phys_charges)
+    bond_charges = u1_bond_charges(
+        n_sites, phys_charges, total_charge, bond_dim)
+    masks = u1_masks(bond_charges, phys_charges, dtype=dtype)
+    split_masks = _split_masks(bond_charges, phys_charges)
+    key = key if key is not None else jax.random.PRNGKey(0)
+    keys = jax.random.split(key, k_batch)
+    mps0s = jax.vmap(
+        lambda kk: random_masked_mps(kk, masks, dtype=dtype)
+    )(keys)
+    mpss, energies, traces = _dmrg_u1_ensemble_jit(
+        mpos, mps0s, masks, split_masks, int(sweeps),
+        int(lanczos_iters), len(phys_charges), int(bond_dim))
+    return mpss, energies, traces, masks
