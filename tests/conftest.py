@@ -24,3 +24,22 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled programs after every test module.
+
+    The full suite accumulates hundreds of compiled CPU executables and
+    jaxlib's CPU client segfaults (inside ``backend_compile_and_load``)
+    once the count crosses a threshold around ~260 tests — reproduced
+    at DIFFERENT test sites purely by position (round 3; 125 GB of RAM
+    free, so it is a client limit, not memory).  Clearing per module
+    keeps the live-program count bounded at the cost of cross-module
+    cache hits, which correctness never relies on.
+    """
+    yield
+    jax.clear_caches()
