@@ -846,3 +846,25 @@ def fpeps_ground_state(ly, lx, t=1.0, mu=0.0, delta=0.0, chi=8,
                   for r in range(ly)]
         trace.append(float(e))
     return params, trace[-1], trace
+
+
+def fpeps_correlator(tensors, ph_vec, pv_vec, site_a, site_b,
+                     chi=None):
+    """Normalized two-point function ``<c^d_a c_b>`` at ARBITRARY range.
+
+    The Jordan-Wigner string between the (row-major ordered) sites is
+    just a chain of one-site ``Z`` insertions, so long-range fermionic
+    correlators cost the same boundary sweep as a bond energy — no
+    extra machinery.  ``site_a`` must precede ``site_b`` row-major;
+    equal sites give the density.
+    """
+    lx = len(tensors[0])
+    norm = fpeps_norm_boundary(tensors, ph_vec, pv_vec, chi=chi)
+    if site_a == site_b:
+        val = fpeps_norm_boundary(
+            tensors, ph_vec, pv_vec, op=np.diag([0.0, 1.0]),
+            site=site_a, chi=chi)
+        return val / norm
+    ops = _jw_string_ops(lx, site_a, site_b, "pdm")
+    return fpeps_norm_boundary(tensors, ph_vec, pv_vec, ops=ops,
+                               chi=chi) / norm

@@ -333,3 +333,33 @@ def test_fpeps_ground_state_approaches_exact_bdg():
     assert e >= e_ed - 1e-9          # variational bound
     assert e - e_ed < 0.12           # close at D=2
     assert tr[-1] < tr[0] - 1.0      # large actual descent
+
+
+def test_fpeps_correlator_arbitrary_range_matches_fock():
+    """Long-range <c+_a c_b> (JW string across two rows) == the Fock
+    bridge at machine precision."""
+    from contractn_tpu.models.fswap import fpeps_correlator
+
+    ly, lx = 3, 3
+    tn, phv, pvv = random_fpeps(ly, lx, seed=2)
+    psi = fock_state(tn, phv, pvv)
+    n = ly * lx
+    sm = np.array([[0.0, 1.0], [0.0, 0.0]])
+    z = np.diag([1.0, -1.0])
+
+    def op_at(mats):
+        m = np.eye(1)
+        for k in range(n):
+            m = np.kron(m, mats.get(k, np.eye(2)))
+        return m
+
+    cs = [op_at({**{j: z for j in range(i)}, i: sm})
+          for i in range(n)]
+    den = float(psi @ psi)
+    for (sa, sb) in [((0, 0), (2, 2)), ((0, 1), (2, 0)),
+                     ((1, 1), (1, 1))]:
+        i = sa[0] * lx + sa[1]
+        j = sb[0] * lx + sb[1]
+        want = float(psi @ (np.matmul(cs[i].T, cs[j]) @ psi)) / den
+        got = float(fpeps_correlator(tn, phv, pvv, sa, sb))
+        assert abs(got - want) < 1e-12, (sa, sb, got, want)
