@@ -811,19 +811,23 @@ def parity_masks(ly, lx, ph_vec, pv_vec, d=2):
 
 
 def fpeps_ground_state(ly, lx, t=1.0, mu=0.0, delta=0.0, chi=8,
-                       steps=200, lr=2e-2, seed=0, d=2):
+                       steps=200, lr=2e-2, seed=0, d=2,
+                       bond_parities=(0, 1)):
     """Gradient-optimized fermionic PEPS ground state (finite lattice).
 
     Adam on the parity-even site tensors through the differentiable
     boundary energy; gradients are parity-projected every step so the
-    state never leaves the fermionic manifold.  Returns
+    state never leaves the fermionic manifold.  ``bond_parities`` sets
+    the virtual dimension and its parity content (e.g. ``(0, 0, 1, 1)``
+    for D = 4 with two states per parity class).  Returns
     ``(tensors, energy, trace)`` — validated against exact Fock / BdG
     ground energies in the tests (variational from above).
     """
     import jax
     import optax
 
-    tensors, ph_vec, pv_vec = random_fpeps(ly, lx, seed=seed, d=d)
+    tensors, ph_vec, pv_vec = random_fpeps(
+        ly, lx, bond_parities=bond_parities, seed=seed, d=d)
     masks = parity_masks(ly, lx, ph_vec, pv_vec, d=d)
     params = [[jnp.asarray(0.3 * tensors[r][c]) for c in range(lx)]
               for r in range(ly)]
