@@ -33,12 +33,15 @@ import pytest  # noqa: E402
 def _clear_jax_caches_per_module():
     """Drop compiled programs after every test module.
 
-    The full suite accumulates hundreds of compiled CPU executables and
-    jaxlib's CPU client segfaults (inside ``backend_compile_and_load``)
-    once the count crosses a threshold around ~260 tests — reproduced
-    at DIFFERENT test sites purely by position (round 3; 125 GB of RAM
-    free, so it is a client limit, not memory).  Clearing per module
-    keeps the live-program count bounded at the cost of cross-module
+    The full suite accumulates hundreds of compiled CPU executables
+    and jaxlib's CPU client segfaults (inside
+    ``backend_compile_and_load``) after ~250 tests — reproduced at
+    DIFFERENT test sites purely by suite position, with 125 GB of RAM
+    free, while the round-2 tree's 267 tests ran clean and 2000
+    distinct TRIVIAL compiles in one process also run clean.  The
+    trigger is cumulative client state from COMPLEX programs
+    (scan/eigh/shard_map-heavy), not a simple executable count.
+    Clearing per module bounds that state at the cost of cross-module
     cache hits, which correctness never relies on.
     """
     yield
