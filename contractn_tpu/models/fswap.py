@@ -366,7 +366,8 @@ def fpeps_expectation_sweep(tensors, ph_vec, pv_vec, op=None,
                             # axes: (new..., old_{c+1}.., r2) -> front
                             contrib = np.moveaxis(contrib, -1, 0)
                             idx = ((kk + qk) % 2, (kb + qb) % 2,
-                                   slice(None)) + (slice(None),) * c                                 + (dn2,)
+                                   slice(None))
+                            idx += (slice(None),) * c + (dn2,)
                             out[idx] += sgn * contrib
             carry = out
         # registers partition the new-leg configurations: summing is exact
@@ -482,6 +483,12 @@ def fpeps_norm_boundary(tensors, ph_vec, pv_vec, op=None, site=None,
     from .mps import MPS as MPSc
 
     ly, lx = len(tensors), len(tensors[0])
+    if ly == 1:
+        # A single row would serve as both the opening boundary and the
+        # closing row below, double-counting it (norm ~ squared); the
+        # exact sweep handles 1 x N directly.
+        return fpeps_expectation_sweep(tensors, ph_vec, pv_vec, op=op,
+                                       site=site, ops=ops, d=d)
     triv = np.zeros((1,), np.int64)
 
     # Row 0 as a boundary MPS over its new v-legs: reuse the row-MPO
@@ -695,6 +702,11 @@ def fpeps_energy_diff(tensors, ph_vec, pv_vec, chi, t=1.0, mu=0.0,
     (:func:`parity_masks`).
     """
     ly, lx = len(tensors), len(tensors[0])
+    if ly == 1:
+        # contract() below would use row 0 as both the opening boundary
+        # and the closing row, double-counting it.
+        raise ValueError("fpeps_energy_diff needs ly >= 2; use the "
+                         "exact fpeps_energy path for single rows")
     triv = np.zeros((1,), np.int64)
 
     def legpar(r, c):

@@ -65,8 +65,9 @@ def dmrg_ensemble_sharded(mesh, mpos, mps0s, sweeps=4, lanczos_iters=40,
 
     ``mpos`` / ``mps0s`` carry a leading ensemble axis ``K`` (build with
     :func:`~contractn_tpu.models.ensemble.stack_pytrees`); ``K`` shards
-    over mesh axis ``axis``.  Per-sample results are bit-identical to
-    the single-device vmap.
+    over mesh axis ``axis``.  Per-sample results are machine-precision
+    equal to the single-device vmap (not bitwise; XLA reschedules
+    batched kernels at the local batch size — see module docstring).
 
     Returns ``(ground_mpss, energies, traces)`` with leading axis ``K``,
     sharded over ``axis``.
@@ -94,8 +95,6 @@ def ipeps_cell_scan_sharded(mesh, h2_batch, bond_dim, chi, d=2,
     ``B`` sharded over ``axis``.
     """
     import jax.numpy as jnp
-
-    from ..models.ipeps_cell import _scan_core
 
     if dtype is None:
         dtype = jnp.float64

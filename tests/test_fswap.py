@@ -276,6 +276,27 @@ def test_boundary_mps_fpeps_matches_and_truncates():
     assert abs(v16 - v32) < 1e-3 * abs(v32)
 
 
+def test_single_row_fpeps_no_double_count():
+    """ly == 1 delegates to the exact sweep instead of using row 0 as
+    both the opening boundary and the closing row (which squared the
+    norm); the differentiable path rejects single rows outright."""
+    import pytest
+
+    from contractn_tpu.models.fswap import (
+        fpeps_energy_diff,
+        fpeps_norm_boundary,
+        fpeps_norm_sweep,
+    )
+
+    tn, phv, pvv = random_fpeps(1, 3, seed=4)
+    want = float(fpeps_norm_sweep(tn, phv, pvv))
+    got = float(fpeps_norm_boundary(tn, phv, pvv))
+    assert abs(got - want) < 1e-12 * abs(want)
+
+    with pytest.raises(ValueError, match="ly >= 2"):
+        fpeps_energy_diff(tn, phv, pvv, chi=8)
+
+
 def test_fpeps_energy_matches_fock_exactly():
     """Full 2D fermionic Hamiltonian energies (hopping + mu + pairing)
     on random fPEPS through chi-truncatable boundary sweeps == the Fock
