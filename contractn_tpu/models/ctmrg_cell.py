@@ -92,8 +92,11 @@ def init_env(a):
     def at(x, y):
         return a[x % lx][y % ly]
 
+    # NB axis order must match each tensor's leg convention (C1 (r, d))
+    # even when leg dims differ: anisotropic cells (e.g. the fermionic
+    # stacked-chain anchors, dims (1, q, 1, q)) bind shapes strictly.
     c1 = _cell(lambda x, y: _norm(
-        peinsum("uldr->dr", at(x - 1, y - 1))), lx, ly)
+        peinsum("uldr->rd", at(x - 1, y - 1))), lx, ly)
     c2 = _cell(lambda x, y: _norm(
         peinsum("uldr->ld", at(x + 1, y - 1))), lx, ly)
     c3 = _cell(lambda x, y: _norm(
