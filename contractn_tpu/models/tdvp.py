@@ -83,20 +83,44 @@ def _krylov_expm_apply(matvec, v0, coef, iters):
 
 
 @partial(jax.jit, static_argnums=(5,))
-def _evolve_two_site(L, w1, w2, R, theta, iters, coef):
-    return _krylov_expm_apply(
-        lambda t: _heff_matvec(L, w1, w2, R, t), theta, coef, iters
-    )
+def _evolve_two_site(L, w1, w2, R, theta, iters, coef, mask=None):
+    """``mask`` (same shape as ``theta``, or None) keeps the whole
+    Krylov basis on a structural subspace — the exact-U(1) sector hook
+    (:mod:`contractn_tpu.models.u1`): with a channel-charge-definite
+    MPO the masked matvec equals the unmasked one up to roundoff, and
+    masking makes the conservation EXACT (``theta * (1-mask) == 0``
+    identically along the trajectory)."""
+    if mask is None:
+        mv = None
+    else:
+        theta = theta * mask.astype(theta.dtype)
+
+        def mv(t):
+            return mask.astype(t.dtype) * _heff_matvec(L, w1, w2, R, t)
+
+    if mv is None:
+        def mv(t):
+            return _heff_matvec(L, w1, w2, R, t)
+
+    return _krylov_expm_apply(mv, theta, coef, iters)
 
 
 @partial(jax.jit, static_argnums=(3,))
-def _evolve_one_site(L, w, R, iters, m, coef):
-    return _krylov_expm_apply(
-        lambda t: _h1_matvec(L, w, R, t), m, coef, iters
-    )
+def _evolve_one_site(L, w, R, iters, m, coef, mask=None):
+    if mask is None:
+        def mv(t):
+            return _h1_matvec(L, w, R, t)
+    else:
+        m = m * mask.astype(m.dtype)
+
+        def mv(t):
+            return mask.astype(t.dtype) * _h1_matvec(L, w, R, t)
+
+    return _krylov_expm_apply(mv, m, coef, iters)
 
 
-def tdvp_step(mpo, mps, dt, max_bond=None, imaginary=False, iters=16):
+def tdvp_step(mpo, mps, dt, max_bond=None, imaginary=False, iters=16,
+              masks=None, theta_masks=None, splitter=None):
     """One symmetric second-order two-site TDVP step.
 
     Args:
@@ -107,6 +131,15 @@ def tdvp_step(mpo, mps, dt, max_bond=None, imaginary=False, iters=16):
         imaginary: evolve by ``exp(-dt H)`` (ground-state flow) instead
             of ``exp(-1j dt H)``.
         iters: Krylov dimension per local exponential.
+        masks / theta_masks / splitter: structural-subspace hooks (the
+            exact-U(1) path, :func:`~contractn_tpu.models.u1.tdvp_u1`):
+            ``masks (n, d, D, D)`` one-site masks, ``theta_masks
+            (n-1, d, d, D, D)`` two-site block masks, and a
+            charge-aligned ``splitter(theta, i, to_left)`` replacing the
+            plain SVD split (a plain SVD orders the mid-bond by singular
+            value and masking after it annihilates the state — the
+            :mod:`~contractn_tpu.models.u1` module doc).  Masked runs
+            require a uniform-bond state (every site ``(d, D, D)``).
 
     Returns:
         ``(new_mps, energy)`` — the evolved state in uniform stacked
@@ -120,42 +153,75 @@ def tdvp_step(mpo, mps, dt, max_bond=None, imaginary=False, iters=16):
     fwd = -0.5 * dt if imaginary else -0.5j * dt
     bwd = -fwd
 
-    sites = _ragged_sites(mps)
+    masked = masks is not None
+    if masked:
+        # uniform static bond throughout (the dmrg_u1 convention):
+        # boundary structure lives in the masks' dead slots
+        from .ensemble import _boundary_env, _pad_boundary_sites
+
+        if theta_masks is None or splitter is None:
+            raise ValueError(
+                "masked tdvp_step needs theta_masks and splitter")
+        padded = _pad_boundary_sites(mps)
+        padded = padded * masks.astype(padded.dtype)
+        sites = [padded[i] for i in range(n)]
+    else:
+        sites = _ragged_sites(mps)
     if not imaginary:
         sites = [s.astype(jnp.result_type(s.dtype, jnp.complex64))
                  for s in sites]
     ws = [mpo.cores[i] for i in range(n)]
     L = [None] * (n + 1)
     R = [None] * (n + 1)
-    L[0] = mpo.left[None, :, None].astype(sites[0].dtype)
-    R[n] = mpo.right[None, :, None].astype(sites[0].dtype)
+    if masked:
+        bond = sites[0].shape[1]
+        L[0] = _boundary_env(mpo.left, bond, sites[0].dtype)
+        R[n] = _boundary_env(mpo.right, bond, sites[0].dtype)
+    else:
+        L[0] = mpo.left[None, :, None].astype(sites[0].dtype)
+        R[n] = mpo.right[None, :, None].astype(sites[0].dtype)
     for i in range(n - 1, 0, -1):
         R[i] = _update_right(R[i + 1], sites[i], ws[i])
+
+    def smask(i):
+        return masks[i] if masked else None
+
+    def tmask(i):
+        return theta_masks[i] if masked else None
+
+    def split(theta, i, to_left):
+        if splitter is None:
+            return _split_theta(theta, max_bond, to_left)
+        t1, t2 = splitter(theta, i, to_left)
+        return (t1 * smask(i).astype(t1.dtype),
+                t2 * smask(i + 1).astype(t2.dtype))
 
     def sweep(order, half_left_envs):
         """One half-sweep; ``order`` = site pairs in visit order."""
         for idx, i in enumerate(order):
             theta = peinsum("apj,bjq->abpq", sites[i], sites[i + 1])
             theta = _evolve_two_site(
-                L[i], ws[i], ws[i + 1], R[i + 2], theta, iters, fwd
+                L[i], ws[i], ws[i + 1], R[i + 2], theta, iters, fwd,
+                mask=tmask(i),
             )
             last_pair = idx == len(order) - 1
             if half_left_envs:  # left -> right
-                t1, t2 = _split_theta(theta, max_bond, to_left=True)
+                t1, t2 = split(theta, i, to_left=True)
                 sites[i], sites[i + 1] = t1, t2
                 L[i + 1] = _update_left(L[i], sites[i], ws[i])
                 if not last_pair:
                     sites[i + 1] = _evolve_one_site(
                         L[i + 1], ws[i + 1], R[i + 2], iters,
-                        sites[i + 1], bwd,
+                        sites[i + 1], bwd, mask=smask(i + 1),
                     )
             else:  # right -> left
-                t1, t2 = _split_theta(theta, max_bond, to_left=False)
+                t1, t2 = split(theta, i, to_left=False)
                 sites[i], sites[i + 1] = t1, t2
                 R[i + 1] = _update_right(R[i + 2], sites[i + 1], ws[i + 1])
                 if not last_pair:
                     sites[i] = _evolve_one_site(
                         L[i], ws[i], R[i + 1], iters, sites[i], bwd,
+                        mask=smask(i),
                     )
 
     sweep(list(range(n - 1)), half_left_envs=True)
@@ -174,13 +240,15 @@ def tdvp_step(mpo, mps, dt, max_bond=None, imaginary=False, iters=16):
 
 
 def tdvp_evolve(mpo, mps0, dt, n_steps, max_bond=None, imaginary=False,
-                iters=16):
+                iters=16, masks=None, theta_masks=None, splitter=None):
     """Evolve ``n_steps`` TDVP steps; returns ``(mps, [energies])``."""
     mps = mps0
     energies = []
     for _ in range(n_steps):
         mps, e = tdvp_step(mpo, mps, dt, max_bond=max_bond,
-                           imaginary=imaginary, iters=iters)
+                           imaginary=imaginary, iters=iters,
+                           masks=masks, theta_masks=theta_masks,
+                           splitter=splitter)
         energies.append(e)
     return mps, energies
 
@@ -197,13 +265,21 @@ def _h0_matvec(L, R, c):
 
 
 @partial(jax.jit, static_argnums=(2,))
-def _evolve_zero_site(L, R, iters, c, coef):
-    return _krylov_expm_apply(
-        lambda x: _h0_matvec(L, R, x), c, coef, iters
-    )
+def _evolve_zero_site(L, R, iters, c, coef, mask=None):
+    if mask is None:
+        def mv(x):
+            return _h0_matvec(L, R, x)
+    else:
+        c = c * mask.astype(c.dtype)
+
+        def mv(x):
+            return mask.astype(x.dtype) * _h0_matvec(L, R, x)
+
+    return _krylov_expm_apply(mv, c, coef, iters)
 
 
-def tdvp1_step(mpo, mps, dt, imaginary=False, iters=16):
+def tdvp1_step(mpo, mps, dt, imaginary=False, iters=16, masks=None,
+               bond_masks=None, orth=None):
     """One symmetric second-order SINGLE-site TDVP step (Haegeman et al.).
 
     The projection onto the fixed-bond MPS manifold is exact: real-time
@@ -219,6 +295,16 @@ def tdvp1_step(mpo, mps, dt, imaginary=False, iters=16):
     with the bond center evolved backward ``dt/2`` between sites (QR
     split), then the mirrored right-to-left half-sweep.
 
+    ``masks (n, d, D, D)`` / ``bond_masks (n+1, D, D)`` / ``orth =
+    (fwd, bwd)`` are the exact-U(1) hooks
+    (:func:`~contractn_tpu.models.u1.tdvp1_u1`).  Masked runs REQUIRE
+    ``orth`` — a charge-aligned partial-isometry orthogonalizer
+    replacing the plain QR gauge moves: plain QR fills rank-deficient
+    columns with arbitrary orthonormal junk, and masking that junk
+    breaks Q's orthogonality, corrupting the environments at O(1)
+    (:func:`~contractn_tpu.models.u1._aligned_ortho`).  Masked runs
+    require a uniform-bond state.
+
     Returns ``(new_mps, energy)`` like :func:`tdvp_step`.
     """
     n = mps.n_sites
@@ -227,44 +313,82 @@ def tdvp1_step(mpo, mps, dt, imaginary=False, iters=16):
     fwd = -0.5 * dt if imaginary else -0.5j * dt
     bwd = -fwd
 
-    sites = _ragged_sites(mps)
+    masked = masks is not None
+    if masked:
+        from .ensemble import _boundary_env, _pad_boundary_sites
+
+        if bond_masks is None or orth is None:
+            raise ValueError(
+                "masked tdvp1_step needs bond_masks and orth (plain QR "
+                "junk columns corrupt masked environments; see "
+                "u1._aligned_ortho)")
+        padded = _pad_boundary_sites(mps)
+        padded = padded * masks.astype(padded.dtype)
+        sites = [padded[i] for i in range(n)]
+    else:
+        sites = _ragged_sites(mps)
     if not imaginary:
         sites = [s.astype(jnp.result_type(s.dtype, jnp.complex64))
                  for s in sites]
     ws = [mpo.cores[i] for i in range(n)]
     L = [None] * (n + 1)
     R = [None] * (n + 1)
-    L[0] = mpo.left[None, :, None].astype(sites[0].dtype)
-    R[n] = mpo.right[None, :, None].astype(sites[0].dtype)
+    if masked:
+        bond = sites[0].shape[1]
+        L[0] = _boundary_env(mpo.left, bond, sites[0].dtype)
+        R[n] = _boundary_env(mpo.right, bond, sites[0].dtype)
+    else:
+        L[0] = mpo.left[None, :, None].astype(sites[0].dtype)
+        R[n] = mpo.right[None, :, None].astype(sites[0].dtype)
     for i in range(n - 1, 0, -1):
         R[i] = _update_right(R[i + 1], sites[i], ws[i])
+
+    def smask(i):
+        return masks[i] if masked else None
+
+    def bmask(b):
+        return bond_masks[b] if masked else None
+
+    def remask(t, m):
+        return t if m is None else t * m.astype(t.dtype)
 
     # left -> right: forward half-steps, backward bond steps between
     for i in range(n):
         sites[i] = _evolve_one_site(L[i], ws[i], R[i + 1], iters,
-                                    sites[i], fwd)
+                                    sites[i], fwd, mask=smask(i))
         if i < n - 1:
             d, dl, dr = sites[i].shape
-            q, r = jnp.linalg.qr(sites[i].reshape(d * dl, dr))
-            sites[i] = q.reshape(d, dl, -1)
+            if orth is not None:
+                q, r = orth[0](sites[i].reshape(d * dl, dr), i)
+            else:
+                q, r = jnp.linalg.qr(sites[i].reshape(d * dl, dr))
+            sites[i] = remask(q.reshape(d, dl, -1), smask(i))
             L[i + 1] = _update_left(L[i], sites[i], ws[i])
-            c = _evolve_zero_site(L[i + 1], R[i + 1], iters, r, bwd)
+            c = _evolve_zero_site(L[i + 1], R[i + 1], iters,
+                                  remask(r, bmask(i + 1)), bwd,
+                                  mask=bmask(i + 1))
             sites[i + 1] = peinsum("kp,dpq->dkq", c, sites[i + 1])
 
     # right -> left: mirrored half-sweep (LQ splits)
     for i in range(n - 1, -1, -1):
         sites[i] = _evolve_one_site(L[i], ws[i], R[i + 1], iters,
-                                    sites[i], fwd)
+                                    sites[i], fwd, mask=smask(i))
         if i > 0:
             d, dl, dr = sites[i].shape
             mat = sites[i].transpose(1, 0, 2).reshape(dl, d * dr)
             # mat = C . Q with Q's rows orthonormal: QR the transpose
             # (plain transpose — rows of Q^T satisfy Q^T conj(Q) = I,
             # the right-isometry condition, for complex tensors too)
-            q2, r2 = jnp.linalg.qr(mat.T)
-            sites[i] = q2.T.reshape(-1, d, dr).transpose(1, 0, 2)
+            if orth is not None:
+                q2, r2 = orth[1](mat.T, i)
+            else:
+                q2, r2 = jnp.linalg.qr(mat.T)
+            sites[i] = remask(
+                q2.T.reshape(-1, d, dr).transpose(1, 0, 2), smask(i))
             R[i] = _update_right(R[i + 1], sites[i], ws[i])
-            c = _evolve_zero_site(L[i], R[i], iters, r2.T, bwd)
+            c = _evolve_zero_site(L[i], R[i], iters,
+                                  remask(r2.T, bmask(i)), bwd,
+                                  mask=bmask(i))
             sites[i - 1] = peinsum("dpq,qk->dpk", sites[i - 1], c)
 
     nrm = jnp.maximum(jnp.linalg.norm(sites[0]), 1e-300)
@@ -275,11 +399,14 @@ def tdvp1_step(mpo, mps, dt, imaginary=False, iters=16):
     return out, _rayleigh(mpo, out)
 
 
-def tdvp1_evolve(mpo, mps0, dt, n_steps, imaginary=False, iters=16):
+def tdvp1_evolve(mpo, mps0, dt, n_steps, imaginary=False, iters=16,
+                 masks=None, bond_masks=None, orth=None):
     """Evolve ``n_steps`` single-site TDVP steps; ``(mps, [energies])``."""
     mps = mps0
     energies = []
     for _ in range(n_steps):
-        mps, e = tdvp1_step(mpo, mps, dt, imaginary=imaginary, iters=iters)
+        mps, e = tdvp1_step(mpo, mps, dt, imaginary=imaginary,
+                            iters=iters, masks=masks,
+                            bond_masks=bond_masks, orth=orth)
         energies.append(e)
     return mps, energies

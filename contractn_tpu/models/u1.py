@@ -355,6 +355,167 @@ def dmrg_u1(mpo, total_charge, bond_dim, phys_charges=(1, -1),
     return mps, energy, energies, masks
 
 
+# --------------------------------------------------------------------- #
+# Charge-masked time evolution (exact-U(1) TDVP)
+# --------------------------------------------------------------------- #
+
+
+def theta_masks_u1(bond_charges, phys_charges):
+    """``(N-1, d, d, D, D)`` two-site block masks: allowed when the
+    left bond charge plus both physical charges reaches the right bond
+    charge (the middle bond is summed out of the block)."""
+    n_bonds = len(bond_charges) - 1
+    d = len(phys_charges)
+    bond = bond_charges[0].shape[0]
+    out = np.zeros((n_bonds - 1, d, d, bond, bond))
+    for i in range(n_bonds - 1):
+        ql, qr = bond_charges[i], bond_charges[i + 2]
+        vl = ql != _DEAD_VALUE
+        vr = qr != _DEAD_VALUE
+        for s1, p1 in enumerate(phys_charges):
+            for s2, p2 in enumerate(phys_charges):
+                ok = ql[:, None] + int(p1) + int(p2) == qr[None, :]
+                out[i, s1, s2] = ok & vl[:, None] & vr[None, :]
+    return jnp.asarray(out)
+
+
+def bond_masks_u1(bond_charges):
+    """``(N+1, D, D)`` zero-site (bond-center) masks: slots of equal
+    LIVE charge (the block-diagonal structure of the R factors)."""
+    bond = bond_charges[0].shape[0]
+    out = np.zeros((len(bond_charges), bond, bond))
+    for b, q in enumerate(bond_charges):
+        v = q != _DEAD_VALUE
+        out[b] = (q[:, None] == q[None, :]) & v[:, None] & v[None, :]
+    return jnp.asarray(out)
+
+
+def u1_sector(n_sites, total_charge, bond_dim, phys_charges=(1, -1),
+              dtype=jnp.float64):
+    """Everything a fixed-sector computation needs, bundled: bond
+    charges, site masks, the charge-aligned splitter's static masks,
+    and the evolution masks.  Returns a dict (a plain pytree)."""
+    bond_charges = u1_bond_charges(
+        n_sites, phys_charges, total_charge, bond_dim)
+    return {
+        "bond_charges": bond_charges,
+        "masks": u1_masks(bond_charges, phys_charges, dtype=dtype),
+        "split_masks": _split_masks(bond_charges, phys_charges),
+        "theta_masks": theta_masks_u1(bond_charges, phys_charges),
+        "bond_masks": bond_masks_u1(bond_charges),
+        "phys_charges": tuple(int(p) for p in phys_charges),
+        "bond_dim": int(bond_dim),
+    }
+
+
+def tdvp_u1(mpo, mps, sector, dt, n_steps, imaginary=False, iters=16):
+    """Two-site TDVP evolution confined EXACTLY to one U(1) sector.
+
+    The structural argument is the DMRG one (module docstring): with a
+    channel-charge-definite MPO (verified here) the effective
+    Hamiltonians preserve the masked subspace, so the masked Krylov
+    exponentials equal the unmasked ones up to roundoff — and the masks
+    plus the charge-ALIGNED two-site splitter make the conservation
+    exact (``cores * (1 - masks) == 0`` identically along the whole
+    trajectory, pinned by the tests) where a plain SVD split would
+    scramble the mid-bond charge layout and annihilate the state.
+
+    Args:
+        mpo: channel-charge-definite Hamiltonian (e.g.
+            :func:`xxz_mpo_u1`).
+        mps: masked uniform-bond state (e.g. from :func:`dmrg_u1` — a
+            quench evolves one Hamiltonian's ground state under
+            another).
+        sector: :func:`u1_sector` bundle matching ``mps``.
+        dt / n_steps / imaginary / iters: as
+            :func:`~contractn_tpu.models.tdvp.tdvp_evolve`.
+
+    Returns ``(mps, [energies])``.
+    """
+    from .tdvp import tdvp_evolve
+
+    mpo_channel_charges(mpo, sector["phys_charges"])
+    splitter = _u1_splitter(sector["split_masks"],
+                            len(sector["phys_charges"]),
+                            sector["bond_dim"])
+    return tdvp_evolve(mpo, mps, dt, n_steps, imaginary=imaginary,
+                       iters=iters, masks=sector["masks"],
+                       theta_masks=sector["theta_masks"],
+                       splitter=splitter)
+
+
+def _aligned_ortho(mat, row_sel, slot_sel):
+    """Charge-aligned orthogonalization ``mat = Q C`` with ``Q`` a
+    CLASS-PURE partial isometry: per charge class, the SVD of the
+    class's rows scattered into the class's static column slots, with
+    numerically-zero singular directions zeroed OUTRIGHT.
+
+    This replaces the plain QR in the masked TDVP1 gauge moves.  A
+    plain QR fills zero/rank-deficient columns with arbitrary
+    orthonormal completions (often unit vectors aliasing LIVE rows);
+    masking those columns breaks Q's orthogonality, which corrupts the
+    left environments and the zero-site transfer at O(1) — the failure
+    mode found (and pinned by tests) when wiring the U(1) masks into
+    TDVP1.  Zero junk columns keep the environments exact: a partial
+    isometry is the correct tangent-space gauge for a rank-deficient
+    state.
+    """
+    dt = mat.dtype
+    rdt = jnp.zeros((), dt).real.dtype
+    q_acc = jnp.zeros((mat.shape[0], slot_sel.shape[1]), dt)
+    c_acc = jnp.zeros((slot_sel.shape[1], mat.shape[1]), dt)
+    for ci in range(row_sel.shape[0]):  # static, small
+        # block structure: class-ci rows only couple class-ci columns
+        sub = mat * row_sel[ci][:, None].astype(dt)
+        u, s, vh = jnp.linalg.svd(sub, full_matrices=False)
+        sl = slot_sel[ci]
+        idx = jnp.clip(jnp.cumsum(sl) - 1, 0, s.shape[0] - 1
+                       ).astype(jnp.int32)
+        keep = (s[idx] > 1e-13 * jnp.maximum(s[0], 1e-300)
+                ).astype(rdt) * sl.astype(rdt)
+        q_acc = q_acc + u[:, idx] * keep[None, :].astype(dt)
+        c_acc = c_acc + (s[idx][:, None].astype(dt) * vh[idx]
+                         ) * keep[:, None].astype(dt)
+    return q_acc, c_acc
+
+
+def _u1_orth(split_masks):
+    """(fwd, bwd) gauge movers for the masked TDVP1 sweeps.
+
+    ``fwd(mat, i)``: site ``i``'s ``(d Dl, Dr)`` matrix -> ``(Q, C)``
+    over bond ``i+1``'s slots.  ``bwd(matT, i)``: the transposed
+    ``(d Dr, Dl)`` matrix of site ``i`` -> ``(Q, C)`` over bond ``i``'s
+    slots (the caller transposes back).
+    """
+    row_m, col_m, slot_m = split_masks
+
+    def fwd(mat, i):
+        return _aligned_ortho(mat, row_m[i], slot_m[i])
+
+    def bwd(mat_t, i):
+        return _aligned_ortho(mat_t, col_m[i - 1], slot_m[i - 1])
+
+    return fwd, bwd
+
+
+def tdvp1_u1(mpo, mps, sector, dt, n_steps, imaginary=False, iters=16):
+    """Single-site TDVP in a fixed U(1) sector (exact manifold, fixed
+    bond): the masked variant of
+    :func:`~contractn_tpu.models.tdvp.tdvp1_evolve` — see
+    :func:`tdvp_u1` for the conservation argument.  The gauge moves use
+    the charge-aligned partial-isometry orthogonalizer
+    (:func:`_aligned_ortho`) instead of plain QR — see its docstring
+    for why plain QR plus masking corrupts the evolution.  Returns
+    ``(mps, [energies])``."""
+    from .tdvp import tdvp1_evolve
+
+    mpo_channel_charges(mpo, sector["phys_charges"])
+    return tdvp1_evolve(mpo, mps, dt, n_steps, imaginary=imaginary,
+                        iters=iters, masks=sector["masks"],
+                        bond_masks=sector["bond_masks"],
+                        orth=_u1_orth(sector["split_masks"]))
+
+
 @partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def _dmrg_u1_ensemble_jit(mpos, mps0s, masks, split_masks, sweeps,
                           iters, phys_dim, bond):

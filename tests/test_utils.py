@@ -160,3 +160,48 @@ def test_profile_trace_produces_artifacts(tmp_path):
     files = [os.path.join(r, f) for r, _, fs in os.walk(tmp_path)
              for f in fs]
     assert files, "profiler produced no trace files"
+
+
+def test_compile_guard_clears_on_new_compiles():
+    """CompileGuard.tick fires exactly when every_n NEW backend
+    compiles accumulated (counted via jax's monitoring stream, which
+    survives clear_caches — jit-cache miss counters do not)."""
+    import jax
+    import jax.numpy as jnp
+
+    from contractn_tpu.utils import CompileGuard, cache_guard
+
+    guard = CompileGuard(every_n=4)
+    fired = []
+    for i in range(10):
+        jax.jit(lambda x, c=float(i): x * c)(jnp.ones((2 + i,)))
+        fired.append(guard.tick())
+    # each distinct shape triggers 1-2 backend compile events (jax adds
+    # internal helper programs), so the guard fires every 2-4 ticks
+    assert 1 <= guard.clears <= 6
+    assert any(fired) and not all(fired)
+
+    with cache_guard():
+        jax.jit(lambda x: x + 1.0)(jnp.ones(3))
+    with pytest.raises(ValueError):
+        CompileGuard(every_n=0)
+
+
+def test_many_compile_loop_survives_with_guard():
+    """The documented jaxlib hazard workload shape — one process
+    compiling hundreds of DISTINCT programs — survives with the guard
+    in the loop (the round-3 segfault region starts near ~300 live
+    complex executables; the guard keeps the live count bounded)."""
+    import jax
+    import jax.numpy as jnp
+
+    from contractn_tpu.utils import CompileGuard
+
+    guard = CompileGuard(every_n=100)
+    acc = 0.0
+    for i in range(330):
+        f = jax.jit(lambda x, c=float(i % 7): jnp.sum(x) * c + i)
+        acc += float(f(jnp.ones((1 + i % 13,))))
+        guard.tick()
+    assert np.isfinite(acc)
+    assert guard.clears >= 2
