@@ -63,7 +63,7 @@ def _boundary_env(vec, bond_dim, dtype):
 
 
 def _dmrg_uniform_core(mpo, mps0, sweeps, iters, solver=None,
-                       masks=None, splitter=None):
+                       masks=None, splitter=None, env_ops=None):
     """The whole optimization as one traceable program (jit/vmap it).
 
     ``solver(L, w1, w2, R, theta0) -> (energy, theta)`` overrides the
@@ -78,6 +78,14 @@ def _dmrg_uniform_core(mpo, mps0, sweeps, iters, solver=None,
     orders the middle bond by singular value, not by the static charge
     layout the masks encode, so masking without a charge-aligned
     splitter annihilates the state.
+
+    ``env_ops = (boundary, update_left, update_right)`` overrides the
+    environment construction/absorption — the seam the tensor-parallel
+    sweep uses to store BOTH environment stacks sharded over their ket
+    bond (the replicated ``(n+1, D, W, D)`` stacks dominate per-device
+    memory at large bond; see :mod:`contractn_tpu.parallel.tp_dmrg`).
+    The stored env shapes follow whatever ``boundary`` returns; the
+    solver seam receives the stored (possibly local) tensors.
     """
     sites = _pad_boundary_sites(mps0)
     if masks is not None:
@@ -87,13 +95,19 @@ def _dmrg_uniform_core(mpo, mps0, sweeps, iters, solver=None,
     sites = sites.astype(dt)
     ws = mpo.cores.astype(dt)
 
-    l0 = _boundary_env(mpo.left, bond, dt)
-    rn = _boundary_env(mpo.right, bond, dt)
+    if env_ops is None:
+        env_boundary, env_up_l, env_up_r = (
+            _boundary_env, _update_left, _update_right)
+    else:
+        env_boundary, env_up_l, env_up_r = env_ops
+
+    l0 = env_boundary(mpo.left, bond, dt)
+    rn = env_boundary(mpo.right, bond, dt)
 
     # Right environments for the first sweep: R[i] absorbs sites i..n-1.
     def build_right(r, sw):
         s, w = sw
-        r = _update_right(r, s, w)
+        r = env_up_r(r, s, w)
         return r, r
 
     _, right_tail = jax.lax.scan(
@@ -142,7 +156,7 @@ def _dmrg_uniform_core(mpo, mps0, sweeps, iters, solver=None,
             t1, t2 = apply_masks(t1, t2, i)
             sites = sites.at[i].set(t1).at[i + 1].set(t2)
             envs_l = envs_l.at[i + 1].set(
-                _update_left(envs_l[i], t1, w1)
+                env_up_l(envs_l[i], t1, w1)
             )
             return sites, envs_l, energy
 
@@ -164,7 +178,7 @@ def _dmrg_uniform_core(mpo, mps0, sweeps, iters, solver=None,
             t1, t2 = apply_masks(t1, t2, i)
             sites = sites.at[i].set(t1).at[i + 1].set(t2)
             envs_r = envs_r.at[i + 1].set(
-                _update_right(envs_r[i + 2], t2, w2)
+                env_up_r(envs_r[i + 2], t2, w2)
             )
             return sites, envs_r, energy
 
