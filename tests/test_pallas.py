@@ -91,3 +91,54 @@ def test_epilogue_kernel_matches_scan():
         ref = np.asarray(a1) * np.exp(np.asarray(l1) - float(l1[0]))
         got = np.asarray(a2) * np.exp(np.asarray(l2) - float(l1[0]))
         assert np.allclose(got, ref, rtol=2e-4), (n, d, bond, batch)
+
+
+def test_mpo_expectation_pallas_matches_reference():
+    """The multi-GEMM VMEM-resident MPO body (interpret mode) ==
+    MPO.expectation values at f32 (split-format recombined)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from contractn_tpu.models import MPS, tfim_mpo
+    from contractn_tpu.ops.pallas_mpo import mpo_expectation_pallas
+
+    n_sites, bond, batch, btile = 6, 8, 4, 2
+    mpo = tfim_mpo(n_sites, dtype=jnp.float32)
+    key = jax.random.PRNGKey(3)
+    cores = (1.0 / (2 * bond) ** 0.5) * jax.random.normal(
+        key, (batch, n_sites, 2, bond, bond), jnp.float32)
+    left = jnp.ones((bond,), jnp.float32)
+    right = jnp.ones((bond,), jnp.float32)
+
+    val, log = mpo_expectation_pallas(mpo, cores, left, right,
+                                      btile=btile, interpret=True)
+    want = jax.vmap(
+        lambda c: mpo.expectation(MPS(c, left, right)))(cores)
+    got = np.asarray(val, np.float64) * np.exp(np.asarray(log,
+                                                          np.float64))
+    ref = np.asarray(want[0], np.float64) * np.exp(
+        np.asarray(want[1], np.float64))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_mpo_expectation_pallas_validates():
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from contractn_tpu.models import MPO, tfim_mpo
+    from contractn_tpu.ops.pallas_mpo import mpo_expectation_pallas
+
+    mpo = tfim_mpo(4, dtype=jnp.float32)
+    cores = jnp.zeros((3, 4, 2, 8, 8), jnp.float32)
+    left = jnp.ones((8,), jnp.float32)
+    with pytest.raises(ValueError, match="divide"):
+        mpo_expectation_pallas(mpo, cores, left, left, btile=2)
+    w = np.random.default_rng(0).standard_normal((4, 2, 2, 3, 3))
+    nonuni = MPO(jnp.asarray(w, jnp.float32),
+                 jnp.asarray([1.0, 0, 0], jnp.float32),
+                 jnp.asarray([0, 0, 1.0], jnp.float32))
+    cores4 = jnp.zeros((4, 4, 2, 8, 8), jnp.float32)
+    with pytest.raises(ValueError, match="uniform"):
+        mpo_expectation_pallas(nonuni, cores4, left, left, btile=2)
