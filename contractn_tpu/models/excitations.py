@@ -436,6 +436,74 @@ def spectral_weights(ground, mpo_cell, op, k, tol=1e-10, prep=None):
     return omegas - p["lam0"], jnp.abs(amps) ** 2
 
 
+def unfolded_bands(mpo, kappas, op, block=2, bond_dim=16, ground=None,
+                   tol=1e-10, **vumps_kwargs):
+    """Extended-zone (per-site momentum) spectral map of a
+    ``block``-periodic chain: ARPES-style band unfolding.
+
+    On a lattice with a ``block``-site cell, crystal momentum is only
+    defined modulo ``2 pi / block`` — extended-zone momenta ``kappa``
+    and ``kappa + 2 pi / block`` label the SAME eigenstate, so the band
+    energy is single-valued in the cell momentum ``K = block * kappa``
+    (for the dimerized XX chain, ``|t1 + t2 e^{i(K + pi)}|`` — pinned
+    in the tests).  What distinguishes the extended-zone points is the
+    spectral WEIGHT of the per-site-momentum operator
+
+        ``O(kappa) = sum_p e^{i kappa p} O_p``  (p = cell position),
+
+    a plain one-site operator of the folded chain: its pole weights
+    measure the eigenstate's plane-wave content at ``kappa`` — exactly
+    the quantity ARPES band-unfolding reports, and generally DIFFERENT
+    at ``kappa`` and ``kappa + 2 pi / block`` (sublattice
+    interference).  Per ``kappa`` this returns the dominant pole's
+    energy and its weight share.
+
+    Args:
+        mpo: the per-site MPO with ``n_sites == block`` carrying the
+            cell pattern (e.g. ``xx_dimerized_mpo(2, j, delta)``).
+        kappas: per-site momenta (full BZ).
+        op: ``(d, d)`` one-site excitation operator (e.g. ``S+`` —
+            its quantum numbers also select the band's sector).
+        block / bond_dim / vumps_kwargs: cell size and VUMPS controls.
+        ground: optional converged folded VUMPS ground state.
+
+    Returns:
+        ``(ground, omegas, weights)`` — per ``kappa`` the max-weight
+        pole energy and its weight share (dominant-pole weight over the
+        total; near 1 when the operator creates a clean quasiparticle,
+        small at symmetry-protected zero-weight points such as
+        ``kappa = 0`` for a total-raising operator).
+    """
+    from .mpo import block_mpo
+
+    blocked = block_mpo(mpo, block)
+    if ground is None:
+        ground = vumps(blocked, bond_dim, **vumps_kwargs)
+    prep = prepare_excitations(ground, blocked, tol=tol)
+    op = np.asarray(op)
+    d = op.shape[0]
+    eye = np.eye(d)
+    omegas_out, shares = [], []
+    for kappa in kappas:
+        kk = float(kappa)
+        opf = np.zeros((d ** block, d ** block), complex)
+        for p in range(block):
+            mats = [op if q == p else eye for q in range(block)]
+            m = np.eye(1)
+            for q in range(block):
+                m = np.kron(m, mats[q])
+            opf = opf + np.exp(1j * kk * p) * m
+        om, wt = spectral_weights(ground, blocked, opf,
+                                  float(block) * kk, tol=tol,
+                                  prep=prep)
+        om, wt = np.asarray(om), np.asarray(wt)
+        idx = int(np.argmax(wt))
+        omegas_out.append(float(om[idx]))
+        total = float(np.sum(wt))
+        shares.append(float(wt[idx]) / total if total > 0 else 0.0)
+    return ground, np.asarray(omegas_out), np.asarray(shares)
+
+
 def dynamic_structure_factor(ground, mpo_cell, op, ks, omegas,
                              eta=0.05, tol=1e-10):
     """Lorentzian-broadened ``S(k, w)`` map from the tangent-space

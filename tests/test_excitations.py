@@ -182,3 +182,30 @@ def test_blocked_cell_dispersion_dimerized_xx_exact_band():
         want = abs(t1 + t2 * np.exp(1j * (kk + np.pi)))
         assert abs(om[i, 0] - want) < 1e-6, (kk, om[i, 0], want)
         assert abs(om[i, 1] - want) < 1e-6  # Sz = +-1 degeneracy
+
+
+def test_unfolded_bands_dimerized_xx_extended_zone():
+    """ARPES-style unfolding of the dimerized XX chain: the dominant
+    pole at every extended-zone momentum sits EXACTLY on the single
+    cell-momentum band |t1 + t2 e^{i(2 kappa + pi)}| (kappa and
+    kappa + pi label the same eigenstate), while the weight shares at
+    kappa vs kappa + pi differ (sublattice interference — the actual
+    content of band unfolding)."""
+    from contractn_tpu.models import unfolded_bands, xx_dimerized_mpo
+
+    j, delta = 1.0, 0.5
+    t1, t2 = j * (1 + delta) / 2, j * (1 - delta) / 2
+    sp = np.array([[0.0, 1.0], [0.0, 0.0]])
+    kappas = [0.7, 0.7 + np.pi, 2.0, 2.0 + np.pi]
+    _, om, share = unfolded_bands(xx_dimerized_mpo(2, j, delta),
+                                  kappas, sp, block=2, bond_dim=16,
+                                  iters=80)
+    for kk, o, s in zip(kappas, om, share):
+        want = abs(t1 + t2 * np.exp(1j * (2 * kk + np.pi)))
+        assert abs(o - want) < 1e-6, (kk, o, want)
+        assert s > 0.8, (kk, s)  # clean quasiparticle pole
+    # extended-zone partners: same energy, DIFFERENT plane-wave weight
+    assert abs(om[0] - om[1]) < 1e-9
+    assert abs(share[0] - share[1]) > 0.02
+    assert abs(om[2] - om[3]) < 1e-9
+    assert abs(share[2] - share[3]) > 0.02
