@@ -397,6 +397,49 @@ def bench_mpo_expectation(rtt, on_tpu):
     )
     note(f"mpo-exp effective ~{tflops:.1f} TFLOP/s")
 
+    if not on_tpu:
+        return  # interpret-mode Pallas is not a measurement
+    # the fused multi-GEMM Pallas body (VMEM-resident environment,
+    # fully unrolled sample loop; docs/ROOFLINE.md round-4)
+    from contractn_tpu.ops.pallas_mpo import make_mpo_pallas_fn
+
+    pallas = make_mpo_pallas_fn(mpo, left, right, btile=40)
+
+    @jax.jit
+    def bench_pallas(cores):
+        def body(_, carry):
+            total, cc = carry
+            val, log = pallas(cc)
+            s = jnp.sum(val.astype(jnp.float32)
+                        + log.astype(jnp.float32) * 1e-3)
+            cc = cores + (s * 0.0).astype(cores.dtype)
+            return total + s, cc
+
+        total, _ = jax.lax.fori_loop(
+            0, k_inner, body, (jnp.zeros((), jnp.float32), cores)
+        )
+        return total
+
+    t0 = time.perf_counter()
+    float(bench_pallas(cores))
+    note(f"mpo-exp-pallas compile+first: {time.perf_counter()-t0:.1f}s")
+    times_p = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        float(bench_pallas(cores))
+        times_p.append(time.perf_counter() - t0)
+    per_p = (min(times_p) - rtt) / k_inner
+    emit(
+        f"MPO expectation, bond-{bond} MPS x {batch} parameter sets, "
+        "fused Pallas body (VMEM-resident environments)",
+        round(per_p * 1e3, 3), "ms/batch",
+        None,
+        spread=spread_of(times_p, rtt=rtt, scale=k_inner),
+    )
+    note(f"mpo-exp-pallas effective ~"
+         f"{batch * n_sites * flops_site / per_p / 1e12:.1f} TFLOP/s "
+         f"({per / per_p:.2f}x the XLA path)")
+
 
 def bench_peps(rtt):
     from contractn_tpu.models import peps_tn

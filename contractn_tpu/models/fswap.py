@@ -824,7 +824,8 @@ def parity_masks(ly, lx, ph_vec, pv_vec, d=2):
 
 def fpeps_ground_state(ly, lx, t=1.0, mu=0.0, delta=0.0, chi=8,
                        steps=200, lr=2e-2, seed=0, d=2,
-                       bond_parities=(0, 1)):
+                       bond_parities=(0, 1), init=None,
+                       init_parities=None):
     """Gradient-optimized fermionic PEPS ground state (finite lattice).
 
     Adam on the parity-even site tensors through the differentiable
@@ -834,6 +835,13 @@ def fpeps_ground_state(ly, lx, t=1.0, mu=0.0, delta=0.0, chi=8,
     for D = 4 with two states per parity class).  Returns
     ``(tensors, energy, trace)`` — validated against exact Fock / BdG
     ground energies in the tests (variational from above).
+
+    ``init`` (a tensor grid from a LOWER-D run, with ``init_parities``
+    its bond parity vector) warm-starts the optimization by
+    parity-consistent zero-padding plus small even noise — the
+    practical recipe for D >= 4, where random starts can stick in
+    near-vacuum local minima (measured: 2x3 D=4 seed 0 lands 80% high
+    from random, <1% warm-started; docs/ROOFLINE.md round-4 table).
     """
     import jax
     import optax
@@ -841,8 +849,19 @@ def fpeps_ground_state(ly, lx, t=1.0, mu=0.0, delta=0.0, chi=8,
     tensors, ph_vec, pv_vec = random_fpeps(
         ly, lx, bond_parities=bond_parities, seed=seed, d=d)
     masks = parity_masks(ly, lx, ph_vec, pv_vec, d=d)
-    params = [[jnp.asarray(0.3 * tensors[r][c]) for c in range(lx)]
-              for r in range(ly)]
+    if init is not None:
+        if init_parities is None:
+            raise ValueError("init needs init_parities (the bond "
+                             "parity vector the init tensors use)")
+        padded = pad_fpeps(init, init_parities, bond_parities, ly, lx)
+        params = [[jnp.asarray(padded[r][c]
+                               + 0.02 * tensors[r][c])
+                   for c in range(lx)] for r in range(ly)]
+        params = [[params[r][c] * masks[r][c] for c in range(lx)]
+                  for r in range(ly)]
+    else:
+        params = [[jnp.asarray(0.3 * tensors[r][c]) for c in range(lx)]
+                  for r in range(ly)]
 
     def loss(ps):
         return fpeps_energy_diff(ps, ph_vec, pv_vec, chi, t=t, mu=mu,
@@ -862,6 +881,48 @@ def fpeps_ground_state(ly, lx, t=1.0, mu=0.0, delta=0.0, chi=8,
                   for r in range(ly)]
         trace.append(float(e))
     return params, trace[-1], trace
+
+
+def pad_fpeps(tensors, old_bp, new_bp, ly=None, lx=None):
+    """Zero-pad a fermionic PEPS into a larger bond parity structure.
+
+    Each old bond slot injects into the first unused new slot of the
+    SAME parity (so the embedded state is exactly the old state, now
+    expressed at the larger D) — the warm start for higher-D
+    optimizations.  Boundary legs (dim 1) pass through.
+    """
+    old_bp = list(np.asarray(old_bp))
+    new_bp = list(np.asarray(new_bp))
+    inj = []
+    used = set()
+    for p in old_bp:
+        for j, q in enumerate(new_bp):
+            if j not in used and q == p:
+                inj.append(j)
+                used.add(j)
+                break
+        else:
+            raise ValueError(
+                f"new_bp={new_bp} cannot host old_bp={old_bp}")
+    ly = len(tensors) if ly is None else ly
+    lx = len(tensors[0]) if lx is None else lx
+    out = []
+    for r in range(ly):
+        row = []
+        for c in range(lx):
+            a = np.asarray(tensors[r][c])
+            take = np.zeros((len(old_bp), len(new_bp)), a.dtype)
+            for i, j in enumerate(inj):
+                take[i, j] = 1.0
+            src = a
+            for ax in range(1, 5):
+                if a.shape[ax] == 1:  # boundary leg passes through
+                    continue
+                src = np.tensordot(src, take, axes=([ax], [0]))
+                src = np.moveaxis(src, -1, ax)
+            row.append(src)
+        out.append(row)
+    return out
 
 
 def fpeps_correlator(tensors, ph_vec, pv_vec, site_a, site_b,

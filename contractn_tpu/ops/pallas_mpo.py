@@ -11,15 +11,23 @@ kernel builds exactly that body so the claim rests on a measurement:
 * grid ``(B/btile, n_sites)`` — sites innermost, so the per-sample
   environment scratch ``(btile, W*D, D)`` (f32) persists across the
   chain and NEVER touches HBM;
-* env layout ``((w i), k)`` rows-by-channel so the channel mix is pure
-  contiguous block-FMAs: for each nonzero MPO element ``W[d,e,w,v]``
-  (baked in as compile-time immediates; uniform-W MPOs),
-  ``t2[(d i), (v l)] += W[d,e,w,v] * t1[(w i), (e l)]`` — no in-kernel
-  transposes anywhere (the two GEMM operand layouts are produced by
-  one-time XLA transposes of the cores, amortized over the chain);
-* per sample: ket GEMM ``(W D, D) x (D, d D)``, the mix, bra GEMM
-  ``(d D, D)^T x (d D, W D)``, then the split-format mean-|.| rescale —
-  semantics pinned against ``MPO.expectation`` in the tests;
+* ALL block structure (the ``w``/``e``/``d``/``v`` channel and phys
+  indices) lives along SUBLANES; the lane dimension is always the pure
+  bond index.  This is forced by Mosaic: slicing the lane dimension at
+  an offset that is not a multiple of 128 (bond 64 blocks) produces
+  vectors with a nonzero lane offset that neither ``tpu.concatenate``
+  nor the GEMM lowering accepts ("result/input offset mismatch on
+  non-concat dimension").  Sublane offsets only need 8-alignment, so a
+  ``(w i)``-rows-by-``k``-lanes environment with per-``e`` ket GEMMs
+  and per-``v`` bra GEMMs lowers cleanly;
+* the channel mix is pure contiguous sublane block-FMAs: for each
+  nonzero MPO element ``W[d,e,w,v]`` (baked in as compile-time
+  immediates; uniform-W MPOs),
+  ``t2[(v d i), l] += W[d,e,w,v] * t1_e[(w i), l]``;
+* per sample: ``phys`` ket GEMMs ``(W D, D) x (D, D)``, the mix,
+  ``wdim`` bra GEMMs ``(d D, D)^T x (d D, D)``, then the split-format
+  mean-|.| rescale — semantics pinned against ``MPO.expectation`` in
+  the tests;
 * the ``btile`` samples run in an in-body ``fori_loop`` with dynamic
   VMEM slices (the round-1 serialization caveat applies; that cost IS
   the thing being measured).
@@ -40,9 +48,14 @@ from .stabilize import MIN_NORM
 
 
 def _kernel(ket_ref, bra_ref, env0_ref, env_out_ref, log_out_ref,
-            env_scr, log_scr, *, w_entries, btile, bond, wdim, phys,
-            n_sites, gemm_dtype):
+            env_scr, log_scr, t2_scr, *, w_entries, btile, bond, wdim,
+            phys, n_sites, gemm_dtype, unroll):
     si = pl.program_id(1)
+    # f32 "matmuls" on the MXU default to one bf16 pass (the 6%-error
+    # hazard; see ops.stabilize) — request full passes except when the
+    # caller explicitly asked for bf16 GEMMs
+    prec = (None if gemm_dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
 
     @pl.when(si == 0)
     def _init():
@@ -50,33 +63,49 @@ def _kernel(ket_ref, bra_ref, env0_ref, env_out_ref, log_out_ref,
         log_scr[:] = jnp.zeros_like(log_scr)
 
     def body(b, _):
-        env_m = env_scr[b]  # ((w i), k) f32
-        ket = ket_ref[0, b]   # (k, (e l))
+        env_m = env_scr[b].astype(gemm_dtype)  # ((w i), k)
+        ket = ket_ref[0, b]   # ((e k), l)
         bra = bra_ref[0, b]   # ((d i), j)
-        t1 = jnp.dot(env_m.astype(gemm_dtype), ket,
-                     preferred_element_type=jnp.float32)  # ((w i),(e l))
-        # channel mix: contiguous block FMAs, W entries as immediates
-        t2 = jnp.zeros((phys * bond, wdim * bond), jnp.float32)
+        # per-e ket GEMMs: t1_e[(w i), l] = env @ ket_e  (K = bond)
+        t1 = [jnp.dot(env_m, ket[e * bond:(e + 1) * bond, :],
+                      preferred_element_type=jnp.float32,
+                      precision=prec)
+              for e in range(phys)]
+        # channel mix: contiguous SUBLANE block FMAs, W entries as
+        # immediates; (v, d) blocks are disjoint and assemble by
+        # static sublane-slice stores into the VMEM t2 scratch
+        blocks = {}
         for (d, e, w, v, coef) in w_entries:
-            blk = coef * t1[w * bond:(w + 1) * bond,
-                            e * bond:(e + 1) * bond]
-            t2 = t2.at[d * bond:(d + 1) * bond,
-                       v * bond:(v + 1) * bond].add(blk)
-        out = jax.lax.dot_general(
-            bra, t2.astype(gemm_dtype),
+            blk = coef * t1[e][w * bond:(w + 1) * bond, :]
+            key = (v, d)
+            blocks[key] = blk if key not in blocks else blocks[key] + blk
+        zero_blk = jnp.zeros((bond, bond), jnp.float32)
+        for v in range(wdim):
+            for d in range(phys):
+                r0 = (v * phys + d) * bond
+                t2_scr[r0:r0 + bond, :] = blocks.get((v, d), zero_blk)
+        # per-v bra GEMMs: out_v[j, l] = bra^T @ t2_v  (K = phys*bond)
+        outs = [jax.lax.dot_general(
+            bra,
+            t2_scr[v * phys * bond:(v + 1) * phys * bond,
+                   :].astype(gemm_dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (j, (v l))
-        new_env = jnp.concatenate(
-            [out[:, v * bond:(v + 1) * bond] for v in range(wdim)],
-            axis=0)  # ((v j), l)
-        norm = jnp.mean(jnp.abs(new_env))
+            precision=prec) for v in range(wdim)]
+        norm = sum(jnp.sum(jnp.abs(o)) for o in outs) / (
+            wdim * bond * bond)
         safe = jnp.where(norm > MIN_NORM, norm, 1.0)
-        env_scr[b] = new_env / safe
+        inv = 1.0 / safe
+        for v in range(wdim):  # new env ((v j), l), stored per block
+            env_scr[b, v * bond:(v + 1) * bond, :] = outs[v] * inv
         log_scr[b] = log_scr[b] + jnp.log(safe)
         return 0
 
-    jax.lax.fori_loop(0, btile, body, 0)
+    # Mosaic supports only unroll=1 or full unroll; full unroll also
+    # makes every env_scr[b] index static (no dynamic VMEM slices) and
+    # lets the scheduler interleave independent samples' GEMM chains
+    jax.lax.fori_loop(0, btile, body, 0,
+                      unroll=btile if unroll else 1)
 
     @pl.when(si == n_sites - 1)
     def _finish():
@@ -86,24 +115,27 @@ def _kernel(ket_ref, bra_ref, env0_ref, env_out_ref, log_out_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("w_entries", "wdim", "btile", "interpret"))
-def _mpo_pallas_run(cores, env0, w_entries, wdim, btile, interpret):
+    static_argnames=("w_entries", "wdim", "btile", "interpret",
+                     "unroll"))
+def _mpo_pallas_run(cores, env0, w_entries, wdim, btile, interpret,
+                    unroll):
     batch, n_sites, phys, bond, _ = cores.shape
     # one-time XLA relayouts (amortized over the chain):
-    # ket operand (k, (e l)); bra operand ((d i), j)
-    ket = jnp.transpose(cores, (1, 0, 3, 2, 4)).reshape(
-        n_sites, batch, bond, phys * bond)
-    bra = jnp.conj(jnp.transpose(cores, (1, 0, 2, 3, 4))).reshape(
+    # ket operand ((e k), l); bra operand ((d i), j) — SAME layout
+    # (conj apart), so XLA CSEs them into one buffer for real dtypes
+    ket = jnp.transpose(cores, (1, 0, 2, 3, 4)).reshape(
         n_sites, batch, phys * bond, bond)
+    bra = jnp.conj(ket)
     n_tiles = batch // btile
     kernel = functools.partial(
         _kernel, w_entries=w_entries, btile=btile, bond=bond,
-        wdim=wdim, phys=phys, n_sites=n_sites, gemm_dtype=cores.dtype)
+        wdim=wdim, phys=phys, n_sites=n_sites, gemm_dtype=cores.dtype,
+        unroll=unroll)
     env, log = pl.pallas_call(
         kernel,
         grid=(n_tiles, n_sites),
         in_specs=[
-            pl.BlockSpec((1, btile, bond, phys * bond),
+            pl.BlockSpec((1, btile, phys * bond, bond),
                          lambda bi, si: (si, bi, 0, 0)),
             pl.BlockSpec((1, btile, phys * bond, bond),
                          lambda bi, si: (si, bi, 0, 0)),
@@ -122,14 +154,58 @@ def _mpo_pallas_run(cores, env0, w_entries, wdim, btile, interpret):
         scratch_shapes=[
             pltpu.VMEM((btile, wdim * bond, bond), jnp.float32),
             pltpu.VMEM((btile, 128), jnp.float32),
+            pltpu.VMEM((wdim * phys * bond, bond), jnp.float32),
         ],
         interpret=interpret,
     )(ket, bra, env0)
     return env, log[:, 0]
 
 
+def make_mpo_pallas_fn(mpo, left, right, btile=64, interpret=False,
+                       unroll=True):
+    """JIT-safe closure ``cores -> (val, log)`` with the MPO elements
+    and boundary environment prepared ONCE (numpy preprocessing cannot
+    run under an outer trace — e.g. a benchmark's fori_loop)."""
+    w0 = np.asarray(mpo.cores[0])
+    if not np.allclose(np.asarray(mpo.cores), w0[None]):
+        raise ValueError("mpo_expectation_pallas needs a uniform-W MPO")
+    phys, _, wdim, _ = w0.shape
+    bond = left.shape[0]
+    entries = tuple(
+        (int(d), int(e), int(w), int(v), float(w0[d, e, w, v]))
+        for d in range(phys) for e in range(phys)
+        for w in range(wdim) for v in range(wdim)
+        if w0[d, e, w, v] != 0.0
+    )
+    env0 = jnp.einsum("w,i,k->wik", jnp.asarray(mpo.left, jnp.float32),
+                      jnp.conj(left).astype(jnp.float32),
+                      left.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST).reshape(
+                          wdim * bond, bond)
+    mpo_right = jnp.asarray(mpo.right, jnp.float32)
+    right_f = right.astype(jnp.float32)
+
+    def fn(cores):
+        batch = cores.shape[0]
+        if batch % btile:
+            raise ValueError(
+                f"batch={batch} must divide by btile={btile}")
+        env, log = _mpo_pallas_run(cores, env0, entries, int(wdim),
+                                   int(btile), bool(interpret),
+                                   bool(unroll))
+        env = env.reshape(batch, wdim, bond, bond)
+        val = jnp.einsum("bwik,w,i,k->b", env, mpo_right,
+                         jnp.conj(right_f), right_f,
+                         precision=jax.lax.Precision.HIGHEST)
+        norm = jnp.abs(val)
+        safe = jnp.where(norm > MIN_NORM, norm, jnp.ones_like(norm))
+        return (val / safe).astype(cores.dtype), log + jnp.log(safe)
+
+    return fn
+
+
 def mpo_expectation_pallas(mpo, cores, left, right, btile=64,
-                           interpret=False):
+                           interpret=False, unroll=True):
     """Batched ``<psi| H |psi>`` through the VMEM-resident Pallas body.
 
     Args:
@@ -143,30 +219,6 @@ def mpo_expectation_pallas(mpo, cores, left, right, btile=64,
     :meth:`contractn_tpu.models.mpo.MPO.expectation` semantics (f32
     environment carry).
     """
-    w0 = np.asarray(mpo.cores[0])
-    if not np.allclose(np.asarray(mpo.cores), w0[None]):
-        raise ValueError("mpo_expectation_pallas needs a uniform-W MPO")
-    phys, _, wdim, _ = w0.shape
-    batch, n_sites, _, bond, _ = cores.shape
-    if batch % btile:
-        raise ValueError(f"batch={batch} must divide by btile={btile}")
-    entries = tuple(
-        (int(d), int(e), int(w), int(v), float(w0[d, e, w, v]))
-        for d in range(phys) for e in range(phys)
-        for w in range(wdim) for v in range(wdim)
-        if w0[d, e, w, v] != 0.0
-    )
-    env0 = jnp.einsum("w,i,k->wik", jnp.asarray(mpo.left, jnp.float32),
-                      jnp.conj(left).astype(jnp.float32),
-                      left.astype(jnp.float32)).reshape(
-                          wdim * bond, bond)
-    env, log = _mpo_pallas_run(cores, env0, entries, int(wdim),
-                               int(btile), bool(interpret))
-    env = env.reshape(batch, wdim, bond, bond)
-    val = jnp.einsum("bwik,w,i,k->b", env,
-                     jnp.asarray(mpo.right, jnp.float32),
-                     jnp.conj(right).astype(jnp.float32),
-                     right.astype(jnp.float32))
-    norm = jnp.abs(val)
-    safe = jnp.where(norm > MIN_NORM, norm, jnp.ones_like(norm))
-    return (val / safe).astype(cores.dtype), log + jnp.log(safe)
+    return make_mpo_pallas_fn(mpo, left, right, btile=btile,
+                              interpret=interpret,
+                              unroll=unroll)(cores)

@@ -30,17 +30,22 @@ def measure_rtt():
 
 def main():
     from contractn_tpu.models import MPS, tfim_mpo
-    from contractn_tpu.ops.pallas_mpo import mpo_expectation_pallas
+    from contractn_tpu.ops.pallas_mpo import (make_mpo_pallas_fn,
+                                              mpo_expectation_pallas)
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     if on_tpu:
         n_sites, bond, batch, k_inner, reps = 50, 64, 1000, 10, 5
         dtype = jnp.bfloat16
-        btiles = (50, 40, 25)
+        # Pallas block constraint: second-to-last block dim % 8 == 0,
+        # so btile must be a multiple of 8 that divides the batch.
+        # unroll=True fully unrolls the sample loop (static VMEM
+        # indices; Mosaic interleaves independent GEMM chains).
+        configs = ((8, True), (40, True), (40, False))
     else:
         n_sites, bond, batch, k_inner, reps = 8, 8, 8, 2, 2
         dtype = jnp.float32
-        btiles = (4,)
+        configs = ((4, True),)
     rtt = measure_rtt()
     print(f"# devices={jax.devices()} rtt={rtt*1e3:.1f} ms", flush=True)
 
@@ -94,19 +99,21 @@ def main():
 
     timed(ref_fn, "xla-v0")
 
-    for bt in btiles:
-        def pal_fn(cc, bt=bt):
-            val, log = mpo_expectation_pallas(mpo, cc, left, right,
-                                              btile=bt)
+    for bt, un in configs:
+        pallas = make_mpo_pallas_fn(mpo, left, right, btile=bt,
+                                    unroll=un)
+
+        def pal_fn(cc, pallas=pallas):
+            val, log = pallas(cc)
             return jnp.sum(val.astype(jnp.float32)
                            + log.astype(jnp.float32) * 1e-3)
 
-        timed(pal_fn, f"pallas-btile{bt}")
+        timed(pal_fn, f"pallas-btile{bt}-unroll{un}")
 
     # value sanity at f32 on a small slice
     v_p, l_p = mpo_expectation_pallas(
         mpo, cores[:8].astype(jnp.float32), left.astype(jnp.float32),
-        right.astype(jnp.float32), btile=4)
+        right.astype(jnp.float32), btile=8)
     ref = jax.vmap(lambda c: mpo.expectation(
         MPS(c.astype(jnp.float32), left.astype(jnp.float32),
             right.astype(jnp.float32))))(cores[:8])

@@ -384,3 +384,27 @@ def test_fpeps_correlator_arbitrary_range_matches_fock():
         want = float(psi @ (np.matmul(cs[i].T, cs[j]) @ psi)) / den
         got = float(fpeps_correlator(tn, phv, pvv, sa, sb))
         assert abs(got - want) < 1e-12, (sa, sb, got, want)
+
+
+def test_pad_fpeps_embeds_state_exactly():
+    """Parity-consistent zero-padding to a larger D leaves the physical
+    state bit-identical (the higher-D warm-start guarantee)."""
+    from contractn_tpu.models.fswap import pad_fpeps
+
+    ly, lx = 2, 2
+    tn, _, _ = random_fpeps(ly, lx, bond_parities=(0, 1), seed=8)
+    want = fock_state(tn, *_vecs(ly, lx, (0, 1)))
+    big = pad_fpeps(tn, (0, 1), (0, 1, 0, 1), ly, lx)
+    got = fock_state(big, *_vecs(ly, lx, (0, 1, 0, 1)))
+    np.testing.assert_array_equal(got, want)
+
+    import pytest
+    with pytest.raises(ValueError, match="cannot host"):
+        pad_fpeps(tn, (0, 1), (0, 0), ly, lx)
+
+
+def _vecs(ly, lx, bp):
+    bp = np.asarray(bp)
+    ph = {(r, c): bp for r in range(ly) for c in range(lx - 1)}
+    pv = {(r, c): bp for r in range(ly - 1) for c in range(lx)}
+    return ph, pv
