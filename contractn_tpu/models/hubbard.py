@@ -112,6 +112,66 @@ def hubbard_ed_energy(lx, ly, t=1.0, u=4.0, mu=0.0):
     return float(np.linalg.eigvalsh(h)[0])
 
 
+def hubbard_phys_charges(lx, ly):
+    """Per-spin-orbital PACKED ``(N_up, N_dn)`` charges.
+
+    Both particle numbers are conserved separately; one integer U(1)
+    label encodes the pair as ``n_up * A + n_dn`` with ``A = lx*ly + 1``
+    strictly exceeding every possible down-count, so packed charges add
+    component-wise without aliasing (all counts are nonnegative).  Up
+    orbitals (even JW index — ``so_index``'s spin bit) carry ``(A, 0)``
+    over (occupied, empty), down orbitals ``(1, 0)``; the occupied
+    state is FIRST (``fermions2d`` convention).
+
+    Returns ``(per_site_charges, A)``.
+    """
+    a = lx * ly + 1
+    return ([(a, 0) if k % 2 == 0 else (1, 0)
+             for k in range(2 * lx * ly)], a)
+
+
+def hubbard_sector_ed(lx, ly, n_up, n_dn, t=1.0, u=4.0):
+    """Exact ``(N_up, N_dn)``-sector ground energy by dense Fock ED.
+
+    Restricts :func:`hubbard_fock_hamiltonian` (at ``mu = 0``; a fixed
+    sector shifts only by a constant) to the basis states with the
+    requested per-spin particle counts — the oracle for
+    :func:`hubbard_dmrg_sector`.
+    """
+    h = hubbard_fock_hamiltonian(lx, ly, t, u, 0.0)
+    n_orb = 2 * lx * ly
+    idx = []
+    for b in range(2 ** n_orb):
+        # orbital k is kron factor k (most-significant first); its
+        # FIRST basis state (bit 0) is the occupied one
+        occ = [((b >> (n_orb - 1 - k)) & 1) == 0 for k in range(n_orb)]
+        if sum(occ[0::2]) == n_up and sum(occ[1::2]) == n_dn:
+            idx.append(b)
+    if not idx:
+        raise ValueError(f"empty sector ({n_up}, {n_dn})")
+    return float(np.linalg.eigvalsh(h[np.ix_(idx, idx)])[0])
+
+
+def hubbard_dmrg_sector(lx, ly, n_up, n_dn, bond_dim, t=1.0, u=4.0,
+                        sweeps=8, lanczos_iters=40, key=None):
+    """Exact-sector Hubbard ground state: charge-masked DMRG at fixed
+    ``(N_up, N_dn)`` — doped sectors without penalty terms.
+
+    Runs :func:`~contractn_tpu.models.u1.dmrg_u1` on the ``mu = 0``
+    snake-JW MPO with the packed per-site charges of
+    :func:`hubbard_phys_charges`: both spin populations are conserved
+    STRUCTURALLY (static charge masks; ``cores * (1 - masks) == 0``
+    identically), so doping is a sector label, not a chemical-potential
+    search.  Returns ``(mps, energy, energies, masks)``.
+    """
+    from .u1 import dmrg_u1
+
+    phys, a = hubbard_phys_charges(lx, ly)
+    mpo = hubbard2d_mpo(lx, ly, t, u, 0.0)
+    return dmrg_u1(mpo, n_up * a + n_dn, bond_dim, phys_charges=phys,
+                   sweeps=sweeps, lanczos_iters=lanczos_iters, key=key)
+
+
 def spin_densities(mps, lx, ly):
     """Per-lattice-site ``(<n_up>, <n_dn>)`` profiles from a converged
     spin-orbital MPS — one scanned program via

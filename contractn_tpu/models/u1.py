@@ -48,8 +48,38 @@ from .mpo import MPO
 _DEAD_VALUE = np.int64(2 ** 40)
 
 
+def _per_site(phys_charges, n_sites):
+    """Normalize ``phys_charges`` to one int list per site.
+
+    A flat sequence of ints means every site carries the same charges
+    (the original uniform API); a sequence of sequences gives each site
+    its own — e.g. the spin-orbital Hubbard chain, where up and down
+    orbitals alternate PACKED charges (``models.hubbard.
+    hubbard_phys_charges``).  All sites must share the physical
+    dimension (static shapes).
+    """
+    seq = list(phys_charges)
+    if seq and hasattr(seq[0], "__len__"):
+        if len(seq) != n_sites:
+            raise ValueError(
+                f"per-site phys_charges has {len(seq)} entries for "
+                f"{n_sites} sites")
+        out = [[int(p) for p in site] for site in seq]
+        if len({len(s) for s in out}) != 1:
+            raise ValueError("all sites must share the physical dim")
+        return out
+    return [[int(p) for p in seq]] * n_sites
+
+
 def u1_bond_charges(n_sites, phys_charges, total_charge, bond_dim):
     """Assign a static charge label to every slot of every bond.
+
+    ``phys_charges`` is either one int per physical state (uniform
+    chains) or one int list PER SITE (see :func:`_per_site`) — the
+    latter also encodes several independent U(1) charges at once by
+    packing them into disjoint integer ranges (e.g. ``N_up * A +
+    N_dn`` with ``A`` exceeding the maximal ``N_dn``; see
+    :func:`~contractn_tpu.models.hubbard.hubbard_phys_charges`).
 
     Bond ``n``'s allowed charges are the intersection of forward
     reachability (partial sums of ``phys_charges`` over sites ``< n``)
@@ -65,19 +95,19 @@ def u1_bond_charges(n_sites, phys_charges, total_charge, bond_dim):
         ``bond_dim``; dead (unassigned) slots hold ``_DEAD_VALUE``
         (:func:`u1_masks` excludes them from every block).
     """
-    phys = [int(p) for p in phys_charges]
+    phys = _per_site(phys_charges, n_sites)
     fwd = [{0: 1}]
-    for _ in range(n_sites):
+    for n in range(n_sites):
         nxt = {}
         for q, c in fwd[-1].items():
-            for p in phys:
+            for p in phys[n]:
                 nxt[q + p] = nxt.get(q + p, 0) + c
         fwd.append(nxt)
     bwd = [{int(total_charge): 1}]
-    for _ in range(n_sites):
+    for n in range(n_sites - 1, -1, -1):
         nxt = {}
         for q, c in bwd[-1].items():
-            for p in phys:
+            for p in phys[n]:
                 nxt[q - p] = nxt.get(q - p, 0) + c
         bwd.append(nxt)
     bwd = bwd[::-1]
@@ -126,7 +156,8 @@ def u1_bond_charges(n_sites, phys_charges, total_charge, bond_dim):
 def u1_masks(bond_charges, phys_charges, dtype=jnp.float64):
     """``(N, d, D, D)`` 0/1 masks from per-bond charge labels."""
     n_sites = len(bond_charges) - 1
-    d = len(phys_charges)
+    phys = _per_site(phys_charges, n_sites)
+    d = len(phys[0])
     bond = bond_charges[0].shape[0]
     masks = np.zeros((n_sites, d, bond, bond), np.float64)
     for n in range(n_sites):
@@ -134,66 +165,81 @@ def u1_masks(bond_charges, phys_charges, dtype=jnp.float64):
         qj = bond_charges[n + 1]
         vi = qi != _DEAD_VALUE
         vj = qj != _DEAD_VALUE
-        for s, p in enumerate(phys_charges):
+        for s, p in enumerate(phys[n]):
             ok = (qi[:, None] + int(p) == qj[None, :])
             masks[n, s] = ok & vi[:, None] & vj[None, :]
     return jnp.asarray(masks, dtype)
 
 
 def mpo_channel_charges(mpo, phys_charges):
-    """Per-channel charge labels of an MPO, or raise if none exist.
+    """Per-bond, per-channel charge labels of an MPO, or raise.
 
-    A channel assignment ``c (W,)`` is consistent when every nonzero
-    element ``W[a, b, w, v]`` satisfies ``c[w] - c[v] = q_phys[a] -
-    q_phys[b]`` (the operator element raises the state's charge by
-    ``q[a] - q[b]``, which the channel bookkeeping must absorb).  Such
-    an assignment makes the Heff matvec exactly sector-preserving on
-    masked states.  MPOs written in mixed bases (e.g. the SX / iY
-    channels of :func:`~contractn_tpu.models.dmrg.heisenberg_mpo`)
-    have no assignment — rewrite in raising/lowering channels
-    (:func:`xxz_mpo_u1`).
+    A channel assignment ``c (n_sites + 1, W)`` is consistent when
+    every nonzero element ``W_n[a, b, w, v]`` satisfies ``c[n][w] -
+    c[n + 1][v] = q_phys[n][a] - q_phys[n][b]`` (the operator element
+    raises the state's charge by ``q[a] - q[b]``, which the channel
+    bookkeeping must absorb).  Such an assignment makes the Heff
+    matvec exactly sector-preserving on masked states.  Position-
+    dependent cores (:func:`~contractn_tpu.models.fermions2d.
+    string_mpo` outputs, the Hubbard MPO) and per-site physical
+    charges are supported; MPOs written in mixed bases (e.g. the
+    SX / iY channels of :func:`~contractn_tpu.models.dmrg.
+    heisenberg_mpo`) have no assignment — rewrite in raising/lowering
+    channels (:func:`xxz_mpo_u1`).
     """
-    w = np.asarray(mpo.cores[0])
-    wdim = w.shape[-1]
-    phys = [int(p) for p in phys_charges]
-    c = {0: 0}
-    frontier = [0]
-    # propagate from channel 0 over the nonzero-coupling graph
-    while frontier:
-        new = []
-        for wch in frontier:
-            for vch in range(wdim):
-                deltas = set()
-                for a in range(w.shape[0]):
-                    for b in range(w.shape[1]):
-                        if w[a, b, wch, vch] != 0:
-                            deltas.add(phys[a] - phys[b])
-                        if w[a, b, vch, wch] != 0:
-                            deltas.add(-(phys[a] - phys[b]))
-                if not deltas:
-                    continue
-                if len(deltas) > 1:
-                    raise ValueError(
-                        f"MPO channel pair ({wch}, {vch}) mixes charge "
-                        f"transfers {sorted(deltas)} — not channel-"
-                        "charge-definite; rewrite in raising/lowering "
-                        "channels (see xxz_mpo_u1)"
-                    )
-                delta = deltas.pop()
-                want = c[wch] - delta
-                if vch in c:
-                    if c[vch] != want:
+    cores = np.asarray(mpo.cores)
+    n_sites, d = cores.shape[0], cores.shape[1]
+    phys = _per_site(phys_charges, n_sites)
+    wdim = cores.shape[-1]
+    # per-site charge-transfer table: delta[n][wch, vch] or raise —
+    # position-dependent cores (string MPOs) get per-BOND labels
+    deltas = np.full((n_sites, wdim, wdim), _DEAD_VALUE, np.int64)
+    active = np.zeros((n_sites, wdim, wdim), bool)
+    for n in range(n_sites):
+        nz = np.nonzero(cores[n])
+        seen = {}
+        for a, b, wch, vch in zip(*nz):
+            dq = phys[n][a] - phys[n][b]
+            key = (wch, vch)
+            if key in seen and seen[key] != dq:
+                raise ValueError(
+                    f"site {n} MPO channel pair {key} mixes charge "
+                    f"transfers {sorted({seen[key], dq})} — not channel-"
+                    "charge-definite; rewrite in raising/lowering "
+                    "channels (see xxz_mpo_u1)"
+                )
+            seen[key] = dq
+        for (wch, vch), dq in seen.items():
+            deltas[n, wch, vch] = dq
+            active[n, wch, vch] = True
+    c = [dict() for _ in range(n_sites + 1)]
+    for ch in np.nonzero(np.asarray(mpo.left))[0]:
+        c[0][int(ch)] = 0
+    changed = True
+    while changed:  # fixpoint; flows mostly left-to-right, few passes
+        changed = False
+        for n in range(n_sites):
+            for wch, vch in zip(*np.nonzero(active[n])):
+                dq = int(deltas[n, wch, vch])
+                kw, kv = int(wch) in c[n], int(vch) in c[n + 1]
+                if kw and kv:
+                    if c[n][wch] - c[n + 1][vch] != dq:
                         raise ValueError(
-                            f"inconsistent channel charges at channel "
-                            f"{vch}: {c[vch]} vs {want}"
+                            f"inconsistent channel charges at bond "
+                            f"{n + 1} channel {vch}: not channel-"
+                            "charge-definite"
                         )
-                else:
-                    c[vch] = want
-                    new.append(vch)
-        frontier = new
-    for vch in range(wdim):
-        c.setdefault(vch, 0)  # disconnected channel: irrelevant
-    return np.asarray([c[i] for i in range(wdim)], np.int64)
+                elif kw:
+                    c[n + 1][int(vch)] = c[n][wch] - dq
+                    changed = True
+                elif kv:
+                    c[n][int(wch)] = c[n + 1][vch] + dq
+                    changed = True
+    out = np.zeros((n_sites + 1, wdim), np.int64)
+    for b in range(n_sites + 1):
+        for i in range(wdim):
+            out[b, i] = c[b].get(i, 0)  # disconnected: irrelevant
+    return out
 
 
 def xxz_mpo_u1(n_sites, jx=1.0, jz=1.0, dtype=jnp.float64):
@@ -246,7 +292,8 @@ def _split_masks(bond_charges, phys_charges):
     * ``slot (n-1, C, D)``: mid-bond slots labeled ``c``.
     """
     n_bonds = len(bond_charges) - 1
-    d = len(phys_charges)
+    phys = _per_site(phys_charges, n_bonds)
+    d = len(phys[0])
     bond = bond_charges[0].shape[0]
     classes = sorted({
         int(q) for qc in bond_charges[1:-1] for q in qc
@@ -260,10 +307,11 @@ def _split_masks(bond_charges, phys_charges):
         ql, qm, qr = (bond_charges[i], bond_charges[i + 1],
                       bond_charges[i + 2])
         for ci, c in enumerate(classes):
-            for s_idx, p in enumerate(phys_charges):
-                ok_l = (ql != _DEAD_VALUE) & (ql + int(p) == c)
+            for s_idx in range(d):
+                pl, pr = phys[i][s_idx], phys[i + 1][s_idx]
+                ok_l = (ql != _DEAD_VALUE) & (ql + pl == c)
                 row[i, ci, s_idx * bond:(s_idx + 1) * bond] = ok_l
-                ok_r = (qr != _DEAD_VALUE) & (qr - int(p) == c)
+                ok_r = (qr != _DEAD_VALUE) & (qr - pr == c)
                 col[i, ci, s_idx * bond:(s_idx + 1) * bond] = ok_r
             slot[i, ci] = (qm != _DEAD_VALUE) & (qm == c)
     return (jnp.asarray(row), jnp.asarray(col), jnp.asarray(slot))
@@ -342,6 +390,7 @@ def dmrg_u1(mpo, total_charge, bond_dim, phys_charges=(1, -1),
         the per-sweep trace, and the masks used.
     """
     n_sites = mpo.n_sites
+    phys_dim = len(_per_site(phys_charges, n_sites)[0])
     mpo_channel_charges(mpo, phys_charges)  # raises if not definite
     bond_charges = u1_bond_charges(
         n_sites, phys_charges, total_charge, bond_dim)
@@ -351,7 +400,7 @@ def dmrg_u1(mpo, total_charge, bond_dim, phys_charges=(1, -1),
     split_masks = _split_masks(bond_charges, phys_charges)
     mps, energy, energies = _dmrg_u1_jit(
         mpo, mps0, masks, split_masks, int(sweeps), int(lanczos_iters),
-        len(phys_charges), int(bond_dim))
+        phys_dim, int(bond_dim))
     return mps, energy, energies, masks
 
 
@@ -365,15 +414,16 @@ def theta_masks_u1(bond_charges, phys_charges):
     left bond charge plus both physical charges reaches the right bond
     charge (the middle bond is summed out of the block)."""
     n_bonds = len(bond_charges) - 1
-    d = len(phys_charges)
+    phys = _per_site(phys_charges, n_bonds)
+    d = len(phys[0])
     bond = bond_charges[0].shape[0]
     out = np.zeros((n_bonds - 1, d, d, bond, bond))
     for i in range(n_bonds - 1):
         ql, qr = bond_charges[i], bond_charges[i + 2]
         vl = ql != _DEAD_VALUE
         vr = qr != _DEAD_VALUE
-        for s1, p1 in enumerate(phys_charges):
-            for s2, p2 in enumerate(phys_charges):
+        for s1, p1 in enumerate(phys[i]):
+            for s2, p2 in enumerate(phys[i + 1]):
                 ok = ql[:, None] + int(p1) + int(p2) == qr[None, :]
                 out[i, s1, s2] = ok & vl[:, None] & vr[None, :]
     return jnp.asarray(out)
@@ -397,13 +447,18 @@ def u1_sector(n_sites, total_charge, bond_dim, phys_charges=(1, -1),
     and the evolution masks.  Returns a dict (a plain pytree)."""
     bond_charges = u1_bond_charges(
         n_sites, phys_charges, total_charge, bond_dim)
+    phys = _per_site(phys_charges, n_sites)
+    stored = (tuple(tuple(s) for s in phys)
+              if hasattr(list(phys_charges)[0], "__len__")
+              else tuple(int(p) for p in phys_charges))
     return {
         "bond_charges": bond_charges,
         "masks": u1_masks(bond_charges, phys_charges, dtype=dtype),
         "split_masks": _split_masks(bond_charges, phys_charges),
         "theta_masks": theta_masks_u1(bond_charges, phys_charges),
         "bond_masks": bond_masks_u1(bond_charges),
-        "phys_charges": tuple(int(p) for p in phys_charges),
+        "phys_charges": stored,
+        "phys_dim": len(phys[0]),
         "bond_dim": int(bond_dim),
     }
 
@@ -436,7 +491,8 @@ def tdvp_u1(mpo, mps, sector, dt, n_steps, imaginary=False, iters=16):
 
     mpo_channel_charges(mpo, sector["phys_charges"])
     splitter = _u1_splitter(sector["split_masks"],
-                            len(sector["phys_charges"]),
+                            sector.get("phys_dim",
+                                       len(sector["phys_charges"])),
                             sector["bond_dim"])
     return tdvp_evolve(mpo, mps, dt, n_steps, imaginary=imaginary,
                        iters=iters, masks=sector["masks"],
@@ -547,6 +603,7 @@ def dmrg_u1_ensemble(mpos, total_charge, bond_dim, phys_charges=(1, -1),
         raise ValueError("empty ensemble")
     # verify charge-definiteness on the first MPO (shared structure)
     first = jax.tree_util.tree_map(lambda x: x[0], mpos)
+    phys_dim = len(_per_site(phys_charges, n_sites)[0])
     mpo_channel_charges(first, phys_charges)
     bond_charges = u1_bond_charges(
         n_sites, phys_charges, total_charge, bond_dim)
@@ -559,5 +616,5 @@ def dmrg_u1_ensemble(mpos, total_charge, bond_dim, phys_charges=(1, -1),
     )(keys)
     mpss, energies, traces = _dmrg_u1_ensemble_jit(
         mpos, mps0s, masks, split_masks, int(sweeps),
-        int(lanczos_iters), len(phys_charges), int(bond_dim))
+        int(lanczos_iters), phys_dim, int(bond_dim))
     return mpss, energies, traces, masks

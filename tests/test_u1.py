@@ -69,8 +69,11 @@ def test_xxz_mpo_u1_equals_heisenberg_mpo_operator():
 
 def test_mpo_channel_charges_detects_definiteness():
     c = mpo_channel_charges(xxz_mpo_u1(4), (1, -1))
-    # the raising/lowering channels carry -+2 relative to identity
-    assert c[1] - c[0] == -2 and c[2] - c[0] == 2
+    # per-bond labels now; every interior bond of the uniform MPO
+    # carries the same assignment: raising/lowering -+2 vs identity
+    assert c.shape == (5, 5)
+    assert (c[1:, 1] - c[1:, 0] == -2).all()
+    assert (c[1:, 2] - c[1:, 0] == 2).all()
     with pytest.raises(ValueError, match="definite"):
         mpo_channel_charges(heisenberg_mpo(4), (1, -1))
     with pytest.raises(ValueError, match="definite"):
