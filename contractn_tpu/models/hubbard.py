@@ -172,6 +172,141 @@ def hubbard_dmrg_sector(lx, ly, n_up, n_dn, bond_dim, t=1.0, u=4.0,
                    sweeps=sweeps, lanczos_iters=lanczos_iters, key=key)
 
 
+def hubbard_chain_cell(t=1.0, u=4.0, mu=0.0, dtype=jnp.float64):
+    """Uniform triangular MPO cell of the infinite 1D Hubbard chain.
+
+    One LATTICE site per cell: the two spin-orbitals fold into a d=4
+    local space (up-major kron, occupied-first), with the JW string
+    absorbed site-locally:
+
+        ``c_up,i = (prod_{j<i} P_j) (S^- x I)_i``
+        ``c_dn,i = (prod_{j<i} P_j) (Z  x S^-)_i``,  ``P = Z x Z``
+
+    so nearest-neighbor hopping compiles to 4 string-free carriers
+    (``S^+ Z = -S^+`` absorbs the parity into the local operator):
+
+        ``-t c^d_up,i c_up,i+1 -> t (S^+ x Z)_i (S^- x I)_{i+1}``
+        ``-t c^d_dn,i c_dn,i+1 -> t (I x S^+)_i (Z x S^-)_{i+1}``
+
+    Width 6 (identity, 4 carriers, done); on-site ``U n_up n_dn - mu
+    (n_up + n_dn)``.  Finite repetitions equal the snake-JW
+    :func:`hubbard2d_mpo` on ``(n, 1)`` lattices EXACTLY (pinned at
+    the operator level), which roots the cell in the same Fock
+    conventions.
+    """
+    from .mpo import MPO
+
+    def kr(a, b):
+        return np.kron(a, b)
+
+    eye4 = np.eye(4)
+    w = np.zeros((4, 4, 6, 6))
+    w[:, :, 0, 0] = eye4
+    w[:, :, 5, 5] = eye4
+    w[:, :, 0, 5] = (u * kr(_N, _N)
+                     - mu * (kr(_N, _I2) + kr(_I2, _N)))
+    w[:, :, 0, 1] = t * kr(_SP, _Z)
+    w[:, :, 1, 5] = kr(_SM, _I2)
+    w[:, :, 0, 2] = t * kr(_SM, _Z)
+    w[:, :, 2, 5] = kr(_SP, _I2)
+    w[:, :, 0, 3] = t * kr(_I2, _SP)
+    w[:, :, 3, 5] = kr(_Z, _SM)
+    w[:, :, 0, 4] = t * kr(_I2, _SM)
+    w[:, :, 4, 5] = kr(_Z, _SP)
+    left = np.zeros((6,))
+    left[0] = 1.0
+    right = np.zeros((6,))
+    right[5] = 1.0
+    return MPO(jnp.asarray(w[None], dtype), jnp.asarray(left, dtype),
+               jnp.asarray(right, dtype))
+
+
+def lieb_wu_energy(u, t=1.0):
+    """Exact Bethe-ansatz ground energy per site of the half-filled
+    Hubbard chain ``H = -t sum c^d c + U sum n_up n_dn`` (``mu = 0``).
+
+    Lieb-Wu: ``e = -4t int_0^inf J0 J1 / (w (1 + e^{w U / 2t}))`` —
+    already in the ``n n`` convention (checks: ``-4/pi`` at ``U = 0``;
+    the classic ``-0.573729`` DMRG benchmark at ``U = 4``).  The
+    integrand is smooth and exponentially cut at ``w ~ 2t/U``;
+    trapezoid on a fine grid converges past 1e-10 for ``u >= 1``.
+    """
+    from scipy.special import j0, j1
+
+    w = np.linspace(1e-9, 60.0 * t / max(float(u), 1.0), 400_001)
+    f = j0(w) * j1(w) / (w * (1.0 + np.exp(w * u / (2.0 * t))))
+    return float(-4.0 * t * np.trapezoid(f, w))
+
+
+def hubbard_charge_gap(u, t=1.0):
+    """Exact Mott charge gap of the half-filled Hubbard chain.
+
+    Lieb-Wu: ``Delta_c = U - 4t + 8t int_0^inf J1(w) / (w (1 +
+    e^{w U / 2t})) dw`` (checks: ``-> 0`` as ``U -> 0`` since
+    ``int J1/w = 1``; ``-> U - 4t`` as ``U -> inf``).  With our
+    ``mu = 0`` ``n n`` Hamiltonian the chemical potentials split as
+    ``mu+- = (U +- Delta_c) / 2`` (particle-hole symmetry about
+    ``U/2``), so the electron-REMOVAL band bottoms at ``(Delta_c -
+    U) / 2`` and the addition band at ``(Delta_c + U) / 2`` relative
+    to the half-filled ground state.
+    """
+    from scipy.special import j1
+
+    w = np.linspace(1e-9, 60.0 * t / max(float(u), 1.0), 400_001)
+    f = j1(w) / (w * (1.0 + np.exp(w * u / (2.0 * t))))
+    return float(u - 4.0 * t + 8.0 * t * np.trapezoid(f, w))
+
+
+def hubbard_relative_charges(a=32):
+    """Packed ``(N_up, N_dn)`` charges of the TWO-lattice-site folded
+    cell, measured RELATIVE to half filling.
+
+    Raw occupation charges drift linearly along an infinite chain (no
+    translation-invariant ladder); per-orbital relative charges
+    ``2 n - 1`` step by ``+-1`` per lattice site (parity alternates —
+    still no invariant ladder); folding TWO lattice sites makes every
+    step even.  Components pack as ``a * su + sd`` with ``a`` beyond
+    the down-walk window.  Returns the 16 folded charges (s1-major
+    over two d=4 sites, each up-major).
+    """
+    q4 = [a + 1, a - 1, -a + 1, -a - 1]  # (2 n_up - 1) * a + (2 n_dn - 1)
+    return tuple(q1 + q2 for q1 in q4 for q2 in q4)
+
+
+def hubbard_vumps(u, t=1.0, bond_dims=(16, 32), iters=100,
+                  lanczos_iters=40, key=None):
+    """Infinite half-filled Hubbard chain by charge-masked VUMPS.
+
+    Folds two lattice sites (d=16 cell, :func:`hubbard_chain_cell`
+    blocked) and confines the uniform MPS STRUCTURALLY to the
+    half-filled zero-magnetization sector via the packed relative
+    charges — both ``N_up`` and ``N_dn`` densities are fixed by the
+    ladder, not by a chemical potential.  ``bond_dims`` is the
+    warm-started growth schedule (cold inits on thin outer classes
+    stall; see :func:`~contractn_tpu.models.u1_vumps.vumps_u1`).
+
+    Returns the :func:`~contractn_tpu.models.u1_vumps.vumps_u1` result
+    with ``energy_per_site`` added (cell energy / 2) — compare
+    :func:`lieb_wu_energy`.
+    """
+    from .mpo import MPO, block_mpo
+    from .u1_vumps import expand_sector_state, vumps_u1
+
+    cell4 = hubbard_chain_cell(t=t, u=u, mu=0.0)
+    rep = jnp.broadcast_to(cell4.cores[0],
+                           (2,) + tuple(cell4.cores.shape[1:]))
+    cell16 = block_mpo(MPO(rep, cell4.left, cell4.right), 2)
+    phys = hubbard_relative_charges()
+    res = None
+    for bond in bond_dims:
+        init = (None if res is None
+                else expand_sector_state(res, bond))
+        res = vumps_u1(cell16, bond, phys, iters=iters,
+                       lanczos_iters=lanczos_iters, key=key, init=init)
+    res["energy_per_site"] = res["energy"] / 2.0
+    return res
+
+
 def spin_densities(mps, lx, ly):
     """Per-lattice-site ``(<n_up>, <n_dn>)`` profiles from a converged
     spin-orbital MPS — one scanned program via

@@ -317,6 +317,107 @@ def _gauge_update_u1(ac, c, site_mask, row_sel, row_t_sel, slot_sel):
     return al, ar, grad
 
 
+def excitation_charge_masks(sector, delta_q):
+    """``(d, D, D)`` 0/1 mask of tangent directions carrying EXACT
+    excitation charge ``delta_q``: ``B[s, i, j]`` lives in the sector
+    when ``q[i] + p_s - q[j] == delta_q`` (the right half of the chain
+    keeps its ground labels, so the insertion adds ``delta_q`` to the
+    state's total charge)."""
+    q = np.asarray(sector["charges"])
+    phys = sector["phys_charges"]
+    live = q != _DEAD_VALUE
+    d, bond = len(phys), q.shape[0]
+    m = np.zeros((d, bond, bond))
+    for s, p in enumerate(phys):
+        m[s] = ((q[:, None] + int(p) - q[None, :] == int(delta_q))
+                & live[:, None] & live[None, :])
+    return jnp.asarray(m)
+
+
+def sector_excitation_minimum(ground, mpo_cell, delta_q, k, iters=60,
+                              tol=1e-8, prep=None, key=None):
+    """Lowest tangent-space excitation energy at momentum ``k``
+    carrying EXACT charge offset ``delta_q`` above a masked VUMPS
+    ground state.
+
+    Charged bands are where the masks earn their keep: the plain
+    spectrum mixes every sector, while here the Lanczos matvec
+    composes the momentum-``k`` effective Hamiltonian
+    (:func:`~contractn_tpu.models.excitations._excitation_envs` — the
+    machinery is unchanged) with the left-tangent-gauge projector
+    ``B - AL (AL^H B)`` and the :func:`excitation_charge_masks`
+    sector mask.  Both commute with the exact ``H_eff`` on a masked
+    ground state (each entry of ``AL^H B`` receives exactly ONE charge
+    component, so the gauge constraint splits per sector), so the
+    iteration stays in the sector structurally and the restriction
+    stays Hermitian.  Energies are relative to the ground state
+    (``lam0``-referenced like the unmasked spectrum); they can be
+    NEGATIVE for charged sectors when the sector ground sits above
+    the grand minimum (e.g. electron removal from ``U n n`` at
+    ``mu = 0``).
+
+    Returns ``(energy, b_tensor)``.
+    """
+    from .excitations import _excitation_envs, prepare_excitations
+
+    p = prep if prep is not None else prepare_excitations(
+        ground, mpo_cell, tol=tol)
+    sector = ground["sector"]
+    qmask = excitation_charge_masks(sector, delta_q)
+    al, ar, c, w = p["al"], p["ar"], p["c"], p["w"]
+    fl, fr = p["fl"], p["fr"]
+    d, bond = al.shape[0], al.shape[1]
+    al_mat = al.reshape(d * bond, bond)
+    # the tangent norm identity <Phi(B), Phi(B)> = <B, B> needs the
+    # chain LEFT of B to close with sum AL^H AL = 1 and the chain
+    # RIGHT of B with sum AR AR^H = 1.  The aligned polar keeps both
+    # as PARTIAL isometries (dropped null directions are exact zeros),
+    # so B must avoid their dead ranges: a B feeding a zero row of AR
+    # yields a (near-)zero STATE at unit <B, B>, and its Rayleigh
+    # quotient deflates to a spurious sub-band value (measured 0.04
+    # vs the exact 0.5 band bottom on the dimerized free chain).
+    live_l = jnp.real(jnp.einsum("sji,sjk->ik", jnp.conj(al), al)
+                      ).diagonal() > 0.5
+    live_r = jnp.real(jnp.einsum("sij,skj->ik", ar, jnp.conj(ar))
+                      ).diagonal() > 0.5
+    qmask = qmask * live_l[None, :, None] * live_r[None, None, :]
+    if float(qmask.sum()) == 0.0:
+        raise ValueError(
+            f"no live tangent directions carry charge {delta_q} on "
+            "this ladder — widen it or pick a reachable offset")
+    qmask = qmask.astype(p["cdt"])
+    kc = jnp.asarray(float(k), p["cdt"])
+
+    def project(b):
+        m = b.reshape(d * bond, bond)
+        m = m - al_mat @ (jnp.conj(al_mat).T @ m)
+        return m.reshape(d, bond, bond) * qmask
+
+    def matvec(b):
+        lb, rb = _excitation_envs(al, ar, c, fl, fr, w, b, kc,
+                                  p["is_zero"], p["eye_diag"], tol=tol)
+        out = _h_ac(fl, w, fr, b)
+        out = out + _h_ac(lb, w, fr, ar)
+        out = out + _h_ac(fl, w, rb, al)
+        return project(out)
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    kr_, ki_ = jax.random.split(key)
+    b0 = (jax.random.normal(kr_, (d, bond, bond))
+          + 1j * jax.random.normal(ki_, (d, bond, bond))).astype(
+        p["cdt"])
+    b0 = project(b0 * qmask)
+    # project= is ESSENTIAL: the gauge projector is dense, so its
+    # eps-relative residuals in the Krylov rows are re-injected by the
+    # Gram-Schmidt subtraction and grow geometrically (measured x3 per
+    # step) — without per-iteration re-projection the Rayleigh
+    # quotients deflate BELOW the true band (0.08 vs the exact 0.5 on
+    # the dimerized free chain).  See lanczos_basis's docstring.
+    energy, vec = jax.jit(
+        lambda v: lanczos_ground(matvec, v, iters, project=project))(b0)
+    return jnp.real(energy - p["lam0"]), vec
+
+
 def vumps_u1(mpo_cell, bond_dim, phys_charges, iters=60,
              dtype=jnp.float64, lanczos_iters=40, key=None, tol=1e-12,
              charges=None, init=None):

@@ -27,7 +27,7 @@ def _maybe_psum(x, axis_name):
     return x if axis_name is None else jax.lax.psum(x, axis_name)
 
 
-def lanczos_basis(matvec, v0, iters, axis_name=None):
+def lanczos_basis(matvec, v0, iters, axis_name=None, project=None):
     """Device-side Lanczos: returns ``(basis, alphas, betas, nrm0)``.
 
     ``basis (iters + 1, dim)`` rows are the Krylov vectors (zero rows
@@ -42,6 +42,20 @@ def lanczos_basis(matvec, v0, iters, axis_name=None):
     to local slice; every norm/overlap is then a psum over the mesh
     axis, so the returned tridiagonal is the global one on every device
     while the basis rows stay sharded.
+
+    ``project`` restricts the iteration to an invariant subspace: it is
+    applied to every new Krylov vector AFTER reorthogonalization (and
+    to ``v0``).  Ending the MATVEC with the projector is NOT enough
+    when the projector is dense (e.g. a tangent-gauge projector
+    ``1 - AL AL^H``): each application leaves an ``eps``-relative
+    out-of-subspace residual in the basis row, and the Gram-Schmidt
+    subtraction re-injects every previous row's residual scaled by
+    O(``|H|``) overlap coefficients — the out-of-subspace junk then
+    GROWS geometrically (measured x3 per iteration on the charged
+    uMPS excitation solve, reaching O(1) by step ~38 and deflating
+    Rayleigh quotients below the true spectrum).  Diagonal 0/1 masks
+    do not need this (their zeros are exact, so nothing is ever
+    re-injected); dense projectors always do.
     """
     dim = v0.size
     dt = v0.dtype
@@ -53,6 +67,8 @@ def lanczos_basis(matvec, v0, iters, axis_name=None):
         sq = jnp.real(jnp.einsum("d,d->", jnp.conj(x), x, precision=prec))
         return jnp.sqrt(_maybe_psum(sq, axis_name))
 
+    if project is not None:
+        v0 = project(v0)
     nrm0 = jnp.maximum(norm(v0.reshape(-1)), 1e-300)
     basis0 = jnp.zeros((iters + 1, dim), dt).at[0].set(
         v0.reshape(-1) / nrm0
@@ -79,6 +95,8 @@ def lanczos_basis(matvec, v0, iters, axis_name=None):
                 axis_name,
             )
             hv = hv - jnp.einsum("k,kd->d", proj, basis, precision=prec)
+        if project is not None:
+            hv = project(hv.reshape(shape)).reshape(-1)
         beta = norm(hv)
         alive = jnp.logical_and(~exhausted, beta > 1e-12)
         nxt = jnp.where(alive, hv / jnp.maximum(beta, 1e-300),
@@ -116,16 +134,19 @@ def masked_tridiagonal(alphas, betas):
             + jnp.diag(betas[:-1], -1))
 
 
-def lanczos_ground(matvec, v0, iters, axis_name=None):
+def lanczos_ground(matvec, v0, iters, axis_name=None, project=None):
     """Lowest eigenpair of a Hermitian operator via :func:`lanczos_basis`.
 
     Returns ``(energy, vector)`` with the vector normalized.  With
     ``axis_name`` set, ``v0``/``matvec``/result are this device's slice
     of the sharded vector (see :func:`lanczos_basis`); the tiny
-    tridiagonal eigh runs replicated on every device.
+    tridiagonal eigh runs replicated on every device.  ``project``
+    confines the iteration to an invariant subspace (see
+    :func:`lanczos_basis` for why the matvec alone cannot).
     """
     prec = dot_precision(v0.dtype)
-    basis, alphas, betas, _ = lanczos_basis(matvec, v0, iters, axis_name)
+    basis, alphas, betas, _ = lanczos_basis(matvec, v0, iters, axis_name,
+                                            project=project)
     tri = masked_tridiagonal(alphas, betas)
     vals, vecs = jnp.linalg.eigh(tri)
     coeff = vecs[:, 0].astype(v0.dtype)

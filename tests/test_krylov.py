@@ -79,3 +79,41 @@ def test_arnoldi_basis_orthonormal_and_factorization_holds():
     lhs = a @ v[:m].T
     rhs = v[: m + 1].T @ hh
     np.testing.assert_allclose(lhs, rhs, atol=1e-12)
+
+
+def test_projected_lanczos_stays_in_subspace_exactly():
+    """``project=`` confines the iteration to an invariant subspace.
+
+    Ending the MATVEC with a dense projector is NOT enough: each
+    Krylov row keeps an eps-relative out-of-subspace residual which
+    the Gram-Schmidt subtraction re-injects scaled by O(|H|) overlap
+    coefficients — the junk grows geometrically (measured x3/step on
+    the charged uMPS excitation solve) and deflates Rayleigh quotients
+    BELOW the restricted spectrum.  With per-iteration re-projection
+    the ground value equals the dense eigensolve of ``P H P``
+    restricted to ``range(P)``."""
+    from contractn_tpu.ops.krylov import lanczos_ground
+
+    rng = np.random.default_rng(5)
+    n, r = 60, 23
+    h = rng.standard_normal((n, n))
+    h = (h + h.T) / 2
+    # a dense orthogonal projector NOT aligned with h's eigenbasis
+    q, _ = np.linalg.qr(rng.standard_normal((n, r)))
+    p = q @ q.T
+
+    def project(v):
+        return jnp.asarray(p) @ v
+
+    def matvec(v):
+        return project(jnp.asarray(h) @ v)
+
+    v0 = project(jnp.asarray(rng.standard_normal(n)))
+    energy, vec = jax.jit(
+        lambda v: lanczos_ground(matvec, v, 50, project=project)
+    )(v0)
+    # dense reference: eigmin of the restriction q^T h q
+    want = np.linalg.eigvalsh(q.T @ h @ q)[0]
+    np.testing.assert_allclose(float(energy), want, atol=1e-9)
+    vec = np.asarray(vec)
+    assert np.linalg.norm(p @ vec - vec) < 1e-12

@@ -101,3 +101,45 @@ def test_expand_sector_state_requires_room():
     # a 3-slot ladder cannot hold the 16-slot state's charge classes
     with pytest.raises(ValueError, match="room"):
         expand_sector_state(fake, 3, charges=np.asarray([0, 0, 0]))
+
+
+def test_sector_excitation_minimum_dimerized_exact_bands():
+    """Charged quasiparticle bands above a masked VUMPS ground state.
+
+    The dimerized XX chain is free-fermion exact: the folded cell's
+    single-magnon band |t1 + t2 e^{i(k + pi)}| carries excitation
+    charge +-2 (one flipped spin), so the dq = +-2 sector minima must
+    land ON the band while the NEUTRAL sector starts at the two-
+    particle continuum bottom (>= 2 * band minimum).  This pins both
+    the charge-mask restriction and the projected-Lanczos fix (without
+    per-iteration re-projection the gauge junk grows x3/step and the
+    minima deflate to ~0.08 — far below the band)."""
+    import pytest as _pytest
+    from contractn_tpu.models import xx_dimerized_mpo
+    from contractn_tpu.models.excitations import prepare_excitations
+    from contractn_tpu.models.u1_vumps import sector_excitation_minimum
+
+    j, delta = 1.5, 1.0 / 3.0
+    t1, t2 = j * (1 + delta) / 2, j * (1 - delta) / 2
+    cell = block_mpo(xx_dimerized_mpo(2, j, delta), 2)
+    ground = vumps_u1(cell, 16, FOLDED, iters=200)
+    assert ground["gradient_norm"] < 1e-7
+    prep = prepare_excitations(ground, cell, tol=1e-10)
+
+    def band(k):
+        return abs(t1 + t2 * np.exp(1j * (k + np.pi)))
+
+    # k = 0: charged minima on the exact band (0.5), both signs
+    for dq in (2, -2):
+        e, b = sector_excitation_minimum(ground, cell, dq, 0.0,
+                                         prep=prep)
+        assert abs(float(e) - band(0.0)) < 1e-4, dq
+    # k = pi: the band top of this branch (1.5)
+    e, _ = sector_excitation_minimum(ground, cell, 2, np.pi, prep=prep)
+    assert abs(float(e) - band(np.pi)) < 1e-4
+    # neutral sector: two-particle continuum, bottom at 2 * min(band)
+    e0, _ = sector_excitation_minimum(ground, cell, 0, 0.0, prep=prep)
+    assert float(e0) > 2 * band(0.0) - 1e-6
+    # unreachable charge offsets fail loudly
+    with _pytest.raises(ValueError, match="live tangent"):
+        sector_excitation_minimum(ground, cell, 99, 0.0, prep=prep)
