@@ -121,11 +121,40 @@ def fdouble(a, pars, op=None, extra=()):
                            e.dtype)
 
 
-def parity_mask_site(pars, d=2):
+def fdouble_open(a, pars, extra=()):
+    """Fermionized double tensor with OPEN physical legs,
+    ``E[p_ket, p_bra, (uU), (lL), (dD), (rR)]``.
+
+    Contracting the physical pair against an operator reproduces
+    :func:`fdouble` exactly (the sign factors act on the virtual legs
+    only), so a two-site patch can take a SUMMED two-site operator
+    ``op4`` in one contraction instead of one insertion per term —
+    the cell measurement path (:mod:`fipeps_spin`) rides this.
+    ``extra`` dresses the tensor for its bond role exactly as in
+    :func:`fdouble` (the extras are kind-independent constants).
+    """
+    aa = absorb_site_signs(a, pars)
+    e = peinsum("nuldr,mULDR->nmuUlLdDrR", aa, jnp.conj(aa))
+    s = a.shape
+    e = e.reshape(s[0], s[0], s[1] ** 2, s[2] ** 2, s[3] ** 2,
+                  s[4] ** 2)
+    sgn = jnp.asarray(_sign_array(pars, tuple(NORM_RULE) + tuple(extra)),
+                      e.dtype)
+    return e * sgn[None, None]
+
+
+def parity_mask_site(pars, d=2, phys_par=None):
     """0/1 mask of the parity-even block of a ``(d, Du, Dl, Dd, Dr)``
-    site tensor (the fermionic manifold projector for gradient flows)."""
+    site tensor (the fermionic manifold projector for gradient flows).
+
+    ``phys_par`` overrides the physical-leg parity vector (default
+    ``arange(d) % 2`` — single spinless orbital).  Multi-orbital sites
+    (e.g. spinful d=4, parities ``(0, 1, 1, 0)``) pass it explicitly;
+    see :mod:`~contractn_tpu.models.fipeps_spin`.
+    """
     pu, pl, pd, pr = [np.asarray(p, np.int64) for p in pars]
-    pphys = np.arange(d) % 2
+    pphys = (np.arange(d) % 2 if phys_par is None
+             else np.asarray(phys_par, np.int64))
     tot = (pphys[:, None, None, None, None]
            + pu[None, :, None, None, None]
            + pl[None, None, :, None, None]

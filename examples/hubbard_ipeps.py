@@ -1,0 +1,58 @@
+"""The 2D Hubbard model in the thermodynamic limit: spinful fermionic
+iPEPS by gradient descent through the fermionized cell CTMRG.
+
+1. The exact U=0 anchor: with same-spin p-wave pairing the spinful
+   model is two decoupled spinless BdG copies.  At the graded product
+   bond (0, 1, 1, 0) (D=4) the gradient ground state reaches the exact
+   two-copy k-space integral to ~0.1%, with equal spin densities and
+   Wick-factorized double occupancy (recorded run: relerr 0.0014,
+   n_up = n_dn = 0.0601, docc = 0.00359 vs n_up * n_dn = 0.00361).
+2. An interacting run: switching on U > 0 from the U=0 optimum lowers
+   the double occupancy and raises the energy by less than U * docc
+   (the optimizer beats the rigid U=0 state).
+
+Run with: ``python examples/hubbard_ipeps.py``  (CPU: prefix with
+``PYTHONPATH= JAX_PLATFORMS=cpu JAX_ENABLE_X64=1``; the D=4 runs take
+~15 minutes on one CPU core)
+"""
+
+import numpy as np
+
+from contractn_tpu.models import (
+    hubbard_ipeps_energy,
+    hubbard_ipeps_ground_state,
+    hubbard_u0_energy,
+)
+
+
+def main():
+    t, mu, delta = 1.0, -4.4, 1.0
+    bp = (0, 1, 1, 0)  # graded product of two (0, 1) species bonds
+
+    # -- 1. exact U=0 anchor: two decoupled spinless BdG copies ------- #
+    want = hubbard_u0_energy(t=t, mu=mu, delta=delta)
+    a0, e0, obs0, _ = hubbard_ipeps_ground_state(
+        bond_parities=bp, chi=16, t=t, u=0.0, mu=mu, delta=delta,
+        steps=150, lr=2e-2, seed=0)
+    print(f"U=0:  E = {e0:+.6f}  exact 2x BdG = {want:+.6f}  "
+          f"relerr = {abs(e0 - want) / abs(want):.2e}")
+    print(f"      n_up = {obs0['n_up']:.4f}  n_dn = {obs0['n_dn']:.4f}  "
+          f"docc = {obs0['docc']:.5f}  "
+          f"(Wick: n_up*n_dn = {obs0['n_up'] * obs0['n_dn']:.5f})")
+
+    # -- 2. interacting: warm-start from the U=0 optimum -------------- #
+    u = 4.0
+    a1, e1, obs1, _ = hubbard_ipeps_ground_state(
+        bond_parities=bp, chi=16, t=t, u=u, mu=mu, delta=delta,
+        steps=80, lr=1e-2, seed=0, init=np.asarray(a0))
+    bp_arr = (np.asarray(bp),) * 4
+    e_rigid, _ = hubbard_ipeps_energy(
+        np.asarray(a0), bp_arr, chi=16, t=t, u=u, mu=mu, delta=delta)
+    print(f"U={u}: E = {e1:+.6f}  rigid U=0 state = {e_rigid:+.6f}  "
+          f"docc {obs0['docc']:.5f} -> {obs1['docc']:.5f}")
+    assert e1 <= e_rigid + 1e-6  # optimizer beats the rigid state
+    assert obs1["docc"] < obs0["docc"]  # U suppresses double occupancy
+
+
+if __name__ == "__main__":
+    main()
