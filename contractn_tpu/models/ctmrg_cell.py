@@ -366,7 +366,7 @@ def _row_end(env, center, vec, x, y, prec):
 
 
 def row_correlator(a, env, imp1, imp2, distances, x=0, y=0,
-                   connected=True):
+                   connected=True, mid=None):
     """``<imp1_(x,y) imp2_(x+r,y)>`` along a row, for each ``r`` in
     ``distances`` (``r >= 1``), inside the converged environment.
 
@@ -374,6 +374,12 @@ def row_correlator(a, env, imp1, imp2, distances, x=0, y=0,
     distance — the channel is reused incrementally so the total cost is
     ``O(max(distances))``.  ``connected=True`` subtracts
     ``<imp1> <imp2>``.
+
+    ``mid`` (optional, nested ``[x][y]`` like ``a``) substitutes the
+    INTERVENING columns of the numerator sweep — the string channel of
+    fermionic correlators (:func:`fipeps.fipeps_correlator`), where
+    every site between the endpoints carries a sign-dressed tensor.
+    The denominator always uses ``a``.
     """
     lx = len(a)
     prec = dot_precision(a[0][0].dtype)
@@ -383,7 +389,7 @@ def row_correlator(a, env, imp1, imp2, distances, x=0, y=0,
     imp1 = jnp.asarray(imp1)
     imp2 = jnp.asarray(imp2)
 
-    def sweep(center1, center2_of):
+    def sweep(center1, center2_of, between):
         """Channel closures at every requested r with the given caps."""
         vec = _row_start(env, center1, x, y, prec)
         out = {}
@@ -392,11 +398,11 @@ def row_correlator(a, env, imp1, imp2, distances, x=0, y=0,
             if r in distances:
                 out[r] = _row_end(env, center2_of(xe), vec, xe, y, prec)
             if r < max(distances):
-                vec = _row_apply(env, a, vec, xe, y, prec)
+                vec = _row_apply(env, between, vec, xe, y, prec)
         return out
 
-    num = sweep(imp1, lambda xe: imp2)
-    den = sweep(a[x][y], lambda xe: a[xe][y])
+    num = sweep(imp1, lambda xe: imp2, a if mid is None else mid)
+    den = sweep(a[x][y], lambda xe: a[xe][y], a)
     if connected:
         e1 = site_expectation(a, env, imp1, x, y)
         e2_cache = {}

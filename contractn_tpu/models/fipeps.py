@@ -334,6 +334,62 @@ def fipeps_ground_state(bond_parities=(0, 1), chi=12, t=1.0, mu=0.0,
     return a, e_final, dens, [float(x) for x in np.asarray(es)]
 
 
+# Long-range ROW string rule (GF(2)-fitted and Fock-validated in
+# scripts/fit_fipeps_string.py): every site strictly BETWEEN the two
+# parity-odd endpoints of a same-row two-point function carries a
+# sign-dressed plain tensor (no operator insertion — the Jordan-Wigner
+# interval parities collapse onto the legs by the Gauss law; the
+# endpoint classes stay exactly the NN rules, distance-1 consistency).
+#
+# The COLUMN direction is deliberately absent: in this row-major JW
+# gauge the column-path string's off-path ``(-1)^{l+r}`` factors
+# telescope away only against FINITE row boundaries (the fit script's
+# dense checks pass); in the thermodynamic limit they become
+# half-infinite row parity strings, i.e. the vertical correlator needs
+# string-DRESSED environment fixed points, not a per-site rule — on
+# chain-geometry states every candidate leg rule provably degenerates
+# to ket-Z * bra-Z = identity while the true insertion is ket-only
+# (measured; see fit_fipeps_string.py).  Row-direction correlators
+# cover the physics (decay exponents, pairing range); on C4-symmetric
+# states they equal the column ones by symmetry.
+H_MID_EXTRA = ("u", "l", "r", "U")
+
+
+def fipeps_correlator(a, pars, env, o1, o2, distances):
+    """Two-point functions ``<o1_0 (string) o2_r>`` of parity-ODD
+    one-site operators at arbitrary range ALONG A ROW in the
+    thermodynamic limit — ``<c^d_0 c_r>``, pairing correlators, etc.
+
+    The string is the row path between the endpoints (== the
+    row-major JW interval); its factors are fully absorbed into the
+    fitted per-site leg rules (:data:`H_MID_EXTRA`), so the channel
+    sweep is the plain bosonic
+    :func:`~contractn_tpu.models.ctmrg_cell.row_correlator` with
+    sign-dressed intervening tensors.  (Column-direction strings need
+    dressed environments in this gauge — see the note above
+    :data:`H_MID_EXTRA`.)
+
+    Args:
+        a: ``(d, D, D, D, D)`` uniform site tensor (parity-even).
+        pars: leg parity vectors.
+        env: converged environment from :func:`fipeps_env`.
+        o1, o2: endpoint operators (parity-odd ``d x d``).
+        distances: iterable of ``r >= 1``.
+
+    Returns a list of floats matching ``distances``.
+    """
+    from .ctmrg_cell import row_correlator
+
+    a = jnp.asarray(a)
+    e = fdouble(a, pars)
+    i1 = fdouble(a, pars, op=o1)
+    i2 = fdouble(a, pars, op=o2, extra=H_RIGHT_EXTRA)
+    em = fdouble(a, pars, extra=H_MID_EXTRA)
+    vals = row_correlator(_cellify(e), env, i1, i2, list(distances),
+                          connected=False, mid=_cellify(em))
+    return [float(jnp.real(v)) for v in vals]
+
+
 def bdg_energy_2d(t=1.0, mu=0.0, delta=0.0, nk=400):
     """Exact ground energy per site of the 2D spinless p-wave BdG model
     on the infinite square lattice (k-space integral):

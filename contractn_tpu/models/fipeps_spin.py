@@ -313,6 +313,29 @@ def hubbard_u0_energy(t=1.0, mu=0.0, delta=0.0, nk=400):
     return 2.0 * bdg_energy_2d(t=t, mu=mu, delta=delta, nk=nk)
 
 
+def hubbard_correlator(a, pars, env, distances, spin=0, kind="hop"):
+    """Spin-resolved long-range ROW correlators in the thermodynamic
+    limit: ``kind="hop"`` gives ``<c^d_{0,s} (string) c_{r,s}>``,
+    ``"pair"`` the same-spin pairing correlator ``<c^d c^d>``.
+
+    The endpoint matrices are the BOND_KINDS intra-site-JW-dressed
+    operators (the within-site string of a d=4 site is range
+    independent); the path string rides the fitted
+    :data:`fipeps.H_MID_EXTRA` rule unchanged — interior-site physical
+    parities collapse onto the legs by the same Gauss law regardless
+    of the physical grading.
+    """
+    from .fipeps import fipeps_correlator
+
+    if spin == 0:
+        o1 = np.kron(_SP, _Z2)
+        o2 = np.kron(_SP if kind == "pair" else _SM, _I2)
+    else:
+        o1 = np.kron(_I2, _SP)
+        o2 = np.kron(_Z2, _SP if kind == "pair" else _SM)
+    return fipeps_correlator(a, pars, env, o1, o2, distances)
+
+
 # --------------------------------------------------------------------- #
 # Unit cells: checkerboard Hubbard (AFM order at half filling)
 # --------------------------------------------------------------------- #

@@ -10,10 +10,17 @@ iPEPS by gradient descent through the fermionized cell CTMRG.
 2. An interacting run: switching on U > 0 from the U=0 optimum lowers
    the double occupancy and raises the energy by less than U * docc
    (the optimizer beats the rigid U=0 state).
+3. The half-filled 2D Hubbard antiferromagnet (U=8, mu=U/2) on the
+   checkerboard cell: staggered AFM order with a genuine superexchange
+   energy gain (recorded 500-step run at D=2, chi=12:
+   E + U/2 = -0.347 per site, staggered n_up 0.905/0.100, docc 0.044;
+   the rigid Neel-dimer configuration sits at ~0 — D=2 captures about
+   60% of the Heisenberg-limit estimate 2J(e_b - 1/4) ~ -0.58 at
+   J = 4t^2/U, larger D closes the rest).
 
 Run with: ``python examples/hubbard_ipeps.py``  (CPU: prefix with
 ``PYTHONPATH= JAX_PLATFORMS=cpu JAX_ENABLE_X64=1``; the D=4 runs take
-~15 minutes on one CPU core)
+~15 minutes on one CPU core, the checkerboard run ~20)
 """
 
 import numpy as np
@@ -23,6 +30,7 @@ from contractn_tpu.models import (
     hubbard_ipeps_ground_state,
     hubbard_u0_energy,
 )
+from contractn_tpu.models.fipeps_spin import hubbard_cell_ground_state
 
 
 def main():
@@ -52,6 +60,18 @@ def main():
           f"docc {obs0['docc']:.5f} -> {obs1['docc']:.5f}")
     assert e1 <= e_rigid + 1e-6  # optimizer beats the rigid state
     assert obs1["docc"] < obs0["docc"]  # U suppresses double occupancy
+
+    # -- 3. half-filled AFM on the checkerboard cell ------------------ #
+    u = 8.0
+    a2, b2, e2, obs2, _ = hubbard_cell_ground_state(
+        bond_parities=(0, 1), chi=12, t=1.0, u=u, steps=500, lr=1e-2,
+        seed=0)
+    stag = obs2["n_up"][0][0] - obs2["n_up"][1][0]
+    print(f"AFM U={u}: E + U/2 = {e2 + u / 2:+.4f}  "
+          f"staggered n_up = {obs2['n_up'][0][0]:.3f}/"
+          f"{obs2['n_up'][1][0]:.3f}  docc = {obs2['docc'][0][0]:.4f}")
+    assert e2 + u / 2 < -0.25  # genuine superexchange gain
+    assert stag > 0.5  # AFM order
 
 
 if __name__ == "__main__":

@@ -194,6 +194,62 @@ def test_stacked_chain_anchor(orient):
     assert abs(got_n - want_n) < 1e-9
 
 
+def test_fipeps_correlator_stacked_chains():
+    """Long-range <c^d_0 c_r> and pairing <c^d_0 c^d_r> through the
+    fitted row-string rule == the dense chain transfer value with
+    explicit JW parity insertions, r = 1..4.  (Column strings need
+    dressed environments in this gauge — fipeps.py H_MID_EXTRA note.)
+    """
+    orient = "h"
+    from contractn_tpu.models.fipeps import (
+        fipeps_correlator,
+        fipeps_env,
+    )
+
+    rng = np.random.default_rng(3)
+    bp = np.array([0, 1])
+    m = 0.35 * rng.standard_normal((2, 2, 2))
+    for n in range(2):
+        for l_ in range(2):
+            for r in range(2):
+                if (n + bp[l_] + bp[r]) % 2:
+                    m[n, l_, r] = 0.0
+    m[0, 0, 0] += 1.0
+    m[1, 0, 1] += 0.8
+
+    z = np.diag([1.0, -1.0])
+    mabs = m * ((-1.0) ** (bp[None, :, None] * bp[None, None, :]))
+
+    def tmat(op):
+        return np.einsum("nlr,nm,mLR->lLrR", mabs, op,
+                         mabs).reshape(4, 4)
+
+    tt = tmat(np.eye(2))
+    w, vr = np.linalg.eig(tt)
+    i = np.argmax(np.abs(w))
+    lam, rv = w[i].real, vr[:, i].real
+    wl, vl = np.linalg.eig(tt.T)
+    lv = vl[:, np.argmax(np.abs(wl))].real
+    nrm = lv @ rv
+
+    def chain_corr(o1, o2, r):
+        acc = tmat(o1)
+        for _ in range(r - 1):
+            acc = acc @ tmat(z)
+        acc = acc @ tmat(o2)
+        return (lv @ acc @ rv) / (lam ** (r + 1) * nrm)
+
+    a = jnp.asarray(m[:, None, :, None, :])
+    pars = (TRIV, bp, TRIV, bp)
+    env = fipeps_env(a, pars, chi=8, iters=40)
+    rs = [1, 2, 3, 4]
+    got_hop = fipeps_correlator(a, pars, env, SP, SM, rs)
+    got_pair = fipeps_correlator(a, pars, env, SP, SP, rs)
+    for k, r in enumerate(rs):
+        assert abs(got_hop[k] - chain_corr(SP, SM, r)) < 1e-9, r
+        assert abs(got_pair[k] - chain_corr(SP, SP, r)) < 1e-9, r
+
+
 def test_bdg_integral_pinned_by_periodic_ed():
     """bdg_energy_2d's k-space formula == dense Fock ED of the PERIODIC
     3x3 Hamiltonian evaluated on the discrete k grid (pins every

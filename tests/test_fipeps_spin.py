@@ -324,6 +324,84 @@ def test_cell_measure_stacked_chains(dimerized):
         assert abs(obs["n_up"][0][0] - obs["n_up"][1][0]) > 1e-4
 
 
+def test_hubbard_correlator_stacked_chains():
+    """Spin-resolved long-range <c^d_{0s} c_{rs}> on stacked Hubbard
+    chains == the dense spin-orbital transfer value with explicit
+    full-site parity insertions (both spins, r = 1..3)."""
+    orient = "h"
+    from contractn_tpu.models.fipeps import fipeps_env
+    from contractn_tpu.models.fipeps_spin import hubbard_correlator
+
+    rng = np.random.default_rng(11)
+    bp = np.array([0, 1])
+    m = _chain_tensor(rng, bp, [((0, 0, 0), 1.0), ((1, 0, 1), 0.6),
+                                ((2, 0, 1), 0.5), ((3, 0, 0), 0.4)])
+    par4 = np.kron(Z2, Z2)
+    mabs = m * ((-1.0) ** (bp[None, :, None] * bp[None, None, :]))
+
+    def tmat(op):
+        return np.einsum("nlr,nm,mLR->lLrR", mabs, op,
+                         mabs).reshape(4, 4)
+
+    tt = tmat(np.eye(4))
+    w, vr = np.linalg.eig(tt)
+    i = np.argmax(np.abs(w))
+    lam, rv = w[i].real, vr[:, i].real
+    wl, vl = np.linalg.eig(tt.T)
+    lv = vl[:, np.argmax(np.abs(wl))].real
+    nrm = lv @ rv
+
+    def chain_corr(o1, o2, r):
+        acc = tmat(o1)
+        for _ in range(r - 1):
+            acc = acc @ tmat(par4)
+        acc = acc @ tmat(o2)
+        return (lv @ acc @ rv) / (lam ** (r + 1) * nrm)
+
+    a = jnp.asarray(m[:, None, :, None, :])
+    pars = (TRIV, bp, TRIV, bp)
+    env = fipeps_env(a, pars, chi=8, iters=40)
+    rs = [1, 2, 3]
+    for spin in (0, 1):
+        if spin == 0:
+            o1, o2 = np.kron(SP, Z2), np.kron(SM, I2)
+        else:
+            o1, o2 = np.kron(I2, SP), np.kron(Z2, SM)
+        got = hubbard_correlator(a, pars, env, rs, spin=spin,
+                                 kind="hop")
+        for k, r in enumerate(rs):
+            assert abs(got[k] - chain_corr(o1, o2, r)) < 1e-9, (spin, r)
+
+
+def test_hubbard_cell_afm_ground_state():
+    """Checkerboard gradient flow at half filling (U=8, mu=U/2): from
+    the Neel-dimer init a SHORT run already shows the hallmark
+    physics — staggered AFM order, half filling, suppressed double
+    occupancy, and a genuine superexchange energy gain (the rigid Neel
+    configuration has E + U/2 = 0; the converged 500-step D=2 run
+    records E + U/2 = -0.347, about 60% of the Heisenberg-limit
+    estimate 2J(e_b - 1/4) ~ -0.58 — see
+    ``examples/hubbard_ipeps.py``)."""
+    from contractn_tpu.models.fipeps_spin import (
+        hubbard_cell_ground_state,
+    )
+
+    a, b, e, obs, es = hubbard_cell_ground_state(
+        bond_parities=(0, 1), chi=12, t=1.0, u=8.0, steps=35,
+        lr=1e-2, seed=0)
+    corr = e + 4.0  # E + U/2
+    assert -0.7 < corr < -0.18
+    # staggered AFM pattern: A = (0,0)/(1,1) up-rich, B down-rich
+    assert obs["n_up"][0][0] > 0.8 and obs["n_up"][1][1] > 0.8
+    assert obs["n_up"][1][0] < 0.2 and obs["n_up"][0][1] < 0.2
+    assert obs["n_dn"][0][0] < 0.2 and obs["n_dn"][1][0] > 0.8
+    # half filling and suppressed double occupancy
+    fill = obs["n_up"][0][0] + obs["n_dn"][0][0]
+    assert abs(fill - 1.0) < 0.05
+    assert obs["docc"][0][0] < 0.08
+    assert es[-1] < es[5]
+
+
 def test_hubbard_ipeps_ground_state_u0_d2():
     """U=0 gradient ground state at bond parities (0, 1): the graded
     D=2 bond can hold exactly ONE condensed species, so the optimizer
