@@ -380,6 +380,10 @@ def row_correlator(a, env, imp1, imp2, distances, x=0, y=0,
     fermionic correlators (:func:`fipeps.fipeps_correlator`), where
     every site between the endpoints carries a sign-dressed tensor.
     The denominator always uses ``a``.
+
+    On multi-site cells, ``imp2`` may be a nested ``[x][y]`` grid like
+    ``a`` (the impurity of the cell position the distance lands on);
+    a bare tensor is used at every position (uniform cells).
     """
     lx = len(a)
     prec = dot_precision(a[0][0].dtype)
@@ -387,7 +391,12 @@ def row_correlator(a, env, imp1, imp2, distances, x=0, y=0,
     if any(r < 1 for r in distances):
         raise ValueError("row_correlator needs distances >= 1")
     imp1 = jnp.asarray(imp1)
-    imp2 = jnp.asarray(imp2)
+    if isinstance(imp2, (tuple, list)):
+        imp2_at = tuple(tuple(jnp.asarray(t) for t in col)
+                        for col in imp2)
+    else:
+        i2 = jnp.asarray(imp2)
+        imp2_at = tuple(tuple(i2 for _ in col) for col in a)
 
     def sweep(center1, center2_of, between):
         """Channel closures at every requested r with the given caps."""
@@ -401,7 +410,8 @@ def row_correlator(a, env, imp1, imp2, distances, x=0, y=0,
                 vec = _row_apply(env, between, vec, xe, y, prec)
         return out
 
-    num = sweep(imp1, lambda xe: imp2, a if mid is None else mid)
+    num = sweep(imp1, lambda xe: imp2_at[xe][y],
+                a if mid is None else mid)
     den = sweep(a[x][y], lambda xe: a[xe][y], a)
     if connected:
         e1 = site_expectation(a, env, imp1, x, y)
@@ -412,7 +422,8 @@ def row_correlator(a, env, imp1, imp2, distances, x=0, y=0,
         if connected:
             xe = (x + r) % lx
             if xe not in e2_cache:
-                e2_cache[xe] = site_expectation(a, env, imp2, xe, y)
+                e2_cache[xe] = site_expectation(a, env, imp2_at[xe][y],
+                                                xe, y)
             val = val - e1 * e2_cache[xe]
         vals.append(val)
     return vals

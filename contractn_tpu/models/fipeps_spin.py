@@ -461,6 +461,29 @@ def hubbard_cell_energy(sites, pars, chi, t=1.0, u=4.0, mu=0.0,
     return float(e), obs
 
 
+SZ = 0.5 * (N_UP - N_DN)
+
+
+def hubbard_cell_correlator(sites, pars, env, mat1, mat2, distances,
+                            x=0, y=0, connected=True):
+    """Row correlators of parity-EVEN one-site operators (``SZ``,
+    ``N_TOT``, ``DOCC``, ...) on a unit cell — e.g. the staggered
+    spin-spin correlations of the checkerboard AFM state.  No string:
+    parity-even insertions ride the plain bosonic channel; ``mat2`` is
+    applied to whichever cell site each distance lands on.
+    """
+    from .ctmrg_cell import row_correlator
+
+    sites = tuple(tuple(jnp.asarray(s) for s in col) for col in sites)
+    cell = tuple(tuple(fdouble(s, pars) for s in col) for col in sites)
+    i1 = fdouble(sites[x][y], pars, op=mat1)
+    i2 = tuple(tuple(fdouble(s, pars, op=mat2) for s in col)
+               for col in sites)
+    vals = row_correlator(cell, env, i1, i2, list(distances), x=x,
+                          y=y, connected=connected)
+    return [float(jnp.real(v)) for v in vals]
+
+
 def make_hubbard_cell_loss(pars, chi, t=1.0, u=4.0, mu=0.0, delta=0.0,
                            refresh_iters=8, grad_iters=4):
     """Differentiable checkerboard energy ``((a, b), env) -> (E, env')``

@@ -30,7 +30,12 @@ from contractn_tpu.models import (
     hubbard_ipeps_ground_state,
     hubbard_u0_energy,
 )
-from contractn_tpu.models.fipeps_spin import hubbard_cell_ground_state
+from contractn_tpu.models.fipeps_spin import (
+    SZ,
+    hubbard_cell_correlator,
+    hubbard_cell_env,
+    hubbard_cell_ground_state,
+)
 
 
 def main():
@@ -72,6 +77,17 @@ def main():
           f"{obs2['n_up'][1][0]:.3f}  docc = {obs2['docc'][0][0]:.4f}")
     assert e2 + u / 2 < -0.25  # genuine superexchange gain
     assert stag > 0.5  # AFM order
+
+    # staggered spin-spin correlations along a row of the AFM state
+    bp_arr2 = (np.asarray((0, 1)),) * 4
+    sites = ((np.asarray(a2), np.asarray(b2)),
+             (np.asarray(b2), np.asarray(a2)))
+    env2 = hubbard_cell_env(sites, bp_arr2, chi=12)
+    sc = hubbard_cell_correlator(sites, bp_arr2, env2, SZ, SZ,
+                                 [1, 2, 3, 4])
+    print("<Sz_0 Sz_r> connected:",
+          " ".join(f"{v:+.4f}" for v in sc))
+    assert sc[0] < 0 < sc[1]  # staggered AFM sign pattern
 
 
 if __name__ == "__main__":

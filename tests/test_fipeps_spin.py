@@ -373,6 +373,67 @@ def test_hubbard_correlator_stacked_chains():
             assert abs(got[k] - chain_corr(o1, o2, r)) < 1e-9, (spin, r)
 
 
+def test_cell_correlator_dimerized_chains():
+    """Parity-even row correlators (SZ, N_TOT) on the dimerized stripe
+    cell == the dense two-site-cell transfer value with the impurity
+    landing on the right sublattice position, r = 1..4."""
+    from contractn_tpu.models.fipeps import fdouble  # noqa: F401
+    from contractn_tpu.models.fipeps_spin import (
+        SZ,
+        hubbard_cell_correlator,
+        hubbard_cell_env,
+    )
+
+    rng = np.random.default_rng(29)
+    bp = np.array([0, 1])
+    ma = _chain_tensor(rng, bp, [((0, 0, 0), 1.0), ((1, 0, 1), 0.6),
+                                 ((2, 0, 1), 0.5), ((3, 0, 0), 0.4)])
+    mb = _chain_tensor(rng, bp, [((0, 0, 0), 1.0), ((2, 0, 1), 0.7),
+                                 ((3, 0, 0), 0.3)])
+    dress = (-1.0) ** (bp[None, :, None] * bp[None, None, :])
+
+    def tmat(m, op):
+        mm = m * dress
+        return np.einsum("nlr,nm,mLR->lLrR", mm, op, mm).reshape(4, 4)
+
+    ta, tb = tmat(ma, np.eye(4)), tmat(mb, np.eye(4))
+    tt = ta @ tb
+    w, vr = np.linalg.eig(tt)
+    i = np.argmax(np.abs(w))
+    lam, rv = w[i].real, vr[:, i].real
+    wl, vl = np.linalg.eig(tt.T)
+    lv = vl[:, np.argmax(np.abs(wl))].real
+    nrm = lv @ rv
+
+    def chain_corr(op1, op2, r):
+        ms = [ma, mb]
+        seq = []
+        for pos in range(r + 1):
+            op = op1 if pos == 0 else (op2 if pos == r else np.eye(4))
+            seq.append(tmat(ms[pos % 2], op))
+        if len(seq) % 2:
+            seq.append(tb if r % 2 == 0 else ta)
+        acc = np.eye(4)
+        for mt in seq:
+            acc = acc @ mt
+        ncell = len(seq) // 2
+        return (lv @ acc @ rv) / (lam ** ncell * nrm)
+
+    a = jnp.asarray(ma[:, None, :, None, :])
+    b = jnp.asarray(mb[:, None, :, None, :])
+    pars = (TRIV, bp, TRIV, bp)
+    sites = ((a, a), (b, b))
+    env = hubbard_cell_env(sites, pars, chi=8, iters=40)
+    rs = [1, 2, 3, 4]
+    from contractn_tpu.models.fipeps_spin import N_TOT as NT
+
+    for mat in (SZ, NT):
+        got = hubbard_cell_correlator(sites, pars, env, mat, mat, rs,
+                                      connected=False)
+        for k, r in enumerate(rs):
+            assert abs(got[k] - chain_corr(mat, mat, r)) < 1e-9, r
+
+
 def test_hubbard_cell_afm_ground_state():
     """Checkerboard gradient flow at half filling (U=8, mu=U/2): from
     the Neel-dimer init a SHORT run already shows the hallmark
