@@ -303,6 +303,172 @@ def excitation_spectrum_cell(ground, mpo_cores, k, tol=1e-10,
     return jnp.linalg.eigvalsh(h)
 
 
+def _deflation_pair_cell(als, ars, dtype, iters=80):
+    """Dominant (right, left) eigenvectors of the marginal CELL mixed
+    transfer (bra ``AL``-cell, ket ``AR``-cell, stepping one cell
+    left), by power iteration — computed once per momentum."""
+    n = len(als)
+    bond = als[0].shape[1]
+
+    def e_left_cell(z):
+        for j in range(n - 1, -1, -1):
+            t = peinsum("sjk,bk->sbj", ars[j], z)
+            z = peinsum("sib,sbj->ij", jnp.conj(als[j]), t)
+        return z
+
+    def e_left_cell_adj(y):
+        for j in range(n):
+            y = peinsum("sib,ij,sjk->bk", als[j], y,
+                        jnp.conj(ars[j]))
+        return y
+
+    def power(f):
+        v0 = jnp.ones((bond, bond), dtype)
+        v0 = v0 + 0.3 * jnp.arange(bond, dtype=dtype)[None, :]
+
+        def body(_, v):
+            w = f(v)
+            return w / jnp.maximum(jnp.linalg.norm(w), 1e-300)
+
+        return jax.lax.fori_loop(0, iters, body, v0)
+
+    rv, lv = power(e_left_cell), power(e_left_cell_adj)
+    return rv, lv, jnp.sum(jnp.conj(lv) * rv)
+
+
+def _overlap_g_cell(bs, als, ars, acs, ops, kappa, defl, tol=1e-10):
+    """``G({B}) = <Phi_K({B})| O(kappa) |GS> / sqrt(n)`` — the cell
+    overlap with the per-site-momentum operator ``O(kappa) = sum_j
+    e^{i kappa j} O_j`` (``ops[j]`` already connected-subtracted).
+
+    Position classes per bra site ``i``: on-site (phase
+    ``e^{i kappa i}``), strictly left within the cell (direct walks),
+    and previous cells (geometric solve against the deflated marginal
+    cell mixed transfer, ``e^{-i kappa n}`` per wrap).  The
+    strictly-right branch vanishes by the left gauge fixing, per site.
+    The ``1/sqrt(n)`` puts the weights on the same per-site footing as
+    the single-site :func:`~contractn_tpu.models.excitations.
+    spectral_weights` (pinned by the uniform-cell reduction and the
+    ``S(kappa)`` sum rule)."""
+    n = len(als)
+    bond = als[0].shape[1]
+    oacs = [peinsum("st,tij->sij", ops[j], acs[j]) for j in range(n)]
+    ph_cell = jnp.exp(-1j * kappa * n)
+    rv, lv, denom = defl
+
+    def deflate(x):
+        return x - rv * (jnp.sum(jnp.conj(lv) * x) / denom)
+
+    def step_left(z, j):
+        t = peinsum("sjk,bk->sbj", ars[j], z)
+        return peinsum("sib,sbj->ij", jnp.conj(als[j]), t)
+
+    def close(z, j):
+        return peinsum("sab,sak,bk->", jnp.conj(als[j]), oacs[j], z)
+
+    def t_cell(z):
+        for j in range(n - 1, -1, -1):
+            z = step_left(z, j)
+        return z
+
+    def walk_close_cell(z):
+        """One cell to the LEFT: closes at each site j with absolute
+        phase e^{i kappa (j - n)}."""
+        g = jnp.zeros((), z.dtype)
+        for j in range(n - 1, -1, -1):
+            g = g + jnp.exp(1j * kappa * (j - n)) * close(z, j)
+            if j > 0:
+                z = step_left(z, j)
+        return g
+
+    g = jnp.zeros((), bs[0].dtype)
+    for i in range(n):
+        g = g + jnp.exp(1j * kappa * i) * peinsum(
+            "sij,sij->", jnp.conj(bs[i]), oacs[i])
+        z = peinsum("sbc,skc->bk", jnp.conj(bs[i]), ars[i])
+        for j in range(i - 1, -1, -1):
+            g = g + jnp.exp(1j * kappa * j) * close(z, j)
+            if j > 0:
+                z = step_left(z, j)
+        if i > 0:
+            z = step_left(z, 0)
+        zsolve = _phase_solve(lambda x: t_cell(deflate(x)),
+                              deflate(z), ph_cell, (bond, bond),
+                              tol=tol)
+        g = g + walk_close_cell(deflate(zsolve))
+    return g / np.sqrt(n)
+
+
+def spectral_weights_cell(ground, mpo_cores, op, kappa, tol=1e-10,
+                          prep=None):
+    """Excitation energies and spectral weights of a one-site operator
+    at PER-SITE momentum ``kappa`` on a cell ground state.
+
+    The cell generalization of :func:`~contractn_tpu.models.
+    excitations.spectral_weights`: the effective Hamiltonian is
+    diagonalized at cell momentum ``K = n kappa`` and each
+    eigenstate's pole weight is ``|<Phi_K(B_a)| O(kappa) |GS>|^2``
+    per site.  On a period-n lattice ``kappa`` and
+    ``kappa + 2 pi / n`` share the same cell sector — evaluating both
+    resolves the extended zone natively (ARPES band unfolding without
+    the ``mpo.block_mpo`` fold that
+    :func:`~contractn_tpu.models.excitations.unfolded_bands` needs).
+    The total weight saturates the static structure factor
+    ``S(kappa)`` (:func:`~contractn_tpu.models.vumps_cell.
+    static_structure_factor_cell`) when the operator creates a single
+    quasiparticle — the tests pin the sum rule.
+
+    Returns:
+        ``(omegas, weights)`` — ascending energies over the full
+        concatenated tangent space and matching per-site pole weights.
+    """
+    p = prep if prep is not None else prepare_excitations_cell(
+        ground, mpo_cores, tol=tol)
+    als, ars, acs, cdt = p["als"], p["ars"], p["acs"], p["cdt"]
+    n = len(als)
+    bond = als[0].shape[1]
+    op = jnp.asarray(op, cdt)
+    ops = []
+    for i in range(n):
+        d = als[i].shape[0]
+        dis = (peinsum("st,tij,sij->", op, acs[i], jnp.conj(acs[i]))
+               / peinsum("sij,sij->", acs[i], jnp.conj(acs[i])))
+        ops.append(op - dis * jnp.eye(d, dtype=cdt))
+    kap = jnp.asarray(float(kappa), cdt)
+    big_k = jnp.asarray(float(kappa) * n, cdt)
+    h = _dense_heff_cell(
+        p["vls"], als, ars, p["cs"][0], p["fls"], p["frs"], p["ws"],
+        p["lams"], big_k, p["is_zeros"], p["diag_prod_zero"],
+        p["eye_diag_cell"], tol=tol)
+    omegas, vecs = jnp.linalg.eigh(h)
+
+    defl = p.get("defl")
+    if defl is None:
+        defl = _deflation_pair_cell(als, ars, cdt)
+        p["defl"] = defl  # kappa-independent: cache for reuse
+
+    dims = [p["vls"][i].shape[1] * bond for i in range(n)]
+    m = sum(dims)
+    offs = np.concatenate([[0], np.cumsum(dims)])
+
+    @jax.jit
+    def g_of(xv):
+        bs = [jnp.matmul(
+            p["vls"][i],
+            xv[offs[i]:offs[i + 1]].reshape(p["vls"][i].shape[1],
+                                            bond),
+            precision=jax.lax.Precision.HIGHEST).reshape(als[i].shape)
+            for i in range(n)]
+        return _overlap_g_cell(bs, als, ars, acs, ops, kap, defl,
+                               tol=tol)
+
+    basis = jnp.eye(m, dtype=cdt)
+    src = jax.vmap(g_of)(basis)
+    amps = jnp.matmul(jnp.conj(vecs).T, src,
+                      precision=jax.lax.Precision.HIGHEST)
+    return omegas, jnp.abs(amps) ** 2
+
+
 def quasiparticle_dispersion_cell(mpo_cores, ks, bond_dim=12,
                                   ground=None, n_bands=1, tol=1e-10,
                                   **vumps_kwargs):

@@ -260,6 +260,137 @@ def _gauge_update_cell_u1(ac, c_left, c_right, site_mask, row_sel,
     return al, ar, grad
 
 
+def excitation_charge_masks_cell(sector, delta_q):
+    """Per-site ``(d_i, D, D)`` 0/1 masks of tangent directions
+    carrying EXACT excitation charge ``delta_q`` on a cell sector:
+    ``B_i[s, a, b]`` lives when ``q_i[a] + p_{i,s} - q_{i+1}[b] ==
+    delta_q`` (the chain right of the insertion keeps its ground
+    labels, so the state's total charge shifts by ``delta_q``)."""
+    qs = [np.asarray(q) for q in sector["charges"]]
+    n = len(qs)
+    bond = qs[0].shape[0]
+    lives = [q != _DEAD_VALUE for q in qs]
+    masks = []
+    for i in range(n):
+        phys = sector["phys_list"][i]
+        ql, qr = qs[i], qs[(i + 1) % n]
+        ll, lr = lives[i], lives[(i + 1) % n]
+        m = np.zeros((len(phys), bond, bond))
+        for s, p in enumerate(phys):
+            m[s] = ((ql[:, None] + int(p) - qr[None, :]
+                     == int(delta_q))
+                    & ll[:, None] & lr[None, :])
+        masks.append(jnp.asarray(m))
+    return masks
+
+
+def sector_excitation_minimum_cell(ground, mpo_cores, delta_q, k,
+                                   iters=60, tol=1e-8, prep=None,
+                                   key=None):
+    """Lowest cell tangent-space excitation at CELL momentum ``k``
+    carrying EXACT charge offset ``delta_q`` above a
+    :func:`vumps_u1_cell` ground state.
+
+    The cell generalization of :func:`~contractn_tpu.models.u1_vumps.
+    sector_excitation_minimum`, with the same two hard-won rules: the
+    charge mask is restricted to the LIVE ranges of the neighbouring
+    partial isometries (``B_i``'s left bond must feed a live COLUMN of
+    ``AL_{i-1}``, its right bond a live ROW of ``AR_{i+1}`` — a ``B``
+    feeding a dropped null direction is a zero STATE at unit
+    ``<B, B>`` and its Rayleigh quotient deflates to garbage), and the
+    dense per-site gauge projector ``B_i - AL_i (AL_i^H B_i)`` runs
+    INSIDE Lanczos via ``project=`` (Gram-Schmidt re-injects each
+    row's eps-residual scaled by O(|H|); masks with exact zeros are
+    immune, dense projectors are not).  The matvec is the native cell
+    ``H_eff`` (:mod:`~contractn_tpu.models.excitations_cell`) with
+    each site's regularization constant subtracted in place (the
+    per-site ``lam_i`` are no scalar multiple of the identity on the
+    concatenated space).
+
+    Returns ``(energy, b_tensors)`` — energy relative to the ground
+    state (negative when the charged sector undercuts the grand
+    saddle, e.g. electron removal at ``mu = 0``), and the per-site
+    ``B`` tuple.
+    """
+    from .excitations_cell import (
+        _lb_cell,
+        _rb_cell,
+        prepare_excitations_cell,
+    )
+    from .vumps import _h_ac as _h_ac_v
+
+    p = prep if prep is not None else prepare_excitations_cell(
+        ground, mpo_cores, tol=tol)
+    sector = ground["sector"]
+    n = len(p["als"])
+    als, ars, ws = p["als"], p["ars"], p["ws"]
+    fls, frs, lams = p["fls"], p["frs"], p["lams"]
+    cdt = p["cdt"]
+    bond = als[0].shape[1]
+    qmasks = excitation_charge_masks_cell(sector, delta_q)
+    for i in range(n):
+        al_prev = als[(i - 1) % n]
+        ar_next = ars[(i + 1) % n]
+        live_l = jnp.real(peinsum("sji,sjk->ik", jnp.conj(al_prev),
+                                  al_prev)).diagonal() > 0.5
+        live_r = jnp.real(peinsum("sij,skj->ik", ar_next,
+                                  jnp.conj(ar_next))).diagonal() > 0.5
+        qmasks[i] = (qmasks[i] * live_l[None, :, None]
+                     * live_r[None, None, :])
+    if float(sum(float(m.sum()) for m in qmasks)) == 0.0:
+        raise ValueError(
+            f"no live tangent directions carry charge {delta_q} on "
+            "these ladders — widen them or pick a reachable offset")
+    qmasks = [m.astype(cdt) for m in qmasks]
+    kc = jnp.asarray(float(k), cdt)
+    ph_r = jnp.exp(+1j * kc)
+    shapes = [a.shape for a in als]
+    sizes = [int(np.prod(s)) for s in shapes]
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    al_mats = [als[i].reshape(shapes[i][0] * bond, bond)
+               for i in range(n)]
+
+    def split(v):
+        return [v[offs[i]:offs[i + 1]].reshape(shapes[i])
+                for i in range(n)]
+
+    def project(v):
+        outs = []
+        for i, b in enumerate(split(v)):
+            m = b.reshape(shapes[i][0] * bond, bond)
+            m = m - al_mats[i] @ (jnp.conj(al_mats[i]).T @ m)
+            outs.append((m.reshape(shapes[i]) * qmasks[i]).ravel())
+        return jnp.concatenate(outs)
+
+    def matvec(v):
+        bs = split(v)
+        lbs = _lb_cell(als, ars, p["cs"][0], fls, ws, bs, kc,
+                       p["is_zeros"], p["diag_prod_zero"],
+                       p["eye_diag_cell"], tol=tol)
+        rbs = _rb_cell(als, ars, p["cs"][0], frs, ws, bs, kc,
+                       p["is_zeros"], p["diag_prod_zero"],
+                       p["eye_diag_cell"], tol=tol)
+        outs = []
+        for i in range(n):
+            out = _h_ac_v(fls[i], ws[i], frs[(i + 1) % n], bs[i])
+            out = out + _h_ac_v(lbs[i], ws[i], frs[(i + 1) % n],
+                                ars[i])
+            rbu = rbs[(i + 1) % n] if i < n - 1 else ph_r * rbs[0]
+            out = out + _h_ac_v(fls[i], ws[i], rbu, als[i])
+            outs.append((out - lams[i] * bs[i]).ravel())
+        return project(jnp.concatenate(outs))
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    kr_, ki_ = jax.random.split(key)
+    total = int(offs[-1])
+    v0 = (jax.random.normal(kr_, (total,))
+          + 1j * jax.random.normal(ki_, (total,))).astype(cdt)
+    v0 = project(v0)
+    energy, vec = jax.jit(
+        lambda v: lanczos_ground(matvec, v, iters, project=project))(v0)
+    return jnp.real(energy), tuple(split(vec))
+
+
 def vumps_u1_cell(mpo_cores, bond_dim, phys_list, iters=60,
                   dtype=jnp.float64, lanczos_iters=40, key=None,
                   tol=1e-12, charges=None, left=None, right=None,

@@ -409,6 +409,92 @@ def vumps_cell(mpo_cores, bond_dim, iters=60, dtype=jnp.float64,
     }
 
 
+# --------------------------------------------------------------------- #
+# Cell-ground observables
+# --------------------------------------------------------------------- #
+
+
+def expect_local_cell(ground, op, site):
+    """``<O_site>`` on a converged cell ground: the mixed gauge puts
+    the norm entirely in ``AC_site``, so no transfer solves are needed
+    (unlike :func:`~contractn_tpu.models.umps.expect_local`, which
+    works from a raw core)."""
+    ac = ground["acs"][site % len(ground["acs"])]
+    op = jnp.asarray(op, ac.dtype)
+    num = peinsum("sab,st,tab->", jnp.conj(ac), op, ac)
+    den = peinsum("sab,sab->", jnp.conj(ac), ac)
+    val = complex(np.asarray(num / den))
+    return val if np.iscomplexobj(np.asarray(ac)) else float(val.real)
+
+
+def correlate_cell(ground, op1, op2, site, distances):
+    """Connected ``<O1_site O2_{site+x}>_c`` on a cell ground for each
+    ``x`` in ``distances`` (all >= 1).
+
+    One pass: ``AC_site`` dressed with ``O1`` opens the window, the
+    right-canonical ``AR`` tensors (period n) carry it — every
+    intermediate environment is exact (no leading-eigenvector solves;
+    the gauge IS the fixed point)."""
+    distances = [int(x) for x in distances]
+    if any(x < 1 for x in distances):
+        raise ValueError("distances must be >= 1")
+    acs, ars = ground["acs"], ground["ars"]
+    n = len(acs)
+    i = site % n
+    ac = acs[i]
+    op1 = jnp.asarray(op1, ac.dtype)
+    op2 = jnp.asarray(op2, ac.dtype)
+    nrm = peinsum("sab,sab->", jnp.conj(ac), ac)
+    rho = peinsum("sab,st,tac->bc", jnp.conj(ac), op1, ac) / nrm
+    e1 = expect_local_cell(ground, op1, i)
+    max_x = max(distances)
+    out = {}
+    for x in range(1, max_x + 1):
+        j = (i + x) % n
+        if x in distances:
+            val = peinsum("bc,sbd,st,tcd->", rho, jnp.conj(ars[j]),
+                          op2, ars[j])
+            out[x] = complex(np.asarray(val)) - e1 * expect_local_cell(
+                ground, op2, j)
+        if x < max_x:
+            rho = peinsum("bc,sbd,scf->df", rho, jnp.conj(ars[j]),
+                          ars[j])
+    is_cpx = np.iscomplexobj(np.asarray(ac))
+    return [out[x] if is_cpx else float(np.real(out[x]))
+            for x in distances]
+
+
+def static_structure_factor_cell(ground, op, kappas, max_distance=60):
+    """``S(kappa) = sum_x e^{i kappa x} <O_j O_{j+x}>_c`` averaged over
+    the cell base sites (``kappa`` is the PER-SITE momentum; on a
+    period-n lattice it is defined modulo ``2 pi``, and the cell
+    momentum of the matching tangent sector is ``K = n kappa``).
+
+    Real-space connected correlators out to ``max_distance`` from each
+    base site, cosine-transformed — exact for gapped states once
+    ``max_distance >> xi``.  Equals the total cell tangent-space
+    spectral weight (:func:`~contractn_tpu.models.excitations_cell.
+    spectral_weights_cell`) identically; the tests pin that sum rule.
+    """
+    acs = ground["acs"]
+    n = len(acs)
+    op = jnp.asarray(op, acs[0].dtype)
+    op2 = peinsum("st,tu->su", op, op)
+    xs = list(range(1, int(max_distance) + 1))
+    scalar_in = np.ndim(kappas) == 0
+    kappas = np.atleast_1d(np.asarray(kappas, float))
+    acc = np.zeros(kappas.shape)
+    for i in range(n):
+        m1 = expect_local_cell(ground, op, i)
+        m2 = expect_local_cell(ground, op2, i)
+        c0 = np.real(m2 - m1 * m1)
+        cx = np.real(np.asarray(correlate_cell(ground, op, op, i, xs)))
+        acc = acc + c0 + 2.0 * np.matmul(np.cos(np.outer(kappas, xs)),
+                                         cx)
+    out = acc / n
+    return float(out[0]) if scalar_in else out
+
+
 @jax.jit
 def _gauge_update_cell(ac, c_left, c_right):
     """Per-site polar gauge update: ``AL_i`` pairs ``AC_i`` with its

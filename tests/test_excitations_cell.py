@@ -12,19 +12,39 @@ d=4 block for this), doubly degenerate (Delta Sz = +-1).
 """
 
 import numpy as np
+import pytest
 
 from contractn_tpu.models import tfim_mpo, vumps
 from contractn_tpu.models.dmrg import xx_dimerized_mpo
 from contractn_tpu.models.excitations import (
     excitation_spectrum,
     prepare_excitations,
+    spectral_weights,
 )
 from contractn_tpu.models.excitations_cell import (
     excitation_spectrum_cell,
     prepare_excitations_cell,
     quasiparticle_dispersion_cell,
+    spectral_weights_cell,
 )
-from contractn_tpu.models.vumps_cell import vumps_cell
+from contractn_tpu.models.vumps_cell import (
+    static_structure_factor_cell,
+    vumps_cell,
+)
+
+J_DIM, DELTA_DIM = 1.0, 0.5
+T1 = J_DIM * (1 + DELTA_DIM) / 2
+T2 = J_DIM * (1 - DELTA_DIM) / 2
+
+
+@pytest.fixture(scope="module")
+def dimer_ground():
+    """Converged native dimerized-XX cell ground at D = 12, shared by
+    the dispersion and spectral-weight tests."""
+    m = xx_dimerized_mpo(4, j=J_DIM, delta=DELTA_DIM)
+    cores = [m.cores[0], m.cores[1]]
+    g = vumps_cell(cores, bond_dim=12, iters=80)
+    return g, cores
 
 
 def pfeuty(k, h):
@@ -69,19 +89,68 @@ def test_cell_n2_uniform_folded_pfeuty_band():
         assert abs(om[0] - want) < 1e-7, (big_k, om[0], want)
 
 
-def test_cell_dimerized_xx_native_exact_band():
+def test_cell_dimerized_xx_native_exact_band(dimer_ground):
     """The genuine inequivalent cell: native d=2 dimerized XX band ==
     exact JW |t1 + t2 e^{i(K + pi)}|, Sz = +-1 degenerate.  Pins the
     PER-SITE regularization constants (the sites' Rayleigh quotients
     differ here) and the cross-block phase bookkeeping."""
-    j, delta = 1.0, 0.5
-    t1, t2 = j * (1 + delta) / 2, j * (1 - delta) / 2
-    m = xx_dimerized_mpo(4, j=j, delta=delta)
-    cores = [m.cores[0], m.cores[1]]
+    g, cores = dimer_ground
     ks = [0.0, 2.0]
-    g, om = quasiparticle_dispersion_cell(cores, ks, bond_dim=12,
-                                          n_bands=2, iters=80)
+    _, om = quasiparticle_dispersion_cell(cores, ks, ground=g,
+                                          n_bands=2)
     for i, big_k in enumerate(ks):
-        want = abs(t1 + t2 * np.exp(1j * (big_k + np.pi)))
+        want = abs(T1 + T2 * np.exp(1j * (big_k + np.pi)))
         assert abs(om[i, 0] - want) < 1e-8, (big_k, om[i, 0], want)
         assert abs(om[i, 1] - want) < 1e-8  # Sz = +-1 degeneracy
+
+
+def test_spectral_weights_cell_n1_reduction_and_sum_rule():
+    """spectral_weights_cell == the single-site spectral_weights at
+    n = 1 (same ground: energies and weights at 1e-12), and the total
+    weight saturates the independently-computed static structure
+    factor on a 2-site cell (sum rule, 1e-6)."""
+    h = 1.5
+    mpo = tfim_mpo(2, j=1.0, h=h)
+    w = mpo.cores[0]
+    sx = np.array([[0.0, 1.0], [1.0, 0.0]])
+    gs = vumps(mpo, bond_dim=8, iters=60)
+    g1 = {"als": (gs["al"],), "ars": (gs["ar"],), "cs": (gs["c"],),
+          "acs": (gs["ac"],), "energy": gs["energy"]}
+    om_c, wt_c = spectral_weights_cell(g1, [w], sx, 0.4)
+    om_s, wt_s = spectral_weights(gs, mpo, sx, 0.4)
+    assert np.max(np.abs(np.asarray(om_c) - np.asarray(om_s))) < 1e-10
+    assert np.max(np.abs(np.asarray(wt_c) - np.asarray(wt_s))) < 1e-12
+
+    g2 = vumps_cell([w, w], bond_dim=8, iters=60)
+    prep = prepare_excitations_cell(g2, [w, w])
+    for kappa in (0.4, 1.7):
+        _, wt = spectral_weights_cell(g2, [w, w], sx, kappa,
+                                      prep=prep)
+        s_exact = static_structure_factor_cell(g2, sx, kappa,
+                                               max_distance=50)
+        assert abs(float(np.sum(np.asarray(wt))) - s_exact) < 1e-6
+
+
+def test_spectral_weights_cell_native_unfolding(dimer_ground):
+    """Native extended-zone unfolding: on the dimerized XX cell, the
+    dominant pole of S+ at per-site momenta kappa and kappa + pi sits
+    at the SAME energy |t1 + t2 e^{i(2 kappa + pi)}| (one cell-sector
+    eigenstate) while the weights differ (sublattice interference) —
+    the content of `unfolded_bands`, without the d^4 fold it needs."""
+    g, cores = dimer_ground
+    prep = prepare_excitations_cell(g, cores)
+    sp = np.array([[0.0, 1.0], [0.0, 0.0]])
+    kappa = 0.7
+    res = []
+    for kk in (kappa, kappa + np.pi):
+        om, wt = spectral_weights_cell(g, cores, sp, kk, prep=prep)
+        om, wt = np.asarray(om), np.asarray(wt)
+        idx = int(np.argmax(wt))
+        res.append((float(om[idx]),
+                    float(wt[idx]) / float(np.sum(wt))))
+    want = abs(T1 + T2 * np.exp(1j * (2 * kappa + np.pi)))
+    for om_dom, share in res:
+        assert abs(om_dom - want) < 1e-6, (om_dom, want)
+        assert share > 0.8, share  # clean quasiparticle pole
+    assert abs(res[0][0] - res[1][0]) < 1e-9     # same eigenstate
+    assert abs(res[0][1] - res[1][1]) > 0.02     # different weight

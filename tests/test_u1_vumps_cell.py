@@ -11,14 +11,20 @@ structurally zero (exact zeros) on every gauge tensor.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from contractn_tpu.models import xxz_mpo_u1
+from contractn_tpu.models.dmrg import xx_dimerized_mpo
+from contractn_tpu.models.excitations_cell import (
+    prepare_excitations_cell,
+)
 from contractn_tpu.models.hubbard import (
     hubbard_chain_cell,
     lieb_wu_energy,
 )
 from contractn_tpu.models.u1 import _DEAD_VALUE
 from contractn_tpu.models.u1_vumps_cell import (
+    sector_excitation_minimum_cell,
     u1_cell_charges,
     vumps_u1_cell,
 )
@@ -96,3 +102,52 @@ def test_vumps_u1_cell_native_hubbard_lieb_wu():
     # per-site deviation shrinks with capacity (2.8e-3 at D=16,
     # ~1e-5 at D=24); only the cell average is structurally exact
     assert abs(dens[0] - 1.0) < 1e-2
+    # native charged quasiparticle bands: electron removal/addition
+    # carry packed offsets -+2a; the masked cell ansatz preserves
+    # particle-hole symmetry EXACTLY at equal cell momentum (the
+    # transformation shifts site momentum by pi = one full cell
+    # phase), so E_add - E_rem == U structurally at any D
+    prep = prepare_excitations_cell(res, [w, w], tol=1e-10)
+    e_rem, _ = sector_excitation_minimum_cell(res, [w, w], -2 * a,
+                                              np.pi, prep=prep,
+                                              iters=40)
+    e_add, _ = sector_excitation_minimum_cell(res, [w, w], +2 * a,
+                                              np.pi, prep=prep,
+                                              iters=40)
+    assert abs((float(e_add) - float(e_rem)) - u) < 1e-6
+    # mu = 0: the removal band is NEGATIVE (half filling sits above
+    # the grand minimum of U n n — the regime penalties cannot hold)
+    assert float(e_rem) < 0.0 < float(e_add)
+
+
+def test_sector_excitation_minimum_cell_dimerized_exact():
+    """Charged bands above the NATIVE masked cell ground (d=2, no
+    folding): the dimerized XX dq = +-2 minima land on the exact JW
+    band |t1 + t2 e^{i(K + pi)}| (1.9e-3 at D=16, 2e-6 at D=24 —
+    referenced to the variational ground, so small undershoot is
+    D-convergence, not a bound violation), the neutral sector starts
+    at the two-particle continuum bottom, and unreachable charges
+    fail loudly."""
+    j, delta = 1.5, 1.0 / 3.0
+    t1, t2 = j * (1 + delta) / 2, j * (1 - delta) / 2
+    m = xx_dimerized_mpo(4, j=j, delta=delta)
+    cores = [m.cores[0], m.cores[1]]
+    g = vumps_u1_cell(cores, 16, (1, -1), iters=150)
+    assert g["gradient_norm"] < 1e-8
+    prep = prepare_excitations_cell(g, cores, tol=1e-10)
+
+    def band(big_k):
+        return abs(t1 + t2 * np.exp(1j * (big_k + np.pi)))
+
+    for dq in (2, -2):
+        e, _ = sector_excitation_minimum_cell(g, cores, dq, 0.0,
+                                              prep=prep)
+        assert abs(float(e) - band(0.0)) < 5e-3, dq
+    e, _ = sector_excitation_minimum_cell(g, cores, 2, np.pi,
+                                          prep=prep)
+    assert abs(float(e) - band(np.pi)) < 5e-3
+    e0, _ = sector_excitation_minimum_cell(g, cores, 0, 0.0,
+                                           prep=prep)
+    assert float(e0) > 2 * band(0.0) - 5e-3
+    with pytest.raises(ValueError, match="live tangent"):
+        sector_excitation_minimum_cell(g, cores, 99, 0.0, prep=prep)

@@ -86,3 +86,34 @@ def test_cell_dimerized_xx_exact_band():
     c0 = np.linalg.svd(np.asarray(res["cs"][0]), compute_uv=False)
     c1 = np.linalg.svd(np.asarray(res["cs"][1]), compute_uv=False)
     assert np.max(np.abs(c0 - c1)) > 1e-3
+
+
+def test_cell_observables_match_single_site_oracle():
+    """expect_local_cell / correlate_cell / static_structure_factor_
+    cell on an n=1 cell == the transfer-spectrum-based umps oracle
+    (different algorithm: the mixed gauge IS the fixed point, no
+    leading-eigenvector solves), at 1e-10."""
+    from contractn_tpu.models.umps import (
+        correlate,
+        static_structure_factor,
+    )
+    from contractn_tpu.models.vumps_cell import (
+        correlate_cell,
+        expect_local_cell,
+        static_structure_factor_cell,
+    )
+
+    h = 1.5
+    gs = vumps(tfim_mpo(2, j=1.0, h=h), bond_dim=8, iters=60)
+    g1 = {"acs": (gs["ac"],), "ars": (gs["ar"],), "als": (gs["al"],),
+          "cs": (gs["c"],)}
+    sx = np.array([[0.0, 1.0], [1.0, 0.0]])
+    sz = np.array([[1.0, 0.0], [0.0, -1.0]])
+    assert abs(expect_local_cell(g1, sz, 0)) < 1e-10  # paramagnet
+    cc = correlate_cell(g1, sx, sx, 0, [1, 3, 7])
+    cu = correlate(gs["al"], sx, sx, [1, 3, 7])
+    assert np.max(np.abs(np.asarray(cc) - np.asarray(cu))) < 1e-9
+    ks = np.array([0.0, 1.0, 2.5])
+    s_c = static_structure_factor_cell(g1, sx, ks, max_distance=40)
+    s_u = static_structure_factor(gs["al"], sx, ks, max_distance=40)
+    assert np.max(np.abs(s_c - s_u)) < 1e-9
