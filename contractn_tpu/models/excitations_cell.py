@@ -336,7 +336,8 @@ def _deflation_pair_cell(als, ars, dtype, iters=80):
     return rv, lv, jnp.sum(jnp.conj(lv) * rv)
 
 
-def _overlap_g_cell(bs, als, ars, acs, ops, kappa, defl, tol=1e-10):
+def _overlap_g_cell(bs, als, ars, acs, ops, kappa, defl, tol=1e-10,
+                    parities=None, cell_sign=1.0):
     """``G({B}) = <Phi_K({B})| O(kappa) |GS> / sqrt(n)`` — the cell
     overlap with the per-site-momentum operator ``O(kappa) = sum_j
     e^{i kappa j} O_j`` (``ops[j]`` already connected-subtracted).
@@ -353,7 +354,12 @@ def _overlap_g_cell(bs, als, ars, acs, ops, kappa, defl, tol=1e-10):
     n = len(als)
     bond = als[0].shape[1]
     oacs = [peinsum("st,tij->sij", ops[j], acs[j]) for j in range(n)]
-    ph_cell = jnp.exp(-1j * kappa * n)
+    if parities is not None:
+        # semi-infinite JW string left of the insertion, telescoped
+        # to the single bond diagonal P_j (string_parities_cell)
+        oacs = [oacs[j] * parities[j][None, :, None].astype(
+            oacs[j].dtype) for j in range(n)]
+    ph_cell = jnp.exp(-1j * kappa * n) * cell_sign
     rv, lv, denom = defl
 
     def deflate(x):
@@ -395,12 +401,16 @@ def _overlap_g_cell(bs, als, ars, acs, ops, kappa, defl, tol=1e-10):
         zsolve = _phase_solve(lambda x: t_cell(deflate(x)),
                               deflate(z), ph_cell, (bond, bond),
                               tol=tol)
-        g = g + walk_close_cell(deflate(zsolve))
+        # cell -c carries cell_sign^c while the geometric expansion
+        # in ph_cell supplies only cell_sign^(c-1): one explicit
+        # factor on the whole previous-cells contribution
+        g = g + cell_sign * walk_close_cell(deflate(zsolve))
     return g / np.sqrt(n)
 
 
 def spectral_weights_cell(ground, mpo_cores, op, kappa, tol=1e-10,
-                          prep=None):
+                          prep=None, string_parities=None,
+                          cell_sign=1.0):
     """Excitation energies and spectral weights of a one-site operator
     at PER-SITE momentum ``kappa`` on a cell ground state.
 
@@ -418,6 +428,17 @@ def spectral_weights_cell(ground, mpo_cores, op, kappa, tol=1e-10,
     static_structure_factor_cell`) when the operator creates a single
     quasiparticle — the tests pin the sum rule.
 
+    ``string_parities`` / ``cell_sign`` (from
+    :func:`~contractn_tpu.models.u1_vumps_cell.string_parities_cell`,
+    masked grounds only) turn ``op`` into a FERMIONIC operator
+    ``c(kappa) = sum_j e^{i kappa j} (prod_{m<j} Z_m) op_j``: the
+    semi-infinite Jordan-Wigner string telescopes to the per-bond
+    diagonal ``P_j`` on the insertion bond and a per-cell wrap sign —
+    single-particle spectral functions (ARPES / inverse
+    photoemission) of interacting chains, with the removal sum rule
+    ``sum_a w_a == n(kappa)`` pinned against independent string
+    correlators in the tests.
+
     Returns:
         ``(omegas, weights)`` — ascending energies over the full
         concatenated tangent space and matching per-site pole weights.
@@ -433,9 +454,17 @@ def spectral_weights_cell(ground, mpo_cores, op, kappa, tol=1e-10,
         d = als[i].shape[0]
         dis = (peinsum("st,tij,sij->", op, acs[i], jnp.conj(acs[i]))
                / peinsum("sij,sij->", acs[i], jnp.conj(acs[i])))
+        if string_parities is not None:
+            dis = jnp.zeros_like(dis)  # charge-offset op: <op> == 0
         ops.append(op - dis * jnp.eye(d, dtype=cdt))
     kap = jnp.asarray(float(kappa), cdt)
-    big_k = jnp.asarray(float(kappa) * n, cdt)
+    # a negative cell wrap sign IS the Jordan-Wigner pi-shift: the
+    # string advances the excitation's cell momentum by pi, so the
+    # matching tangent sector sits at K = n kappa + pi (the internal
+    # geometric wrap phase e^{-i n kappa} * cell_sign == e^{-iK}
+    # stays consistent automatically)
+    shift = 0.0 if cell_sign >= 0 else np.pi
+    big_k = jnp.asarray(float(kappa) * n + shift, cdt)
     h = _dense_heff_cell(
         p["vls"], als, ars, p["cs"][0], p["fls"], p["frs"], p["ws"],
         p["lams"], big_k, p["is_zeros"], p["diag_prod_zero"],
@@ -460,7 +489,8 @@ def spectral_weights_cell(ground, mpo_cores, op, kappa, tol=1e-10,
             precision=jax.lax.Precision.HIGHEST).reshape(als[i].shape)
             for i in range(n)]
         return _overlap_g_cell(bs, als, ars, acs, ops, kap, defl,
-                               tol=tol)
+                               tol=tol, parities=string_parities,
+                               cell_sign=cell_sign)
 
     basis = jnp.eye(m, dtype=cdt)
     src = jax.vmap(g_of)(basis)

@@ -260,6 +260,101 @@ def _gauge_update_cell_u1(ac, c_left, c_right, site_mask, row_sel,
     return al, ar, grad
 
 
+def string_parities_cell(sector, z_diag):
+    """Per-bond Jordan-Wigner boundary signs of a masked cell sector.
+
+    For a charge-masked cell ground the string operator TELESCOPES:
+    ``Z AL_i = P_i (.) AL_i (.) P_{i+1}`` holds EXACTLY (pinned at
+    0.0 in the tests) with diagonal ``P_j[b] = sign(q_j[b])`` given by
+    the charge recursion ``sign(q + p_s) = sign(q) z_s`` — consistent
+    because fermion parity is a linear function of the conserved
+    charge mod 2 (the recursion raises if the supplied ``z_diag``
+    breaks that).  A semi-infinite string ``prod_{m<j} Z_m`` acting on
+    the ket therefore reduces to the single diagonal ``P_j`` on bond
+    ``j`` (up to one global boundary sign that cancels in every
+    ``|.|^2``), which is what makes fermionic spectral functions ride
+    the bosonic tangent machinery unchanged
+    (:func:`~contractn_tpu.models.excitations_cell.
+    spectral_weights_cell`'s ``string_parities=``).
+
+    Args:
+        sector: the ``vumps_u1_cell`` sector dict.
+        z_diag: length-``d_i`` per-state string eigenvalues (``+-1``),
+            one sequence per site or a single shared one (e.g.
+            ``(1, -1)`` for spin-1/2 JW, ``(1, -1, -1, 1)`` for the
+            folded d=4 Hubbard site parity ``Z x Z``).
+
+    Returns:
+        ``(parities, cell_sign)`` — a list of n ``(D,)`` float arrays
+        (``0.0`` on dead slots) and the per-cell wrap sign
+        ``P_{j+n} = cell_sign * P_j`` (``(-1)^{fermions per cell}``;
+        it multiplies the cell momentum phase in the geometric
+        string-dressed solves).
+    """
+    qs = [np.asarray(q) for q in sector["charges"]]
+    n = len(qs)
+    phys = sector["phys_list"]
+    zs = _per_site(z_diag, n)
+    # forward charge walk with signs, seeded from ONE bond-0 charge
+    # (relative signs between charges EMERGE from the recursion —
+    # seeding them from charge differences is wrong for packed
+    # multi-component lattices, where parity is not (q - q0)/2)
+    n_walk = 8
+    levels = n_walk * n + 1
+    sign = [dict() for _ in range(levels)]
+    live0 = sorted(int(q) for q in qs[0][qs[0] != _DEAD_VALUE])
+    sign[0][live0[0]] = 1.0
+    for lvl in range(levels - 1):
+        i = lvl % n
+        for q, sg in sign[lvl].items():
+            for s, p in enumerate(phys[i]):
+                val = sg * float(zs[i][s])
+                prev = sign[lvl + 1].get(q + int(p))
+                if prev is not None and prev != val:
+                    raise ValueError(
+                        f"string eigenvalues {tuple(zs[i])} are not a "
+                        "parity function of the conserved charge at "
+                        f"site {i} — no telescoping string sign")
+                sign[lvl + 1][q + int(p)] = val
+    cell_sign = None
+    for lvl in range(levels - n):
+        common = set(sign[lvl]) & set(sign[lvl + n])
+        ratios = {sign[lvl + n][q] * sign[lvl][q] for q in common}
+        if len(ratios) > 1:
+            raise ValueError("inconsistent cell wrap sign")
+        if ratios:
+            r = ratios.pop()
+            if cell_sign is not None and r != cell_sign:
+                raise ValueError("inconsistent cell wrap sign")
+            cell_sign = r
+    if cell_sign is None:
+        raise ValueError("charge walk never revisits a charge — "
+                         "cannot fix the cell wrap sign")
+    # collapse levels onto bonds, rescaling by the wrap sign
+    parities = []
+    for jb in range(n):
+        merged = dict()
+        for lvl in range(jb, levels, n):
+            scale = cell_sign ** ((lvl - jb) // n)
+            for q, sg in sign[lvl].items():
+                val = sg * scale
+                prev = merged.get(q)
+                if prev is not None and prev != val:
+                    raise ValueError(
+                        "string sign is not a function of the bond "
+                        f"charge on bond {jb}")
+                merged[q] = val
+        missing = [int(q) for q in qs[jb]
+                   if q != _DEAD_VALUE and int(q) not in merged]
+        if missing:
+            raise ValueError(
+                f"live charges {missing} on bond {jb} unreachable "
+                "from the walk — cannot assign string signs")
+        parities.append(jnp.asarray(
+            [merged.get(int(q), 0.0) for q in qs[jb]]))
+    return parities, float(cell_sign)
+
+
 def excitation_charge_masks_cell(sector, delta_q):
     """Per-site ``(d_i, D, D)`` 0/1 masks of tangent directions
     carrying EXACT excitation charge ``delta_q`` on a cell sector:

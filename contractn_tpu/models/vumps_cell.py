@@ -427,14 +427,20 @@ def expect_local_cell(ground, op, site):
     return val if np.iscomplexobj(np.asarray(ac)) else float(val.real)
 
 
-def correlate_cell(ground, op1, op2, site, distances):
+def correlate_cell(ground, op1, op2, site, distances, string=None):
     """Connected ``<O1_site O2_{site+x}>_c`` on a cell ground for each
     ``x`` in ``distances`` (all >= 1).
 
     One pass: ``AC_site`` dressed with ``O1`` opens the window, the
     right-canonical ``AR`` tensors (period n) carry it — every
     intermediate environment is exact (no leading-eigenvector solves;
-    the gauge IS the fixed point)."""
+    the gauge IS the fixed point).
+
+    ``string`` (optional ``(d, d)``) is applied to the KET on every
+    site strictly BETWEEN the two operators — Jordan-Wigner fermion
+    correlators ``<c^d_i (Z..Z) c_j>`` ride the same pass (with a
+    string the disconnected subtraction is skipped: a string-dressed
+    two-point function has no product-of-locals part)."""
     distances = [int(x) for x in distances]
     if any(x < 1 for x in distances):
         raise ValueError("distances must be >= 1")
@@ -446,7 +452,7 @@ def correlate_cell(ground, op1, op2, site, distances):
     op2 = jnp.asarray(op2, ac.dtype)
     nrm = peinsum("sab,sab->", jnp.conj(ac), ac)
     rho = peinsum("sab,st,tac->bc", jnp.conj(ac), op1, ac) / nrm
-    e1 = expect_local_cell(ground, op1, i)
+    e1 = expect_local_cell(ground, op1, i) if string is None else 0.0
     max_x = max(distances)
     out = {}
     for x in range(1, max_x + 1):
@@ -454,11 +460,14 @@ def correlate_cell(ground, op1, op2, site, distances):
         if x in distances:
             val = peinsum("bc,sbd,st,tcd->", rho, jnp.conj(ars[j]),
                           op2, ars[j])
-            out[x] = complex(np.asarray(val)) - e1 * expect_local_cell(
-                ground, op2, j)
+            out[x] = complex(np.asarray(val)) - (
+                e1 * expect_local_cell(ground, op2, j)
+                if string is None else 0.0)
         if x < max_x:
+            ket = ars[j] if string is None else peinsum(
+                "st,tbf->sbf", jnp.asarray(string, ac.dtype), ars[j])
             rho = peinsum("bc,sbd,scf->df", rho, jnp.conj(ars[j]),
-                          ars[j])
+                          ket)
     is_cpx = np.iscomplexobj(np.asarray(ac))
     return [out[x] if is_cpx else float(np.real(out[x]))
             for x in distances]

@@ -120,7 +120,26 @@ def test_vumps_u1_cell_native_hubbard_lieb_wu():
     assert float(e_rem) < 0.0 < float(e_add)
 
 
-def test_sector_excitation_minimum_cell_dimerized_exact():
+J_DIM, DELTA_DIM = 1.5, 1.0 / 3.0
+T1_DIM = J_DIM * (1 + DELTA_DIM) / 2
+T2_DIM = J_DIM * (1 - DELTA_DIM) / 2
+
+
+@pytest.fixture(scope="module")
+def masked_dimer():
+    """Masked native dimerized-XX cell ground (D = 16) plus its
+    excitation prep, shared by the charged-band and ARPES tests."""
+    from contractn_tpu.models.excitations_cell import (
+        prepare_excitations_cell as prep_cell,
+    )
+
+    m = xx_dimerized_mpo(4, j=J_DIM, delta=DELTA_DIM)
+    cores = [m.cores[0], m.cores[1]]
+    g = vumps_u1_cell(cores, 16, (1, -1), iters=150)
+    return g, cores, prep_cell(g, cores, tol=1e-10)
+
+
+def test_sector_excitation_minimum_cell_dimerized_exact(masked_dimer):
     """Charged bands above the NATIVE masked cell ground (d=2, no
     folding): the dimerized XX dq = +-2 minima land on the exact JW
     band |t1 + t2 e^{i(K + pi)}| (1.9e-3 at D=16, 2e-6 at D=24 —
@@ -128,16 +147,11 @@ def test_sector_excitation_minimum_cell_dimerized_exact():
     D-convergence, not a bound violation), the neutral sector starts
     at the two-particle continuum bottom, and unreachable charges
     fail loudly."""
-    j, delta = 1.5, 1.0 / 3.0
-    t1, t2 = j * (1 + delta) / 2, j * (1 - delta) / 2
-    m = xx_dimerized_mpo(4, j=j, delta=delta)
-    cores = [m.cores[0], m.cores[1]]
-    g = vumps_u1_cell(cores, 16, (1, -1), iters=150)
+    g, cores, prep = masked_dimer
     assert g["gradient_norm"] < 1e-8
-    prep = prepare_excitations_cell(g, cores, tol=1e-10)
 
     def band(big_k):
-        return abs(t1 + t2 * np.exp(1j * (big_k + np.pi)))
+        return abs(T1_DIM + T2_DIM * np.exp(1j * (big_k + np.pi)))
 
     for dq in (2, -2):
         e, _ = sector_excitation_minimum_cell(g, cores, dq, 0.0,
@@ -151,3 +165,74 @@ def test_sector_excitation_minimum_cell_dimerized_exact():
     assert float(e0) > 2 * band(0.0) - 5e-3
     with pytest.raises(ValueError, match="live tangent"):
         sector_excitation_minimum_cell(g, cores, 99, 0.0, prep=prep)
+
+
+def test_fermionic_spectral_function_free_chain(masked_dimer):
+    """Single-particle (ARPES) spectral function on the masked cell
+    ground, free-fermion exact.
+
+    The JW string telescopes on the exact-U(1) manifold
+    (string_parities_cell; Z AL = P_l . AL . P_r pinned at 0.0), so
+    the removal operator c(kappa) rides spectral_weights_cell
+    unchanged.  Pins: (1) the removal sum rule — total weight ==
+    n(kappa) from INDEPENDENT string correlators at 1e-8 and == the
+    exact free-fermion momentum distribution at the state's
+    convergence level; (2) the dominant pole on the exact valence
+    band |t1 + t2 e^{2 i kappa}| carrying > 99.9% of the sector
+    weight; (3) the string eigenvalues must be (-1)^n — the
+    OPPOSITE sign convention shifts the whole spectrum by pi
+    (invisible to finite string correlators, whose even-r terms
+    vanish at half filling; measured before fixing)."""
+    from contractn_tpu.models.excitations_cell import (
+        spectral_weights_cell,
+    )
+    from contractn_tpu.models.u1_vumps_cell import (
+        string_parities_cell,
+    )
+    from contractn_tpu.models.vumps_cell import (
+        correlate_cell,
+        expect_local_cell,
+    )
+
+    g, cores, prep = masked_dimer
+    sp = np.array([[0.0, 1.0], [0.0, 0.0]])
+    sm = sp.T
+    strz = np.diag([-1.0, 1.0])  # (-1)^n, occupied = index 0
+    nop = np.diag([1.0, 0.0])
+    parities, cell_sign = string_parities_cell(g["sector"], (-1, 1))
+    assert cell_sign == -1.0  # one fermion per cell at half filling
+    # parity identity: Z AL_i == P_i . AL_i . P_{i+1}, exactly
+    for i in range(2):
+        al = np.asarray(g["als"][i])
+        zal = np.einsum("st,tab->sab", strz, al)
+        pl = np.asarray(parities[i])
+        pr = np.asarray(parities[(i + 1) % 2]) * (
+            cell_sign if i == 1 else 1.0)
+        rhs = np.einsum("a,sab,b->sab", pl, al, pr)
+        assert np.abs(zal - rhs).max() == 0.0, i
+
+    xs = list(range(1, 50))
+    cs0 = np.asarray(correlate_cell(g, sp, sm, 0, xs, string=strz))
+    cs1 = np.asarray(correlate_cell(g, sp, sm, 1, xs, string=strz))
+    n_avg = 0.5 * (expect_local_cell(g, nop, 0)
+                   + expect_local_cell(g, nop, 1))
+
+    def n_of(kappa):
+        v = n_avg
+        for r, (c0, c1) in enumerate(zip(cs0, cs1), start=1):
+            v += 2 * np.real(np.exp(-1j * kappa * r)
+                             * 0.5 * (c0 + c1))
+        return v
+
+    for kappa in (1.2, 2.4):
+        om, wt = spectral_weights_cell(g, cores, sm, kappa,
+                                       prep=prep,
+                                       string_parities=parities,
+                                       cell_sign=cell_sign)
+        om, wt = np.asarray(om), np.asarray(wt)
+        tot = float(np.sum(wt))
+        assert abs(tot - n_of(kappa)) < 1e-8, kappa  # sum rule
+        idx = int(np.argmax(wt))
+        want = abs(T1_DIM + T2_DIM * np.exp(2j * kappa))
+        assert abs(om[idx] - want) < 2e-3, (kappa, om[idx], want)
+        assert wt[idx] / tot > 0.998, kappa  # clean quasiparticle
