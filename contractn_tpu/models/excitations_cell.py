@@ -499,6 +499,35 @@ def spectral_weights_cell(ground, mpo_cores, op, kappa, tol=1e-10,
     return omegas, jnp.abs(amps) ** 2
 
 
+def dynamic_structure_factor_cell(ground, mpo_cores, op, kappas,
+                                  omegas, eta=0.05, tol=1e-10,
+                                  string_parities=None,
+                                  cell_sign=1.0):
+    """Lorentzian-broadened ``S(kappa, w)`` map on a cell ground from
+    the tangent-space poles — the cell version of
+    :func:`~contractn_tpu.models.excitations.
+    dynamic_structure_factor`, with per-site momenta ``kappas``
+    spanning the FULL extended zone (each maps to its cell sector
+    ``K = n kappa``).  With ``string_parities``/``cell_sign`` the map
+    is a fermionic single-particle spectral function ``A(kappa, w)``
+    (ARPES when ``op`` annihilates, inverse photoemission when it
+    creates).  Returns ``(len(kappas), len(omegas))``.
+    """
+    kappas = np.atleast_1d(np.asarray(kappas, float))
+    omegas = np.atleast_1d(np.asarray(omegas, float))
+    out = np.zeros((kappas.size, omegas.size))
+    prep = prepare_excitations_cell(ground, mpo_cores, tol=tol)
+    for i, kap in enumerate(kappas):
+        om, wt = spectral_weights_cell(
+            ground, mpo_cores, op, float(kap), tol=tol, prep=prep,
+            string_parities=string_parities, cell_sign=cell_sign)
+        om, wt = np.asarray(om), np.asarray(wt)
+        lor = (eta / np.pi) / (
+            (omegas[None, :] - om[:, None]) ** 2 + eta * eta)
+        out[i] = np.matmul(wt, lor)
+    return out
+
+
 def quasiparticle_dispersion_cell(mpo_cores, ks, bond_dim=12,
                                   ground=None, n_bands=1, tol=1e-10,
                                   **vumps_kwargs):

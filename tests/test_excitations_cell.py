@@ -130,6 +130,18 @@ def test_spectral_weights_cell_n1_reduction_and_sum_rule():
                                                max_distance=50)
         assert abs(float(np.sum(np.asarray(wt))) - s_exact) < 1e-6
 
+    # broadened map: the omega integral recovers S(kappa)
+    from contractn_tpu.models.excitations_cell import (
+        dynamic_structure_factor_cell,
+    )
+
+    omegas = np.linspace(-40.0, 60.0, 4001)
+    smap = dynamic_structure_factor_cell(g1, [w], sx, [0.4], omegas,
+                                         eta=0.2)
+    integral = np.trapezoid(smap[0], omegas)
+    s_tot = float(np.sum(np.asarray(wt_c)))
+    assert abs(integral - s_tot) < 2e-2 * max(s_tot, 1.0)
+
 
 def test_spectral_weights_cell_native_unfolding(dimer_ground):
     """Native extended-zone unfolding: on the dimerized XX cell, the
