@@ -499,6 +499,83 @@ def spectral_weights_cell(ground, mpo_cores, op, kappa, tol=1e-10,
     return omegas, jnp.abs(amps) ** 2
 
 
+def excitation_minimum_cell(ground, mpo_cores, k, iters=60, tol=1e-8,
+                            prep=None, key=None):
+    """Lowest excitation at cell momentum ``k`` by projected Lanczos —
+    no dense ``H_eff`` build, so it scales to bond dimensions where
+    the ``O((sum_i (d_i-1) D^2)^2)`` environment-solve count of
+    :func:`excitation_spectrum_cell` is prohibitive.
+
+    Works directly on full per-site ``B`` tensors with the dense
+    left-tangent gauge projector ``B_i - AL_i (AL_i^H B_i)`` applied
+    per iteration INSIDE Lanczos (``project=`` — ending the matvec
+    with it is not enough; see ``ops/krylov.py``), and each site's
+    regularization constant subtracted in the matvec.  The charged
+    variant with masks is :func:`~contractn_tpu.models.u1_vumps_cell.
+    sector_excitation_minimum_cell`.
+
+    Returns ``(energy, b_tensors)``.
+    """
+    import jax as _jax
+
+    from ..ops.krylov import lanczos_ground
+
+    p = prep if prep is not None else prepare_excitations_cell(
+        ground, mpo_cores, tol=tol)
+    n = len(p["als"])
+    als, ars, ws = p["als"], p["ars"], p["ws"]
+    fls, frs, lams = p["fls"], p["frs"], p["lams"]
+    cdt = p["cdt"]
+    bond = als[0].shape[1]
+    kc = jnp.asarray(float(k), cdt)
+    ph_r = jnp.exp(+1j * kc)
+    shapes = [a.shape for a in als]
+    sizes = [int(np.prod(s)) for s in shapes]
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    al_mats = [als[i].reshape(shapes[i][0] * bond, bond)
+               for i in range(n)]
+
+    def split(v):
+        return [v[offs[i]:offs[i + 1]].reshape(shapes[i])
+                for i in range(n)]
+
+    def project(v):
+        outs = []
+        for i, b in enumerate(split(v)):
+            m = b.reshape(shapes[i][0] * bond, bond)
+            m = m - al_mats[i] @ (jnp.conj(al_mats[i]).T @ m)
+            outs.append(m.reshape(-1))
+        return jnp.concatenate(outs)
+
+    def matvec(v):
+        bs = split(v)
+        lbs = _lb_cell(als, ars, p["cs"][0], fls, ws, bs, kc,
+                       p["is_zeros"], p["diag_prod_zero"],
+                       p["eye_diag_cell"], tol=tol)
+        rbs = _rb_cell(als, ars, p["cs"][0], frs, ws, bs, kc,
+                       p["is_zeros"], p["diag_prod_zero"],
+                       p["eye_diag_cell"], tol=tol)
+        outs = []
+        for i in range(n):
+            out = _h_ac(fls[i], ws[i], frs[(i + 1) % n], bs[i])
+            out = out + _h_ac(lbs[i], ws[i], frs[(i + 1) % n],
+                              ars[i])
+            rbu = rbs[(i + 1) % n] if i < n - 1 else ph_r * rbs[0]
+            out = out + _h_ac(fls[i], ws[i], rbu, als[i])
+            outs.append((out - lams[i] * bs[i]).ravel())
+        return project(jnp.concatenate(outs))
+
+    key = key if key is not None else _jax.random.PRNGKey(0)
+    kr_, ki_ = _jax.random.split(key)
+    total = int(offs[-1])
+    v0 = (_jax.random.normal(kr_, (total,))
+          + 1j * _jax.random.normal(ki_, (total,))).astype(cdt)
+    v0 = project(v0)
+    energy, vec = _jax.jit(
+        lambda v: lanczos_ground(matvec, v, iters, project=project))(v0)
+    return jnp.real(energy), tuple(split(vec))
+
+
 def dynamic_structure_factor_cell(ground, mpo_cores, op, kappas,
                                   omegas, eta=0.05, tol=1e-10,
                                   string_parities=None,

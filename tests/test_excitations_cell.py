@@ -166,3 +166,26 @@ def test_spectral_weights_cell_native_unfolding(dimer_ground):
         assert share > 0.8, share  # clean quasiparticle pole
     assert abs(res[0][0] - res[1][0]) < 1e-9     # same eigenstate
     assert abs(res[0][1] - res[1][1]) > 0.02     # different weight
+
+
+def test_excitation_minimum_cell_matches_dense(dimer_ground):
+    """The projected-Lanczos lowest band == the dense H_eff bottom
+    (same momentum, same ground) — the scalable path for bond
+    dimensions where the dense build is prohibitive."""
+    from contractn_tpu.models.excitations_cell import (
+        excitation_minimum_cell,
+    )
+
+    g, cores = dimer_ground
+    prep = prepare_excitations_cell(g, cores)
+    for big_k in (0.0, 2.0):
+        want = abs(T1 + T2 * np.exp(1j * (big_k + np.pi)))
+        e, bs = excitation_minimum_cell(g, cores, big_k, prep=prep)
+        assert abs(float(e) - want) < 1e-7, (big_k, float(e), want)
+        assert len(bs) == 2
+        # returned tensors are gauge-fixed: sum_s AL^H B == 0
+        for i in range(2):
+            al = np.asarray(g["als"][i]).astype(complex)
+            b = np.asarray(bs[i])
+            ov = np.einsum("sji,sjk->ik", al.conj(), b)
+            assert np.abs(ov).max() < 1e-10, i
