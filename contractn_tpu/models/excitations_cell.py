@@ -543,7 +543,8 @@ def excitation_minimum_cell(ground, mpo_cores, k, iters=60, tol=1e-8,
         outs = []
         for i, b in enumerate(split(v)):
             m = b.reshape(shapes[i][0] * bond, bond)
-            m = m - al_mats[i] @ (jnp.conj(al_mats[i]).T @ m)
+            ov = peinsum("ji,jk->ik", jnp.conj(al_mats[i]), m)
+            m = m - peinsum("ij,jk->ik", al_mats[i], ov)
             outs.append(m.reshape(-1))
         return jnp.concatenate(outs)
 

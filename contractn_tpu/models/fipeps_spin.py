@@ -141,18 +141,21 @@ def hubbard_fock_rowmajor(ly, lx, t=1.0, u=0.0, mu=0.0, delta=0.0):
     for r in range(ly):
         for c in range(lx):
             i = r * lx + c
-            h += u * (cs[2 * i].T @ cs[2 * i]) @ (
-                cs[2 * i + 1].T @ cs[2 * i + 1])
+            h += u * np.matmul(
+                np.matmul(cs[2 * i].T, cs[2 * i]),
+                np.matmul(cs[2 * i + 1].T, cs[2 * i + 1]))
             for s in (0, 1):
-                h += -mu * (cs[2 * i + s].T @ cs[2 * i + s])
+                h += -mu * np.matmul(cs[2 * i + s].T, cs[2 * i + s])
             for (r2, c2) in ((r, c + 1), (r + 1, c)):
                 if r2 >= ly or c2 >= lx:
                     continue
                 j = r2 * lx + c2
                 for s in (0, 1):
                     a, b = 2 * i + s, 2 * j + s
-                    h += -t * (cs[a].T @ cs[b] + cs[b].T @ cs[a])
-                    h += delta * (cs[a].T @ cs[b].T + cs[b] @ cs[a])
+                    h += -t * (np.matmul(cs[a].T, cs[b])
+                               + np.matmul(cs[b].T, cs[a]))
+                    h += delta * (np.matmul(cs[a].T, cs[b].T)
+                                  + np.matmul(cs[b], cs[a]))
     return h
 
 

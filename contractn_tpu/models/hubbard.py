@@ -93,16 +93,17 @@ def hubbard_fock_hamiltonian(lx, ly, t=1.0, u=4.0, mu=0.0):
     for r in range(ly):
         for c in range(lx):
             iu = so_index(r, c, 0, lx)
-            nu = cs[iu].T @ cs[iu]
-            nd = cs[iu + 1].T @ cs[iu + 1]
-            h += u * (nu @ nd) - mu * (nu + nd)
+            nu = np.matmul(cs[iu].T, cs[iu])
+            nd = np.matmul(cs[iu + 1].T, cs[iu + 1])
+            h += u * np.matmul(nu, nd) - mu * (nu + nd)
             for (r2, c2) in ((r, c + 1), (r + 1, c)):
                 if r2 >= ly or c2 >= lx:
                     continue
                 for s in (0, 1):
                     a = so_index(r, c, s, lx)
                     b = so_index(r2, c2, s, lx)
-                    h += -t * (cs[a].T @ cs[b] + cs[b].T @ cs[a])
+                    h += -t * (np.matmul(cs[a].T, cs[b])
+                               + np.matmul(cs[b].T, cs[a]))
     return h
 
 

@@ -220,7 +220,8 @@ def _aligned_polar(m, row_sel, col_sel):
                * col_sel[ci][None, :].astype(dt))
         u, s, vh = jnp.linalg.svd(sub, full_matrices=False)
         keep = (s > 1e-13 * jnp.maximum(s[0], 1e-300)).astype(rdt)
-        acc = acc + (u * keep[None, :].astype(dt)) @ vh
+        acc = acc + peinsum("ij,jk->ik",
+                            u * keep[None, :].astype(dt), vh)
     return acc
 
 
@@ -376,9 +377,9 @@ def sector_excitation_minimum(ground, mpo_cell, delta_q, k, iters=60,
     # yields a (near-)zero STATE at unit <B, B>, and its Rayleigh
     # quotient deflates to a spurious sub-band value (measured 0.04
     # vs the exact 0.5 band bottom on the dimerized free chain).
-    live_l = jnp.real(jnp.einsum("sji,sjk->ik", jnp.conj(al), al)
+    live_l = jnp.real(peinsum("sji,sjk->ik", jnp.conj(al), al)
                       ).diagonal() > 0.5
-    live_r = jnp.real(jnp.einsum("sij,skj->ik", ar, jnp.conj(ar))
+    live_r = jnp.real(peinsum("sij,skj->ik", ar, jnp.conj(ar))
                       ).diagonal() > 0.5
     qmask = qmask * live_l[None, :, None] * live_r[None, None, :]
     if float(qmask.sum()) == 0.0:
@@ -390,7 +391,8 @@ def sector_excitation_minimum(ground, mpo_cell, delta_q, k, iters=60,
 
     def project(b):
         m = b.reshape(d * bond, bond)
-        m = m - al_mat @ (jnp.conj(al_mat).T @ m)
+        ov = peinsum("ji,jk->ik", jnp.conj(al_mat), m)
+        m = m - peinsum("ij,jk->ik", al_mat, ov)
         return m.reshape(d, bond, bond) * qmask
 
     def matvec(b):

@@ -453,7 +453,8 @@ def sector_excitation_minimum_cell(ground, mpo_cores, delta_q, k,
         outs = []
         for i, b in enumerate(split(v)):
             m = b.reshape(shapes[i][0] * bond, bond)
-            m = m - al_mats[i] @ (jnp.conj(al_mats[i]).T @ m)
+            ov = peinsum("ji,jk->ik", jnp.conj(al_mats[i]), m)
+            m = m - peinsum("ij,jk->ik", al_mats[i], ov)
             outs.append((m.reshape(shapes[i]) * qmasks[i]).ravel())
         return jnp.concatenate(outs)
 
