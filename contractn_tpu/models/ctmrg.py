@@ -195,6 +195,21 @@ def ising_tensor(beta, field_op=None):
     return jnp.asarray(a)
 
 
+def potts_tensor(beta, q=3, field_op=None):
+    """Partition-function site tensor of the q-state Potts model
+    ``H = -sum_<ij> delta(s_i, s_j)`` (same W-decomposition as
+    :func:`ising_tensor`, which is the ``q = 2`` case up to the spin
+    relabeling).  Self-dual critical point: ``beta_c = ln(1+sqrt(q))``;
+    for the continuous transitions (``q <= 4``) the internal energy
+    there is exactly ``d ln z / d beta = 1 + 1/sqrt(q)``."""
+    b = (np.exp(beta) - 1.0) * np.eye(q) + np.ones((q, q))
+    vals, vecs = np.linalg.eigh(b)
+    w = vecs * np.sqrt(np.maximum(vals, 0.0))[None, :]
+    weight = np.ones(q) if field_op is None else np.asarray(field_op)
+    a = np.einsum("s,su,sl,sd,sr->uldr", weight, w, w, w, w)
+    return jnp.asarray(a)
+
+
 def ising_boundary(beta):
     """Fixed-spin (+1) boundary seed ``(C0, T0)`` — breaks the Z2
     symmetry so the ordered phase converges to one pure state."""

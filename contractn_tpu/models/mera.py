@@ -292,6 +292,74 @@ def mera_ground_state(h2, chi, d=2, sweeps=800, rho_iters=20,
     return params, float(energies[-1]) + lam
 
 
+def _ascend_site_central(o, w, prec):
+    """One-site ascent through the CENTER slot of ``w`` (the slot no
+    disentangler touches): ``S(o)[a,b] = sum w[a,x,i,y] o[i,j]
+    w[b,x,j,y]`` — the one-site scaling superoperator."""
+    return jnp.einsum("axiy,ij,bxjy->ab", w, o, w, precision=prec)
+
+
+def _rho_one_site(rho4, prec):
+    """Average one-site density from the two-site one."""
+    return 0.5 * (jnp.einsum("abcb->ac", rho4, precision=prec)
+                  + jnp.einsum("abad->bd", rho4, precision=prec))
+
+
+def mera_site_expectation(params, op, rho_iters=80):
+    """One-site expectation ``<op>`` in the MERA state (the operator
+    sits on a block-central site; by translation averaging of the
+    fixed-point density this is the uniform one-site expectation)."""
+    prec = dot_precision(params["w_s"].dtype)
+    op = jnp.asarray(op, params["w_s"].dtype)
+    for _, w in zip(params["u"], params["w"]):
+        op = _ascend_site_central(op, w, prec)
+    rho = _fixed_density(params["u_s"], params["w_s"], prec, rho_iters)
+    rho1 = _rho_one_site(rho, prec)
+    return float(jnp.einsum("ab,ba->", rho1, op, precision=prec))
+
+
+def mera_correlator(params, op, kmax=6, rho_iters=80):
+    """Two-point correlators ``<op(x) op(x + 3^k)>`` for ``k >= L``.
+
+    Sites central in their block at every level ascend through the
+    one-site scaling superoperator alone; two such sites ``3^k`` apart
+    land on ADJACENT coarse sites after ``k`` layers, where the
+    scale-invariant two-site density evaluates them.  At a critical
+    point the decay follows ``r^(-2 Delta)`` with ``Delta`` the
+    operator's leading scaling dimension — the ratio
+    ``C(3^(k+1))/C(3^k) -> 3^(-2 Delta)``.
+
+    Returns ``(distances, values)`` for ``k = L .. kmax`` (``L`` =
+    number of transitional layers).
+    """
+    prec = dot_precision(params["w_s"].dtype)
+    op = jnp.asarray(op, params["w_s"].dtype)
+    for _, w in zip(params["u"], params["w"]):
+        op = _ascend_site_central(op, w, prec)
+    rho = _fixed_density(params["u_s"], params["w_s"], prec, rho_iters)
+    rho1 = _rho_one_site(rho, prec)
+    n_layers = len(params["u"])
+
+    def connected(o):
+        # Project out the identity channel (lambda = 1): finite-chi
+        # optimization breaks symmetries slightly, and any identity
+        # component acquired below rides up unchanged (S(I) = I) and
+        # would eventually dominate every power-law channel.
+        return o - jnp.einsum("ab,ba->", rho1, o, precision=prec) \
+            * jnp.eye(o.shape[0], dtype=o.dtype)
+
+    op = connected(op)
+    dists, vals = [], []
+    for k in range(n_layers, kmax + 1):
+        if k > n_layers:
+            op = connected(
+                _ascend_site_central(op, params["w_s"], prec))
+        val = jnp.einsum("abcd,ca,db->", rho, op, op, precision=prec)
+        dists.append(3 ** k)
+        vals.append(float(val))
+    return np.asarray(dists), np.asarray(vals)
+
+
 def _embed_unitary(u, m_new):
     """Embed a unitary ``(m,m,m,m)`` into ``(m',m',m',m')``: the old
     block acts on the old product subspace, identity on its complement

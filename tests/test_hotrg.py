@@ -5,6 +5,7 @@ import numpy as np
 from contractn_tpu.models.ctmrg import (
     free_energy_per_site,
     ising_tensor,
+    potts_tensor,
 )
 from contractn_tpu.models.hotrg import (
     hotrg_bond_expectation,
@@ -79,6 +80,29 @@ def test_field_biased_magnetization():
     m = hotrg_expectation(a, sig, chi=12, steps=30)
     m_yang = (1.0 - np.sinh(2.0 * beta) ** -4.0) ** 0.125
     assert m_yang < m < 1.0, (m, m_yang)
+
+
+def test_potts_free_energy_matches_ctmrg():
+    # 3-state Potts, both phases: HOTRG's local truncation converges
+    # toward the (environment-aware, already chi-converged) CTMRG value
+    # from below in chi; 1e-5 at chi=20, 6e-8 at chi=26 (measured).
+    for beta in (0.8, 1.2):
+        a = potts_tensor(beta, q=3)
+        got = hotrg_log_z(a, chi=20, steps=30)
+        ref = free_energy_per_site(a, chi=20, iters=300)
+        assert np.isclose(got, ref, atol=1e-5), (beta, got, ref)
+
+
+def test_potts_self_dual_internal_energy():
+    # Exact duality anchor at the continuous q=3 transition:
+    # d ln z / d beta |_{beta_c} = 1 + 1/sqrt(q), beta_c = ln(1+sqrt q).
+    q = 3
+    beta_c = np.log(1.0 + np.sqrt(q))
+    eps = 2e-4
+    lp = hotrg_log_z(potts_tensor(beta_c + eps, q), chi=20, steps=30)
+    lm = hotrg_log_z(potts_tensor(beta_c - eps, q), chi=20, steps=30)
+    u = (lp - lm) / (2.0 * eps)
+    assert abs(u - (1.0 + 1.0 / np.sqrt(q))) < 2e-3, u
 
 
 def test_matches_ctmrg_on_generic_symmetric_tensor():

@@ -60,6 +60,23 @@ def test_critical_tfim_energy_and_scaling_dimensions():
     assert abs(dims[0]) < 1e-8
     assert abs(dims[1] - 0.125) < 0.02, dims
 
+    # One-site expectation: critical <X> = 2/pi.
+    from contractn_tpu.models.mera import (
+        mera_correlator,
+        mera_site_expectation,
+    )
+    sx = mera_site_expectation(params, np.array([[0.0, 1.0], [1.0, 0.0]]))
+    assert abs(sx - 2.0 / np.pi) < 0.01, sx
+
+    # Order-parameter correlator: r^(-2 Delta_sigma) power law whose
+    # implied exponent matches the scaling superoperator's Delta_sigma
+    # (self-consistency) and the CFT value.
+    _, c = mera_correlator(params, np.array([[1.0, 0.0], [0.0, -1.0]]),
+                           kmax=7)
+    implied = -np.log(c[-1] / c[-2]) / (2.0 * np.log(3.0))
+    assert abs(implied - dims[1]) < 0.005, (implied, dims[1])
+    assert abs(implied - 0.125) < 0.03, implied
+
 
 def test_expand_mera_is_exact():
     # The chi-ramp warm start must represent the SAME state: embedded
