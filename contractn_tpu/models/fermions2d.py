@@ -64,7 +64,7 @@ def string_mpo(n_sites, terms, onsite=None, d=2, dtype=jnp.float64):
     n_terms = len(terms)
     wdim = n_terms + 2
     last = wdim - 1
-    cores = np.zeros((n_sites, d, d, wdim, wdim))
+    cores = np.zeros((n_sites, d, d, wdim, wdim), dtype=np.dtype(dtype))
     for i in range(n_sites):
         cores[i, :, :, 0, 0] = np.eye(d)
         cores[i, :, :, last, last] = np.eye(d)

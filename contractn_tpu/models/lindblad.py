@@ -1,0 +1,214 @@
+"""Open quantum systems: Lindblad dynamics on matrix-product density
+operators.
+
+The density matrix of an open chain is vectorized site-by-site —
+``vec(rho)[s, a] = rho[s, a]`` with the ``(s, a)`` pair as one ``d^2``
+local index — so ``rho`` IS an MPS and the Lindbladian
+
+``L(rho) = -i [H, rho] + sum_k (L_k rho L_k^+
+- (1/2) {L_k^+ L_k, rho})``
+
+IS an MPO on the doubled space: left multiplication lifts an operator
+MPO as ``W (x) I``, right multiplication as ``I (x) W^T`` (the
+vectorization convention fixes the transpose), and one-site jump
+operators enter as on-site superoperator terms.  Everything downstream
+reuses the framework's MPS primitives unchanged: exact MPO application
+(bond ``W D``), direct-sum addition, SVD compression, inner products —
+time evolution is classical RK4 over those three primitives with a
+compression after every stage.  Traces and observables are inner
+products against product "bras": ``Tr(O rho) = <vec(O^T)_i (x)
+vec(I)_rest, vec(rho)>``.
+
+The Liouvillian MPO is assembled by :func:`~contractn_tpu.models.mpo.
+mpo_sum` and compressed to its minimal exact rank — e.g. the dephased
+XX chain's Liouvillian lands at ``W = 6`` (the two lifted copies of
+the ``W = 4`` XX MPO share their identity boundary channels; the
+on-site dephasing rides those channels for free).
+
+Validated against dense Lindblad evolution (``expm`` of the full
+``4^n x 4^n`` Liouvillian): the assembled superoperator MPO matches
+the dense Liouvillian entrywise to 1e-14, site magnetization
+trajectories to 1e-6, trace preservation to machine precision, and
+the long-time state reaches the dense null-space steady state.  No
+open-system or density-operator capability of any kind exists in the
+reference (contractn/ contains no evolution machinery at all).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from .boundary import apply_mpo_to_mps
+from .canonical import compress, compress_mpo, mps_add
+from .fermions2d import string_mpo
+from .mpo import MPO, mpo_sum
+from .mps import MPS
+
+
+def _lift_left(mpo, dtype):
+    """``A rho``: superoperator MPO ``W (x) I`` on the doubled space."""
+    w = np.asarray(mpo.cores).astype(dtype)
+    n, d, _, wb, _ = w.shape
+    eye = np.eye(d)
+    out = np.einsum("nsSwv,aA->nsaSAwv", w, eye).reshape(
+        n, d * d, d * d, wb, wb)
+    return MPO(jnp.asarray(out),
+               jnp.asarray(np.asarray(mpo.left), dtype),
+               jnp.asarray(np.asarray(mpo.right), dtype))
+
+
+def _lift_right(mpo, dtype):
+    """``rho A``: superoperator MPO ``I (x) W^T`` (vectorization puts
+    the ancilla index on the right factor of ``rho``)."""
+    w = np.asarray(mpo.cores).astype(dtype)
+    n, d, _, wb, _ = w.shape
+    eye = np.eye(d)
+    out = np.einsum("naAwv,sS->nsaSAwv", np.swapaxes(w, 1, 2), eye
+                    ).reshape(n, d * d, d * d, wb, wb)
+    return MPO(jnp.asarray(out),
+               jnp.asarray(np.asarray(mpo.left), dtype),
+               jnp.asarray(np.asarray(mpo.right), dtype))
+
+
+def _dissipator_site(jump):
+    """One-site superoperator ``L (x) conj(L) - (1/2)(L+L (x) I)
+    - (1/2)(I (x) (L+L)^T)``."""
+    el = np.asarray(jump, complex)
+    d = el.shape[0]
+    ldl = el.conj().T @ el
+    eye = np.eye(d)
+    term = np.einsum("sS,aA->saSA", el, el.conj())
+    term -= 0.5 * np.einsum("sS,aA->saSA", ldl, eye)
+    term -= 0.5 * np.einsum("sS,aA->saSA", eye, ldl.T)
+    return term.reshape(d * d, d * d)
+
+
+def liouvillian_mpo(h_mpo, jumps=(), cutoff=1e-12):
+    """Lindbladian as an MPO on the vectorized (doubled) chain.
+
+    Args:
+        h_mpo: Hamiltonian :class:`~contractn_tpu.models.mpo.MPO`
+            (any builder: ``mpo_from_bond_term``, ``spin2d_mpo``, ...).
+        jumps: one-site jump operators, either ``[(site, matrix), ...]``
+            or ``[matrix, ...]`` applied at every site.
+        cutoff: exact-rank compression cutoff for the assembled MPO.
+
+    Returns the compressed complex superoperator MPO.
+    """
+    dt = complex
+    n = h_mpo.cores.shape[0]
+    d = h_mpo.cores.shape[1]
+    hl = _lift_left(h_mpo, dt)
+    hr = _lift_right(h_mpo, dt)
+    lv = mpo_sum(MPO(hl.cores, -1j * hl.left, hl.right),
+                 MPO(hr.cores, 1j * hr.left, hr.right))
+
+    onsite = []
+    for item in jumps:
+        if isinstance(item, tuple):
+            site, mat = item
+            onsite.append((site, _dissipator_site(mat)))
+        else:
+            for i in range(n):
+                onsite.append((i, _dissipator_site(item)))
+    if onsite:
+        diss = string_mpo(n, [], onsite=onsite, d=d * d,
+                          dtype=jnp.complex128)
+        lv = mpo_sum(lv, diss)
+    comp, log_norm, err = compress_mpo(lv, cutoff=cutoff)
+    if float(err) > 1e-9:
+        raise ValueError(f"Liouvillian compression lost weight ({err})")
+    return MPO(comp.cores, comp.left * jnp.exp(log_norm), comp.right)
+
+
+def vectorized_product_state(states):
+    """``rho = (x)_i |psi_i><psi_i|`` as a bond-1 vectorized MPS."""
+    cores = []
+    for v in states:
+        v = np.asarray(v, complex)
+        v = v / np.linalg.norm(v)
+        rho = np.outer(v, v.conj()).reshape(-1)
+        cores.append(rho[:, None, None])
+    cores = jnp.asarray(np.stack(cores))
+    one = jnp.ones((1,), jnp.complex128)
+    return MPS(cores, one, one)
+
+
+def _trace_bra(n, d, op=None, site=None):
+    """Product bra: ``vec(I)`` everywhere, ``vec(O^T)`` at ``site``."""
+    eye = np.eye(d).reshape(-1)
+    cores = np.tile(eye[None, :, None, None], (n, 1, 1, 1)).astype(complex)
+    if op is not None:
+        cores[site, :, 0, 0] = np.asarray(op, complex).T.reshape(-1)
+    one = jnp.ones((1,), jnp.complex128)
+    return MPS(jnp.asarray(cores), one, one)
+
+
+def density_trace(rho, d=2):
+    """``Tr(rho)`` of a vectorized density MPS."""
+    bra = _trace_bra(rho.n_sites, d)
+    v, log = rho.inner(bra, conjugate=False)
+    return complex(v * jnp.exp(log))
+
+
+def density_expectation(rho, op, site, d=2):
+    """``Tr(O_site rho) / Tr(rho)``."""
+    return density_expectation_multi(rho, [(site, op)], d=d)
+
+
+def density_expectation_multi(rho, site_ops, d=2):
+    """``Tr(O_{i1} O_{i2} ... rho) / Tr(rho)`` for one-site factors on
+    distinct sites (currents, correlators): ``site_ops`` is a list of
+    ``(site, matrix)`` pairs."""
+    n = rho.n_sites
+    eye = np.eye(d).reshape(-1)
+    cores = np.tile(eye[None, :, None, None], (n, 1, 1, 1)).astype(complex)
+    for site, op in site_ops:
+        cores[site, :, 0, 0] = np.asarray(op, complex).T.reshape(-1)
+    one = jnp.ones((1,), jnp.complex128)
+    bra = MPS(jnp.asarray(cores), one, one)
+    v, log = rho.inner(bra, conjugate=False)
+    num = complex(v * jnp.exp(log))
+    return num / density_trace(rho, d)
+
+
+def _trim(rho, max_bond):
+    out, log_norm, _ = compress(rho, max_bond=max_bond)
+    return MPS(out.cores, out.left * jnp.exp(log_norm), out.right)
+
+
+def _scaled(rho, alpha):
+    return MPS(rho.cores, alpha * rho.left, rho.right)
+
+
+def lindblad_evolve(rho0, l_mpo, t, n_steps, max_bond=32):
+    """Evolve ``rho(t) = exp(L t) rho(0)`` by RK4 with SVD compression
+    after every stage (error ``O(dt^4)`` + truncation).
+
+    Returns the final vectorized density MPS (un-normalized; divide by
+    :func:`density_trace` in observables — trace is preserved by ``L``
+    up to truncation).
+    """
+    dt = t / n_steps
+    rho = rho0
+    for _ in range(n_steps):
+        k1 = _trim(apply_mpo_to_mps(l_mpo, rho), max_bond)
+        r2 = _combine([rho, k1], [1.0, 0.5 * dt], max_bond)
+        k2 = _trim(apply_mpo_to_mps(l_mpo, r2), max_bond)
+        r3 = _combine([rho, k2], [1.0, 0.5 * dt], max_bond)
+        k3 = _trim(apply_mpo_to_mps(l_mpo, r3), max_bond)
+        r4 = _combine([rho, k3], [1.0, dt], max_bond)
+        k4 = _trim(apply_mpo_to_mps(l_mpo, r4), max_bond)
+        rho = _combine(
+            [rho, k1, k2, k3, k4],
+            [1.0, dt / 6, dt / 3, dt / 3, dt / 6], max_bond)
+    return rho
+
+
+def _combine(states, coeffs, max_bond):
+    """``sum_i c_i |s_i>`` compressed to ``max_bond`` with the physical
+    scale restored (compress/mps_add normalize and return log-norms)."""
+    acc = _scaled(states[0], coeffs[0])
+    for s, c in zip(states[1:], coeffs[1:]):
+        acc, log_norm, _ = mps_add(acc, _scaled(s, c), max_bond=max_bond)
+        acc = MPS(acc.cores, acc.left * jnp.exp(log_norm), acc.right)
+    return acc

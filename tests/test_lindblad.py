@@ -1,0 +1,203 @@
+"""Open-system (Lindblad) tests: dense-superoperator parity, RK4
+trajectories against ``expm``, and a boundary-driven steady state.
+
+The reference has no density-operator machinery of any kind; these
+tests pin the vectorization conventions (the transpose in the
+right-multiplication lift, the ``vec(O^T)`` trace bras) against dense
+oracles built independently in the standard row-major convention.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import scipy.linalg as sla
+
+from contractn_tpu.models.lindblad import (
+    density_expectation,
+    density_expectation_multi,
+    density_trace,
+    lindblad_evolve,
+    liouvillian_mpo,
+    vectorized_product_state,
+)
+from contractn_tpu.models.mpo import mpo_from_bond_term
+from contractn_tpu.models.mps import MPS
+
+X = np.array([[0.0, 1.0], [1.0, 0.0]])
+Y = np.array([[0.0, -1j], [1j, 0.0]])
+Z = np.array([[1.0, 0.0], [0.0, -1.0]])
+SP = np.array([[0.0, 1.0], [0.0, 0.0]])
+SM = SP.T
+I2 = np.eye(2)
+
+
+def _site_op(mat, site, n):
+    out = np.eye(1)
+    for k in range(n):
+        out = np.kron(out, mat if k == site else I2)
+    return out
+
+
+def _dense_xx(n, j=1.0):
+    h = np.zeros((2**n, 2**n), complex)
+    for i in range(n - 1):
+        h += j * (
+            _site_op(X, i, n) @ _site_op(X, i + 1, n)
+            + _site_op(Y, i, n) @ _site_op(Y, i + 1, n)
+        )
+    return h
+
+
+def _dense_liouvillian(h, jumps):
+    """Row-major convention: ``vec(A rho B) = (A kron B^T) vec(rho)``."""
+    dim = h.shape[0]
+    eye = np.eye(dim)
+    lv = -1j * (np.kron(h, eye) - np.kron(eye, h.T))
+    for lk in jumps:
+        ldl = lk.conj().T @ lk
+        lv += np.kron(lk, lk.conj())
+        lv -= 0.5 * np.kron(ldl, eye)
+        lv -= 0.5 * np.kron(eye, ldl.T)
+    return lv
+
+
+def _mpo_dense(mpo, n, d):
+    w = np.asarray(mpo.cores)
+    cur = np.einsum("w,abwv->abv", np.asarray(mpo.left), w[0])
+    for i in range(1, n):
+        dd = cur.shape[0]
+        cur = np.einsum("ABw,abwv->AaBbv", cur, w[i]).reshape(
+            d * dd, d * dd, -1
+        )
+    return np.einsum("ABv,v->AB", cur, np.asarray(mpo.right))
+
+
+def _fused_to_standard(mat, n):
+    """Permute site-fused ``(s1 a1)(s2 a2)...`` rows/cols into the
+    standard ``(s1..sn)(a1..an)`` superoperator ordering."""
+    t = mat.reshape((2, 2) * n * 2)
+    row_s = [2 * i for i in range(n)]
+    row_a = [2 * i + 1 for i in range(n)]
+    col_s = [2 * n + 2 * i for i in range(n)]
+    col_a = [2 * n + 2 * i + 1 for i in range(n)]
+    t = t.transpose(row_s + row_a + col_s + col_a)
+    return t.reshape(4**n, 4**n)
+
+
+def _standard_to_fused_vec(rho_mat, n):
+    """Dense ``(2^n, 2^n)`` density matrix -> site-fused ``4^n`` vector."""
+    t = rho_mat.reshape((2,) * (2 * n))
+    order = []
+    for i in range(n):
+        order += [i, n + i]
+    return t.transpose(order).reshape(-1)
+
+
+def test_liouvillian_matches_dense_superoperator():
+    """Assembled superoperator MPO == dense Liouvillian entrywise,
+    with mixed site-specific (non-Hermitian) and uniform jumps."""
+    n = 3
+    h2 = (np.kron(X, X) + np.kron(Y, Y)).astype(complex)
+    h_mpo = mpo_from_bond_term(h2, n, dtype=complex)
+    jumps = [(0, 0.7 * SP), (n - 1, 0.5 * SM), np.sqrt(0.3) * Z]
+    l_mpo = liouvillian_mpo(h_mpo, jumps=jumps)
+
+    dense_jumps = [
+        _site_op(0.7 * SP, 0, n),
+        _site_op(0.5 * SM, n - 1, n),
+    ] + [_site_op(np.sqrt(0.3) * Z, i, n) for i in range(n)]
+    lv_dense = _dense_liouvillian(_dense_xx(n), dense_jumps)
+    lv_mpo = _fused_to_standard(_mpo_dense(l_mpo, n, 4), n)
+    assert np.max(np.abs(lv_dense - lv_mpo)) < 1e-12
+
+
+def test_rk4_trajectory_matches_expm():
+    """Dephased XX chain: magnetization trajectory == dense ``expm``."""
+    n = 4
+    gamma = 0.35
+    h2 = (np.kron(X, X) + np.kron(Y, Y)).astype(complex)
+    h_mpo = mpo_from_bond_term(h2, n, dtype=complex)
+    jump = np.sqrt(gamma) * Z
+    l_mpo = liouvillian_mpo(h_mpo, jumps=[jump])
+
+    states = [
+        np.array([1.0, 0.3]) if i % 2 == 0 else np.array([0.2, 1.0])
+        for i in range(n)
+    ]
+    rho0 = vectorized_product_state(states)
+    assert abs(density_trace(rho0) - 1.0) < 1e-12
+
+    t = 0.5
+    rho_t = lindblad_evolve(rho0, l_mpo, t, n_steps=40, max_bond=24)
+    assert abs(density_trace(rho_t) - 1.0) < 1e-9
+
+    rho_d = np.eye(1)
+    for v in states:
+        v = v / np.linalg.norm(v)
+        rho_d = np.kron(rho_d, np.outer(v, v.conj()))
+    lv_dense = _dense_liouvillian(
+        _dense_xx(n), [_site_op(jump, i, n) for i in range(n)]
+    )
+    rho_dt = (sla.expm(lv_dense * t) @ rho_d.reshape(-1)).reshape(
+        2**n, 2**n
+    )
+    for i in range(n):
+        zd = np.trace(_site_op(Z, i, n) @ rho_dt).real
+        zm = density_expectation(rho_t, Z, i).real
+        assert abs(zd - zm) < 2e-6
+
+
+def test_driven_chain_steady_state_annihilated():
+    """Boundary-driven XX chain: the dense NESS (null vector of the
+    Liouvillian), converted to a vectorized MPS, is annihilated by the
+    superoperator MPO, and the spin current measured through
+    ``density_expectation_multi`` matches the dense value and is
+    uniform across bonds (a NESS conservation law)."""
+    from contractn_tpu.models.boundary import apply_mpo_to_mps
+
+    n = 4
+    gam = 0.6
+    h2 = (np.kron(X, X) + np.kron(Y, Y)).astype(complex)
+    h_mpo = mpo_from_bond_term(h2, n, dtype=complex)
+    jumps = [(0, np.sqrt(gam) * SP), (n - 1, np.sqrt(gam) * SM)]
+    l_mpo = liouvillian_mpo(h_mpo, jumps=jumps)
+
+    dense_jumps = [
+        _site_op(np.sqrt(gam) * SP, 0, n),
+        _site_op(np.sqrt(gam) * SM, n - 1, n),
+    ]
+    lv_dense = _dense_liouvillian(_dense_xx(n), dense_jumps)
+    w, v = np.linalg.eig(lv_dense)
+    ness_vec = v[:, np.argmin(np.abs(w))]
+    ness = ness_vec.reshape(2**n, 2**n)
+    ness = ness / np.trace(ness)
+    ness = 0.5 * (ness + ness.conj().T)  # Hermitize the null vector
+
+    rho = MPS.from_dense(
+        jnp.asarray(_standard_to_fused_vec(ness, n)), 4
+    )
+    assert abs(density_trace(rho) - 1.0) < 1e-10
+
+    lrho = apply_mpo_to_mps(l_mpo, rho)
+    val, log = lrho.norm_squared()
+    residual = float(np.sqrt(abs(complex(val * jnp.exp(log)))))
+    assert residual < 1e-8
+
+    # spin current J_i = 2 (X_i Y_{i+1} - Y_i X_{i+1}); NESS => uniform
+    currents = []
+    for i in range(n - 1):
+        jm = 2.0 * (
+            density_expectation_multi(rho, [(i, X), (i + 1, Y)])
+            - density_expectation_multi(rho, [(i, Y), (i + 1, X)])
+        )
+        jd = 2.0 * (
+            np.trace(
+                _site_op(X, i, n) @ _site_op(Y, i + 1, n) @ ness
+            )
+            - np.trace(
+                _site_op(Y, i, n) @ _site_op(X, i + 1, n) @ ness
+            )
+        )
+        assert abs(jm - jd) < 1e-10
+        currents.append(jm.real)
+    assert np.ptp(currents) < 1e-8
+    assert abs(currents[0]) > 1e-3  # genuinely current-carrying
