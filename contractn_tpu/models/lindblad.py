@@ -204,6 +204,49 @@ def lindblad_evolve(rho0, l_mpo, t, n_steps, max_bond=32):
     return rho
 
 
+def ness_dmrg(l_mpo, max_bond=16, sweeps=8, d=2, key=None,
+              cutoff=1e-12, noise=1e-2):
+    """Nonequilibrium steady state WITHOUT time evolution: the unique
+    null vector of ``L`` is the ground state of the Hermitian PSD
+    normal product ``L^+ L``, found by standard two-site DMRG.
+
+    ``L^+ L`` is assembled exactly by :func:`~contractn_tpu.models.mpo.
+    mpo_multiply` + :func:`~contractn_tpu.models.mpo.mpo_dagger` and
+    compressed to its exact rank; the DMRG energy IS the squared
+    2-norm residual ``|L rho|^2 / |rho|^2`` — a built-in certificate
+    of steady-state quality.  The initial state is the maximally
+    mixed ``rho = I/d^n`` (the exact NESS at zero driving) plus a
+    small random perturbation so two-site DMRG can grow the bond.
+
+    Returns ``(rho, residual)``: the trace-normalized vectorized
+    density MPS and ``sqrt(<L rho|L rho>)`` for the normalized state.
+    """
+    import jax
+
+    from .dmrg import dmrg
+    from .mpo import mpo_dagger, mpo_multiply
+
+    n = l_mpo.n_sites
+    ldl_raw = mpo_multiply(mpo_dagger(l_mpo), l_mpo)
+    comp, log_norm, err = compress_mpo(ldl_raw, cutoff=cutoff)
+    ldl = MPO(comp.cores, comp.left * jnp.exp(log_norm), comp.right)
+
+    eye = np.eye(d).reshape(-1) / d
+    cores = np.tile(eye[None, :, None, None], (n, 1, 1, 1)).astype(complex)
+    one = jnp.ones((1,), jnp.complex128)
+    mixed = MPS(jnp.asarray(cores), one, one)
+    if key is None:
+        key = jax.random.PRNGKey(7)
+    pert = MPS.random(key, n, d * d, max(2, max_bond // 2),
+                      dtype=jnp.complex128, scale=noise)
+    mps0 = mps_add(mixed, pert)
+
+    ground, energy, _ = dmrg(ldl, mps0, max_bond=max_bond, sweeps=sweeps)
+    tr = density_trace(ground, d)
+    rho = MPS(ground.cores, ground.left / tr, ground.right)
+    return rho, float(np.sqrt(max(float(np.real(energy)), 0.0)))
+
+
 def _combine(states, coeffs, max_bond):
     """``sum_i c_i |s_i>`` compressed to ``max_bond`` with the physical
     scale restored (compress/mps_add normalize and return log-norms)."""

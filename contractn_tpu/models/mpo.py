@@ -185,6 +185,49 @@ def mpo_sum(m1, m2):
     return MPO(cores, left, right)
 
 
+def mpo_dagger(mpo):
+    """Hermitian adjoint ``O^+``: conjugate cores, swap the physical
+    legs.  Virtual bonds keep their orientation, so the adjoint of a
+    triangular finite-state MPO is again a valid (lower-triangular)
+    automaton with the same boundary channels."""
+    return MPO(
+        jnp.conj(jnp.swapaxes(jnp.asarray(mpo.cores), 1, 2)),
+        jnp.conj(jnp.asarray(mpo.left)),
+        jnp.conj(jnp.asarray(mpo.right)),
+    )
+
+
+def mpo_multiply(m1, m2):
+    """Exact operator product ``O1 O2`` at bond ``W1 * W2``.
+
+    Per-site core ``(W1 W2)``-fused Kronecker contraction over the
+    shared physical leg; boundary vectors Kronecker.  The product of
+    two triangular finite-state machines is generally NOT minimal —
+    compress with :func:`~contractn_tpu.models.canonical.compress_mpo`
+    (exact-rank cutoff) before feeding solvers.  Enables operator
+    algebra the reference lacks entirely: ``H^2`` variance
+    certificates, Liouvillian normal products ``L^+ L`` for
+    steady-state DMRG (:func:`~contractn_tpu.models.lindblad.
+    ness_dmrg`), and MPO-MPO time-step composition.
+    """
+    c1, c2 = jnp.asarray(m1.cores), jnp.asarray(m2.cores)
+    if c1.shape[0] != c2.shape[0] or c1.shape[2] != c2.shape[1]:
+        raise ValueError(
+            f"mpo_multiply needs matching sites and inner phys dims; "
+            f"got {c1.shape} vs {c2.shape}"
+        )
+    n, do = c1.shape[0], c1.shape[1]
+    di = c2.shape[2]
+    w1, v1 = c1.shape[3], c1.shape[4]
+    w2, v2 = c2.shape[3], c2.shape[4]
+    cores = peinsum("nakwv,nkbWV->nabwWvV", c1, c2).reshape(
+        n, do, di, w1 * w2, v1 * v2
+    )
+    left = jnp.kron(jnp.asarray(m1.left), jnp.asarray(m2.left))
+    right = jnp.kron(jnp.asarray(m1.right), jnp.asarray(m2.right))
+    return MPO(cores, left, right)
+
+
 def block_mpo(mpo, block=2):
     """Coarse-grain an MPO by contracting ``block`` consecutive cores.
 

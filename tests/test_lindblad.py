@@ -19,7 +19,13 @@ from contractn_tpu.models.lindblad import (
     liouvillian_mpo,
     vectorized_product_state,
 )
-from contractn_tpu.models.mpo import mpo_from_bond_term
+from contractn_tpu.models.lindblad import ness_dmrg
+from contractn_tpu.models.mpo import (
+    MPO,
+    mpo_dagger,
+    mpo_from_bond_term,
+    mpo_multiply,
+)
 from contractn_tpu.models.mps import MPS
 
 X = np.array([[0.0, 1.0], [1.0, 0.0]])
@@ -146,6 +152,23 @@ def test_rk4_trajectory_matches_expm():
         assert abs(zd - zm) < 2e-6
 
 
+def test_mpo_operator_algebra_dense_parity():
+    """``mpo_multiply``/``mpo_dagger`` == dense matrix product/adjoint
+    for random complex MPOs (different bond dims)."""
+    import jax
+
+    n = 4
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    m1 = MPO.random(k1, n, 2, 3, dtype=jnp.complex128)
+    m2 = MPO.random(k2, n, 2, 2, dtype=jnp.complex128)
+    d1 = _mpo_dense(m1, n, 2)
+    d2 = _mpo_dense(m2, n, 2)
+    prod = _mpo_dense(mpo_multiply(m1, m2), n, 2)
+    assert np.max(np.abs(prod - d1 @ d2)) < 1e-12
+    dag = _mpo_dense(mpo_dagger(m1), n, 2)
+    assert np.max(np.abs(dag - d1.conj().T)) < 1e-12
+
+
 def test_driven_chain_steady_state_annihilated():
     """Boundary-driven XX chain: the dense NESS (null vector of the
     Liouvillian), converted to a vectorized MPS, is annihilated by the
@@ -201,3 +224,18 @@ def test_driven_chain_steady_state_annihilated():
         currents.append(jm.real)
     assert np.ptp(currents) < 1e-8
     assert abs(currents[0]) > 1e-3  # genuinely current-carrying
+
+    # NESS by DMRG on L^+ L: no time evolution, residual is the
+    # built-in quality certificate.
+    rho_d, res = ness_dmrg(l_mpo, max_bond=16, sweeps=6)
+    assert res < 1e-6
+    assert abs(density_trace(rho_d) - 1.0) < 1e-10
+    for i in range(n):
+        zd = np.trace(_site_op(Z, i, n) @ ness).real
+        zm = density_expectation(rho_d, Z, i).real
+        assert abs(zd - zm) < 1e-8
+    jm = 2.0 * (
+        density_expectation_multi(rho_d, [(1, X), (2, Y)])
+        - density_expectation_multi(rho_d, [(1, Y), (2, X)])
+    )
+    assert abs(jm.real - currents[1]) < 1e-8
