@@ -82,7 +82,42 @@ def _dissipator_site(jump):
     return term.reshape(d * d, d * d)
 
 
-def liouvillian_mpo(h_mpo, jumps=(), cutoff=1e-12):
+def _superop_pair(a_mat, b_mat, d):
+    """Two-site superoperator in the site-fused basis: ``a_mat``
+    (``d^2 x d^2``) on the ket pair ``(s1 s2)``, ``b_mat`` on the bra
+    pair ``(a1 a2)``; rows/cols ordered ``((s1 a1), (s2 a2))``."""
+    a4 = np.asarray(a_mat, complex).reshape(d, d, d, d)
+    b4 = np.asarray(b_mat, complex).reshape(d, d, d, d)
+    t = np.einsum("ijkl,mnop->imjnkolp", a4, b4)
+    return t.reshape(d * d, d * d, d * d, d * d)
+
+
+def _dissipator_bond(jump, d):
+    """Two-site dissipator superoperator of a bond jump operator
+    (``d^2 x d^2``), Schmidt-split across the bond.
+
+    Returns ``[(U_k, V_k), ...]`` one-site factor pairs such that the
+    dissipator is ``sum_k U_k (x) V_k`` on adjacent fused sites.
+    """
+    el = np.asarray(jump, complex)
+    ldl = el.conj().T @ el
+    eye = np.eye(d * d)
+    t = _superop_pair(el, el.conj(), d)
+    t -= 0.5 * _superop_pair(ldl, eye, d)
+    t -= 0.5 * _superop_pair(eye, ldl.T, d)
+    # (r1, r2, c1, c2) -> ((r1 c1), (r2 c2)) and operator-Schmidt SVD
+    dd = d * d
+    mat = t.transpose(0, 2, 1, 3).reshape(dd * dd, dd * dd)
+    u, sv, vh = np.linalg.svd(mat, full_matrices=False)
+    keep = sv > 1e-12 * max(sv[0], 1e-300)
+    u, sv, vh = u[:, keep], sv[keep], vh[keep]
+    root = np.sqrt(sv)
+    us = (u * root[None, :]).T.reshape(-1, dd, dd)
+    vs = (vh.T * root[None, :]).T.reshape(-1, dd, dd)
+    return list(zip(us, vs))
+
+
+def liouvillian_mpo(h_mpo, jumps=(), bond_jumps=(), cutoff=1e-12):
     """Lindbladian as an MPO on the vectorized (doubled) chain.
 
     Args:
@@ -90,6 +125,12 @@ def liouvillian_mpo(h_mpo, jumps=(), cutoff=1e-12):
             (any builder: ``mpo_from_bond_term``, ``spin2d_mpo``, ...).
         jumps: one-site jump operators, either ``[(site, matrix), ...]``
             or ``[matrix, ...]`` applied at every site.
+        bond_jumps: two-site jump operators on adjacent sites
+            (``d^2 x d^2``, e.g. incoherent hopping, pair loss), as
+            ``[(left_site, matrix), ...]`` or bare matrices applied on
+            every bond.  Each bond dissipator enters through its
+            operator-Schmidt factors, one finite-state channel per
+            factor, then the whole Liouvillian is re-compressed.
         cutoff: exact-rank compression cutoff for the assembled MPO.
 
     Returns the compressed complex superoperator MPO.
@@ -110,8 +151,17 @@ def liouvillian_mpo(h_mpo, jumps=(), cutoff=1e-12):
         else:
             for i in range(n):
                 onsite.append((i, _dissipator_site(item)))
-    if onsite:
-        diss = string_mpo(n, [], onsite=onsite, d=d * d,
+    terms = []
+    for item in bond_jumps:
+        if isinstance(item, tuple):
+            bonds = [item]
+        else:
+            bonds = [(i, item) for i in range(n - 1)]
+        for i, mat in bonds:
+            for uk, vk in _dissipator_bond(mat, d):
+                terms.append((1.0, [(i, uk), (i + 1, vk)], None))
+    if onsite or terms:
+        diss = string_mpo(n, terms, onsite=onsite, d=d * d,
                           dtype=jnp.complex128)
         lv = mpo_sum(lv, diss)
     comp, log_norm, err = compress_mpo(lv, cutoff=cutoff)

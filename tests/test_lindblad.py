@@ -105,12 +105,24 @@ def test_liouvillian_matches_dense_superoperator():
     h2 = (np.kron(X, X) + np.kron(Y, Y)).astype(complex)
     h_mpo = mpo_from_bond_term(h2, n, dtype=complex)
     jumps = [(0, 0.7 * SP), (n - 1, 0.5 * SM), np.sqrt(0.3) * Z]
-    l_mpo = liouvillian_mpo(h_mpo, jumps=jumps)
+    hop = np.sqrt(0.4) * (np.kron(SP, SM) + 0.5 * np.kron(SM, SP))
+    l_mpo = liouvillian_mpo(h_mpo, jumps=jumps, bond_jumps=[hop])
+
+    def _bond_op(mat, i, n):
+        out = np.eye(1)
+        for k in range(n):
+            if k == i:
+                out = np.kron(out, mat)
+            elif k != i + 1:
+                out = np.kron(out, I2)
+        return out
 
     dense_jumps = [
         _site_op(0.7 * SP, 0, n),
         _site_op(0.5 * SM, n - 1, n),
-    ] + [_site_op(np.sqrt(0.3) * Z, i, n) for i in range(n)]
+    ] + [_site_op(np.sqrt(0.3) * Z, i, n) for i in range(n)] + [
+        _bond_op(hop, i, n) for i in range(n - 1)
+    ]
     lv_dense = _dense_liouvillian(_dense_xx(n), dense_jumps)
     lv_mpo = _fused_to_standard(_mpo_dense(l_mpo, n, 4), n)
     assert np.max(np.abs(lv_dense - lv_mpo)) < 1e-12
