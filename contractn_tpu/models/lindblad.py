@@ -74,7 +74,7 @@ def _dissipator_site(jump):
     - (1/2)(I (x) (L+L)^T)``."""
     el = np.asarray(jump, complex)
     d = el.shape[0]
-    ldl = el.conj().T @ el
+    ldl = np.matmul(el.conj().T, el)
     eye = np.eye(d)
     term = np.einsum("sS,aA->saSA", el, el.conj())
     term -= 0.5 * np.einsum("sS,aA->saSA", ldl, eye)
@@ -100,7 +100,7 @@ def _dissipator_bond(jump, d):
     dissipator is ``sum_k U_k (x) V_k`` on adjacent fused sites.
     """
     el = np.asarray(jump, complex)
-    ldl = el.conj().T @ el
+    ldl = np.matmul(el.conj().T, el)
     eye = np.eye(d * d)
     t = _superop_pair(el, el.conj(), d)
     t -= 0.5 * _superop_pair(ldl, eye, d)

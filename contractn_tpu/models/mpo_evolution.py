@@ -1,0 +1,172 @@
+"""MPO time evolution (W^I / W^II propagators) for arbitrary — in
+particular LONG-RANGE — Hamiltonians.
+
+TEBD needs nearest-neighbor gates and TDVP needs a good variational
+manifold; the W^II construction (Zaletel-Mong-Karrasch-Moore-Pollmann,
+PRB 91, 165112) compiles ``exp(delta H)`` directly into a compact MPO
+of the SAME virtual dimension as the interior of ``H``'s finite-state
+machine, exact through ``O(delta^2)`` per step and exact for commuting
+term sets.  One application per step (exact MPO-MPS product + SVD
+compression) evolves any state under any MPO Hamiltonian — including
+exponentially decaying interactions that no gate-based evolver can
+touch.
+
+Blocks are read off the standard triangular automaton (the form every
+builder in this package emits): with interior channels ``a, b``,
+
+    ``D = W[0, last]``, ``C_a = W[0, a]``, ``A_{ba} = W[b, a]``,
+    ``B_b = W[b, last]``.
+
+The propagator entries are derivatives of a generating exponential,
+
+    ``W2[b, a] = d_x d_y exp(delta D + sqrt(delta) x B_b
+    + sqrt(delta) y C_a + x y A_{ba}) |_0``
+
+(and the single/no-derivative components for the ``[b, 0]``,
+``[0, a]``, ``[0, 0]`` entries).  Instead of hand-expanding these, the
+derivatives are extracted EXACTLY by evaluating one ``expm`` per
+``(b, a)`` pair over the nilpotent algebra ``C[x, y]/(x^2, y^2)`` —
+the argument becomes a ``4d x 4d`` block matrix whose exponential's
+first block column is ``(f, d_x f, d_y f, d_x d_y f)``.  No series
+truncation anywhere; the only approximation is the W^II ansatz itself.
+
+Validated against dense ``expm`` (tests/test_mpo_evolution.py): global
+``O(delta^2)`` convergence on the TFIM, and on an exponentially
+decaying long-range Ising chain (interior ``A != 0``, which
+nearest-neighbor evolvers cannot represent) both real- and
+imaginary-time propagation match dense evolution; imaginary time
+relaxes to the dense ground state.  The reference has no time
+evolution of any kind (SURVEY.md section 2).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg as sla
+
+from .boundary import apply_mpo_to_mps
+from .canonical import compress
+from .mpo import MPO
+from .mps import MPS
+
+# Left-multiplication operators of (1, x, y, xy) in C[x,y]/(x^2,y^2):
+# basis order fixes the block layout of the generating exponential.
+_LX = np.zeros((4, 4))
+_LX[1, 0] = _LX[3, 2] = 1.0
+_LY = np.zeros((4, 4))
+_LY[2, 0] = _LY[3, 1] = 1.0
+_LXY = np.zeros((4, 4))
+_LXY[3, 0] = 1.0
+_I4 = np.eye(4)
+
+
+def wii_mpo(h_mpo, delta):
+    """Compile ``exp(delta H)`` into the W^II propagator MPO.
+
+    Args:
+        h_mpo: Hamiltonian :class:`~contractn_tpu.models.mpo.MPO` in
+            the triangular automaton form all builders here produce
+            (identity channels first/last; verified structurally).
+        delta: step — ``-1j * dt`` for real time, ``-dbeta`` for
+            imaginary time (any complex value is accepted).
+
+    Returns the propagator :class:`MPO` with virtual dimension
+    ``W - 1`` (the two identity channels merge into one).
+    """
+    cores = np.asarray(h_mpo.cores)
+    n, d, _, wdim, _ = cores.shape
+    left = np.asarray(h_mpo.left)
+    right = np.asarray(h_mpo.right)
+    if wdim < 2 or abs(left[0] - 1.0) > 1e-12 or np.any(left[1:] != 0):
+        raise ValueError("wii_mpo needs the triangular automaton form "
+                         "(left boundary = e_0)")
+    if abs(right[-1] - 1.0) > 1e-12 or np.any(right[:-1] != 0):
+        raise ValueError("wii_mpo needs the triangular automaton form "
+                         "(right boundary = e_last)")
+    last = wdim - 1
+    r = wdim - 2
+    root = np.sqrt(complex(delta))
+    out = np.zeros((n, d, d, r + 1, r + 1), complex)
+    for i in range(n):
+        w = cores[i]
+        dblk = w[:, :, 0, last]
+        base = complex(delta) * np.kron(_I4, dblk)
+        if r == 0:
+            out[i, :, :, 0, 0] = sla.expm(complex(delta) * dblk)
+            continue
+        for b in range(1, r + 1):
+            for a in range(1, r + 1):
+                m = (base
+                     + root * np.kron(_LX, w[:, :, b, last])
+                     + root * np.kron(_LY, w[:, :, 0, a])
+                     + np.kron(_LXY, w[:, :, b, a]))
+                g = sla.expm(m)
+                if b == 1 and a == 1:
+                    out[i, :, :, 0, 0] = g[0 * d:1 * d, 0:d]
+                if a == 1:
+                    out[i, :, :, b, 0] = g[1 * d:2 * d, 0:d]
+                if b == 1:
+                    out[i, :, :, 0, a] = g[2 * d:3 * d, 0:d]
+                out[i, :, :, b, a] = g[3 * d:4 * d, 0:d]
+    one = np.zeros((r + 1,))
+    one[0] = 1.0
+    return MPO(jnp.asarray(out), jnp.asarray(one, jnp.complex128),
+               jnp.asarray(one, jnp.complex128))
+
+
+def mpo_evolve(mps, h_mpo, t, n_steps, max_bond=32, imag=False,
+               order=2, callback=None):
+    """Evolve ``|psi(t)> = exp(-i H t)|psi>`` (or ``exp(-H t)`` with
+    ``imag=True``) by repeated W^II application + SVD compression.
+
+    ``order=2`` (default) composes each step from the conjugate pair
+    ``delta (1 + i)/2`` then ``delta (1 - i)/2`` (Zaletel et al.,
+    App. B): the ``O(delta^2)`` defects of the two half-steps cancel,
+    lifting the generic long-range case from first to second global
+    order at the cost of two MPO applications per step.  ``order=1``
+    applies the plain single W^II per step.
+
+    The state is renormalized every step (the W^II propagator is not
+    exactly unitary at finite step); for imaginary time this makes the
+    loop a power iteration toward the ground state.
+
+    Returns the final :class:`MPS` (normalized).  ``callback(k, mps)``
+    is invoked after every step when given.
+    """
+    dt = t / n_steps
+    delta = -dt if imag else -1j * dt
+    if order == 2:
+        props = [wii_mpo(h_mpo, delta * (1 + 1j) / 2),
+                 wii_mpo(h_mpo, delta * (1 - 1j) / 2)]
+    elif order == 1:
+        props = [wii_mpo(h_mpo, delta)]
+    else:
+        raise ValueError("order must be 1 or 2")
+    for k in range(n_steps):
+        for u2 in props:
+            mps = apply_mpo_to_mps(u2, mps)
+            comp, _, _ = compress(mps, max_bond=max_bond)
+            mps = MPS(comp.cores, comp.left, comp.right)
+        if callback is not None:
+            callback(k, mps)
+    return mps
+
+
+def exp_decay_ising_mpo(n_sites, j=1.0, lam=0.5, h=1.0,
+                        dtype=jnp.complex128):
+    """Long-range Ising chain ``H = j sum_{i<k} lam^{k-i} Z_i Z_k
+    + h sum_i X_i`` as a 3-channel MPO — the canonical W^II test case:
+    its interior block ``A = lam * I`` is exactly what gate-based
+    evolvers cannot express."""
+    x = np.array([[0.0, 1.0], [1.0, 0.0]])
+    z = np.array([[1.0, 0.0], [0.0, -1.0]])
+    w = np.zeros((2, 2, 3, 3))
+    w[:, :, 0, 0] = np.eye(2)
+    w[:, :, 2, 2] = np.eye(2)
+    w[:, :, 0, 2] = h * x
+    w[:, :, 0, 1] = j * lam * z
+    w[:, :, 1, 1] = lam * np.eye(2)
+    w[:, :, 1, 2] = z
+    cores = jnp.asarray(np.broadcast_to(w, (n_sites, 2, 2, 3, 3)), dtype)
+    left = jnp.zeros((3,), dtype).at[0].set(1.0)
+    right = jnp.zeros((3,), dtype).at[2].set(1.0)
+    return MPO(cores, left, right)
