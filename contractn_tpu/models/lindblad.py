@@ -170,6 +170,119 @@ def liouvillian_mpo(h_mpo, jumps=(), bond_jumps=(), cutoff=1e-12):
     return MPO(comp.cores, comp.left * jnp.exp(log_norm), comp.right)
 
 
+def liouvillian_automaton(h_mpo, jumps=(), bond_jumps=()):
+    """The Lindbladian in TRIANGULAR AUTOMATON form (uncompressed).
+
+    Same superoperator as :func:`liouvillian_mpo`, but the finite-state
+    structure is preserved instead of SVD-compressed: lifting an
+    operator entry ``o -> o (x) I`` (left) or ``o -> I (x) o^T``
+    (right) maps the Hamiltonian automaton's ``(D, C, A, B)`` blocks to
+    valid automaton blocks, so the Liouvillian assembles channel by
+    channel — which is exactly what :func:`~contractn_tpu.models.
+    mpo_evolution.wii_mpo` needs to compile ``exp(t L)``.
+
+    ``h_mpo`` must itself be in triangular automaton form (boundary
+    vectors ``e_0`` / ``e_last``, as every builder here produces).
+    """
+    cores = np.asarray(h_mpo.cores)
+    n, d, _, wdim, _ = cores.shape
+    left = np.asarray(h_mpo.left)
+    right = np.asarray(h_mpo.right)
+    if abs(left[0] - 1.0) > 1e-12 or np.any(left[1:] != 0):
+        raise ValueError("liouvillian_automaton needs automaton form "
+                         "(left boundary = e_0)")
+    if abs(right[-1] - 1.0) > 1e-12 or np.any(right[:-1] != 0):
+        raise ValueError("liouvillian_automaton needs automaton form "
+                         "(right boundary = e_last)")
+    r = wdim - 2
+    eye = np.eye(d)
+
+    def _ll(o):
+        return np.einsum("sS,aA->saSA", o, eye).reshape(d * d, d * d)
+
+    def _lr(o):
+        return np.einsum("aA,sS->saSA", o.T, eye).reshape(d * d, d * d)
+
+    onsite = [[] for _ in range(n)]
+    for item in jumps:
+        if isinstance(item, tuple):
+            site, mat = item
+            onsite[site].append(_dissipator_site(mat))
+        else:
+            dis = _dissipator_site(item)
+            for i in range(n):
+                onsite[i].append(dis)
+    bond_channels = []  # (site, U_k, V_k)
+    for item in bond_jumps:
+        if isinstance(item, tuple):
+            bonds = [item]
+        else:
+            bonds = [(i, item) for i in range(n - 1)]
+        for i, mat in bonds:
+            for uk, vk in _dissipator_bond(mat, d):
+                bond_channels.append((i, uk, vk))
+
+    nb = len(bond_channels)
+    w2 = 2 * r + nb + 2
+    last = w2 - 1
+    dd = d * d
+    out = np.zeros((n, dd, dd, w2, w2), complex)
+    for i in range(n):
+        w = cores[i]
+        out[i, :, :, 0, 0] = np.eye(dd)
+        out[i, :, :, last, last] = np.eye(dd)
+        out[i, :, :, 0, last] = (-1j * _ll(w[:, :, 0, wdim - 1])
+                                 + 1j * _lr(w[:, :, 0, wdim - 1]))
+        for dis in onsite[i]:
+            out[i, :, :, 0, last] += dis
+        for a in range(1, r + 1):
+            out[i, :, :, 0, a] = -1j * _ll(w[:, :, 0, a])
+            out[i, :, :, 0, r + a] = 1j * _lr(w[:, :, 0, a])
+            out[i, :, :, a, last] = _ll(w[:, :, a, wdim - 1])
+            out[i, :, :, r + a, last] = _lr(w[:, :, a, wdim - 1])
+            for b in range(1, r + 1):
+                out[i, :, :, a, b] = _ll(w[:, :, a, b])
+                out[i, :, :, r + a, r + b] = _lr(w[:, :, a, b])
+    for c, (site, uk, vk) in enumerate(bond_channels):
+        ch = 2 * r + 1 + c
+        out[site, :, :, 0, ch] = uk
+        out[site + 1, :, :, ch, last] = vk
+    lvec = np.zeros(w2)
+    lvec[0] = 1.0
+    rvec = np.zeros(w2)
+    rvec[last] = 1.0
+    return MPO(jnp.asarray(out), jnp.asarray(lvec, jnp.complex128),
+               jnp.asarray(rvec, jnp.complex128))
+
+
+def lindblad_evolve_wii(rho0, h_mpo, t, n_steps, jumps=(),
+                        bond_jumps=(), max_bond=32, order=2):
+    """Open-system evolution ``rho(t) = exp(L t) rho(0)`` by the W^II
+    propagator of the Liouvillian automaton — one (``order=1``) or two
+    (``order=2`` conjugate-pair, globally second-order) MPO
+    applications per step vs RK4's four, with no stability ceiling.
+
+    Returns the final vectorized density MPS (same conventions as
+    :func:`lindblad_evolve`).
+    """
+    from .mpo_evolution import wii_mpo
+
+    la = liouvillian_automaton(h_mpo, jumps=jumps, bond_jumps=bond_jumps)
+    dt = t / n_steps
+    if order == 2:
+        props = [wii_mpo(la, dt * (1 + 1j) / 2),
+                 wii_mpo(la, dt * (1 - 1j) / 2)]
+    elif order == 1:
+        props = [wii_mpo(la, dt)]
+    else:
+        raise ValueError("order must be 1 or 2")
+    rho = rho0
+    for _ in range(n_steps):
+        for u2 in props:
+            rho = _trim(apply_mpo_to_mps(u2, rho), max_bond)
+    return rho
+
+
 def vectorized_product_state(states):
     """``rho = (x)_i |psi_i><psi_i|`` as a bond-1 vectorized MPS."""
     cores = []
