@@ -1,0 +1,172 @@
+"""Chebyshev / kernel-polynomial spectral functions on MPS.
+
+The zero-temperature spectral function
+
+    ``S_O(w) = sum_n |<n|O|0>|^2 delta(w - (E_n - E_0))``
+
+is expanded in Chebyshev polynomials of the RESCALED Hamiltonian
+``H' = (H - b)/a`` (spectrum mapped into ``[-1+eps/2, 1-eps/2]``):
+the moments ``mu_k = <0|O+ T_k(H') O|0>`` are computed by the MPS
+Chebyshev recurrence ``|t_{k+1}> = 2 H'|t_k> - |t_{k-1}>`` — one exact
+MPO application plus one two-term linear combination with SVD
+compression per moment — and the spectrum is reconstructed with the
+Jackson damping kernel (uniform resolution ``~ pi a / N`` across the
+band, positive by construction).  This is the standard CheMPS route
+(Holzner et al., PRB 83, 195115; Weisse et al., RMP 78, 275) and is
+complementary to the tangent-space spectral weights in
+:mod:`~contractn_tpu.models.excitations`: KPM resolves the FULL
+frequency axis of finite chains (continua, higher bands, local
+quenches) at uniform resolution, with cost growing only linearly in
+the number of moments.
+
+TPU notes: each recurrence step is the same exact-MPO-application +
+compression primitive the evolution stack jits (static shapes: bond
+``W D`` in, ``max_bond`` out), so one ``(apply, combine)`` program is
+compiled once and reused for all ``N`` moments; the moment inner
+products ride the stabilized split-format transfer scan.
+
+Validated (tests/test_chebyshev.py) against dense ED: moments match
+dense ``T_k`` recursion at 1e-9, the Jackson-broadened spectrum
+integrates to the sum rule ``mu_0 = <0|O+O|0>``, and per-pole binned
+weights reproduce ``|<n|O|0>|^2``.  The reference has no spectral
+machinery of any kind (SURVEY.md section 2).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.stabilize import peinsum
+from .boundary import apply_mpo_to_mps
+from .canonical import compress, mps_add
+from .mpo import MPO, mpo_sum
+from .mps import MPS
+
+
+def _identity_mpo(n, d, dtype):
+    w = np.eye(d)[None, :, :, None, None]
+    cores = jnp.asarray(np.broadcast_to(w, (n, d, d, 1, 1)), dtype)
+    one = jnp.ones((1,), dtype)
+    return MPO(cores, one, one)
+
+
+def rescaled_mpo(h_mpo, bounds, eps=0.025):
+    """``H' = (H - b)/a`` with the spectral window ``bounds = (emin,
+    emax)`` mapped into ``[-1 + eps/2, 1 - eps/2]``.
+
+    Returns ``(h_prime, a, b)``.  The bounds need not be tight — a
+    DMRG ground energy and a Lanczos top estimate (or any rigorous
+    envelope) work; loose bounds only cost resolution (``a`` grows).
+    """
+    emin, emax = float(bounds[0]), float(bounds[1])
+    if not emax > emin:
+        raise ValueError("bounds must satisfy emax > emin")
+    a = (emax - emin) / (2.0 - eps)
+    b = (emax + emin) / 2.0
+    n, d = h_mpo.cores.shape[0], h_mpo.cores.shape[1]
+    dt = jnp.asarray(h_mpo.cores).dtype
+    ident = _identity_mpo(n, d, dt)
+    shifted = mpo_sum(h_mpo, MPO(ident.cores, -b * ident.left,
+                                 ident.right))
+    return MPO(shifted.cores, shifted.left / a, shifted.right), a, b
+
+
+def apply_site_ops(mps, site_ops):
+    """Apply one-site operators ``[(site, matrix), ...]`` to an MPS
+    (exact, bond unchanged)."""
+    cores = jnp.asarray(mps.cores)
+    dt = jnp.result_type(
+        cores.dtype, *[np.asarray(m).dtype for _, m in site_ops])
+    cores = cores.astype(dt)
+    for site, op in site_ops:
+        op = jnp.asarray(op, dt)
+        cores = cores.at[site].set(
+            peinsum("sS,SDE->sDE", op, cores[site]))
+    return MPS(cores, jnp.asarray(mps.left, dt), jnp.asarray(mps.right, dt))
+
+
+def _keep_scale(compressed):
+    out, log_norm, _ = compressed
+    return MPS(out.cores, out.left * jnp.exp(log_norm), out.right)
+
+
+def _inner_value(bra, ket):
+    v, log = bra.inner(ket)
+    return complex(v * jnp.exp(log))
+
+
+def chebyshev_moments(h_mpo, psi0, op_sites, n_moments, bounds,
+                      max_bond=32, eps=0.025):
+    """KPM moments ``mu_k = <0|O+ T_k(H') O|0>``, ``k < n_moments``.
+
+    Args:
+        h_mpo: Hamiltonian MPO.
+        psi0: the reference state ``|0>`` (normalized MPS — usually a
+            DMRG ground state).
+        op_sites: the probe operator ``O`` as one-site factors
+            ``[(site, matrix), ...]``.
+        n_moments: number of Chebyshev moments ``N`` (energy
+            resolution ``~ pi a / N`` after Jackson damping).
+        bounds: spectral envelope ``(emin, emax)`` of ``H``.
+        max_bond: SVD compression bond for the Chebyshev vectors.
+
+    Returns ``(moments, a, b)`` with ``moments`` a complex ``(N,)``
+    array and ``a, b`` the rescaling used (needed by
+    :func:`spectral_function`).
+    """
+    hp, a, b = rescaled_mpo(h_mpo, bounds, eps=eps)
+    phi = apply_site_ops(psi0, op_sites)
+    t_prev = phi
+    moments = [_inner_value(phi, t_prev)]
+    if n_moments == 1:
+        return np.asarray(moments), a, b
+    t_cur = _keep_scale(compress(apply_mpo_to_mps(hp, phi),
+                                 max_bond=max_bond))
+    moments.append(_inner_value(phi, t_cur))
+    for _ in range(2, n_moments):
+        ht = apply_mpo_to_mps(hp, t_cur)
+        two_ht = MPS(ht.cores, 2.0 * ht.left, ht.right)
+        neg_prev = MPS(t_prev.cores, -t_prev.left, t_prev.right)
+        t_next = _keep_scale(mps_add(two_ht, neg_prev, max_bond=max_bond))
+        moments.append(_inner_value(phi, t_next))
+        t_prev, t_cur = t_cur, t_next
+    return np.asarray(moments), a, b
+
+
+def jackson_kernel(n_moments):
+    """Jackson damping factors ``g_k`` (optimal positive kernel)."""
+    k = np.arange(n_moments)
+    q = np.pi / (n_moments + 1)
+    return ((n_moments - k + 1) * np.cos(q * k)
+            + np.sin(q * k) / np.tan(q)) / (n_moments + 1)
+
+
+def spectral_function(moments, a, b, w_grid, e0=0.0, kernel="jackson"):
+    """Reconstruct ``S(w)`` on ``w_grid`` from KPM moments.
+
+    ``w`` is measured relative to ``e0`` (pass the ground energy for
+    excitation spectra): the reduced variable is ``x = (w + e0 - b)/a``
+    and the returned density carries the ``1/a`` Jacobian, so
+    ``integral S(w) dw = mu_0`` (the sum rule).  Points outside the
+    reduced band are exactly zero.
+    """
+    n_moments = len(moments)
+    if kernel == "jackson":
+        g = jackson_kernel(n_moments)
+    elif kernel is None or kernel == "dirichlet":
+        g = np.ones(n_moments)
+    else:
+        raise ValueError(f"unknown kernel {kernel!r}")
+    x = (np.asarray(w_grid, float) + e0 - b) / a
+    inside = np.abs(x) < 1.0
+    xs = np.clip(x, -1.0, 1.0)
+    theta = np.arccos(xs)
+    # T_k(x) = cos(k theta); vectorized over the grid
+    k = np.arange(n_moments)
+    tk = np.cos(np.outer(theta, k))
+    coeff = g * np.real(np.asarray(moments))
+    coeff[1:] *= 2.0
+    # numpy (host-side reconstruction); np.matmul keeps the lint's
+    # bare-'@' ban trivially auditable.
+    dens = np.matmul(tk, coeff) / (
+        np.pi * np.sqrt(np.maximum(1.0 - xs**2, 1e-300)))
+    return np.where(inside, dens / a, 0.0)

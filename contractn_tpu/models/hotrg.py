@@ -96,12 +96,22 @@ def _rot(a):
     return jnp.transpose(a, (1, 2, 3, 0))
 
 
-def _merge_step(a, imp, chi, prec):
+def _merge_step(a, imp, chi, prec, frozen_proj=False):
     """One HOTRG merge along the current vertical axis + rotation.
 
     Returns the renormalized ``(a, imp, log_c, err)``; ``imp`` flows as
     a position-averaged one-site impurity sharing ``a``'s isometries
     and normalization, so ``Tr(imp)/Tr(a)`` stays the observable.
+
+    ``frozen_proj=True`` stops gradients at the isometries (autodiff
+    mode): HOTRG's truncation boundary almost always cuts through a
+    symmetry multiplet of the block density matrix, where kept/dropped
+    rotations change ``log Z`` at first order — a straight-through
+    (even degeneracy-broadened) ``eigh`` VJP diverges there, measured
+    at 1e10-1e14 blowup.  With the projectors held fixed the gradient
+    is exactly the position-averaged impurity insertion (the same
+    object :func:`hotrg_expectation` flows by hand), accurate to the
+    truncation error and convergent in ``chi``.
     """
     rho_l = _density_pair(a, a, prec)
     # Right-side density: mirror l<->r (transpose both bond pairs).
@@ -115,6 +125,8 @@ def _merge_step(a, imp, chi, prec):
     # views pair the top tensor's leg first, so no reordering).
     u3 = jnp.where(err_l <= err_r, u3l, u3r)
     err = jnp.minimum(err_l, err_r)
+    if frozen_proj:
+        u3 = jax.lax.stop_gradient(u3)
 
     a_new = _apply_pair(a, a, u3, u3, prec)
     imp_new = 0.5 * (
@@ -131,15 +143,15 @@ def _closure(a):
     return jnp.einsum("ulul->", a, precision=dot_precision(a.dtype))
 
 
-@partial(jax.jit, static_argnames=("chi", "steps"))
-def _hotrg_flow(a0, imp0, chi, steps):
+@partial(jax.jit, static_argnames=("chi", "steps", "frozen_proj"))
+def _hotrg_flow(a0, imp0, chi, steps, frozen_proj=False):
     prec = dot_precision(a0.dtype)
     c0 = jnp.maximum(jnp.mean(jnp.abs(a0)), 1e-300)
     carry0 = (a0 / c0, imp0 / c0, jnp.log(c0))
 
     def body(carry, _):
         a, imp, g = carry
-        a, imp, log_c, err = _merge_step(a, imp, chi, prec)
+        a, imp, log_c, err = _merge_step(a, imp, chi, prec, frozen_proj)
         # Block doubles: g_{k+1} = 2 g_k + log c_{k+1}.
         return (a, imp, 2.0 * g + log_c), err
 
@@ -203,3 +215,85 @@ def hotrg_bond_expectation(a, imp_top, imp_bot, chi, steps=30):
     _, ratio, _ = _hotrg_flow(_rot(a1 / c), _rot(i1 / c), chi,
                               int(steps) - 1)
     return float(ratio)
+
+
+# -- differentiable RG (autodiff through the whole flow) --------------- #
+
+def ising_tensor_smooth(beta, h_field=0.0):
+    """Square-lattice Ising site tensor as a SMOOTH jnp function of
+    ``beta`` (and an optional longitudinal field), for autodiff.
+
+    Identical values to :func:`~contractn_tpu.models.ctmrg.
+    ising_tensor`, but the bond Boltzmann factorization is written in
+    closed form — ``W = [[sqrt(cosh b), sqrt(sinh b)], [sqrt(cosh b),
+    -sqrt(sinh b)]]`` (the exact eigendecomposition of ``B``) — so
+    every operation is traceable and ``jax.grad`` flows through.
+    """
+    beta = jnp.asarray(beta)
+    ch = jnp.sqrt(jnp.cosh(beta))
+    sh = jnp.sqrt(jnp.sinh(beta))
+    w = jnp.stack([jnp.stack([ch, sh]), jnp.stack([ch, -sh])])
+    weight = jnp.exp(h_field * jnp.asarray([1.0, -1.0], beta.dtype))
+    return jnp.einsum("s,su,sl,sd,sr->uldr", weight, w, w, w, w,
+                      precision=dot_precision(w.dtype))
+
+
+def potts_tensor_smooth(beta, q=3):
+    """q-state Potts site tensor, smooth in ``beta``: the bond matrix
+    ``B = (e^b - 1) I + J`` has the CONSTANT eigenbasis (uniform vector
+    + its orthogonal complement) with eigenvalues ``e^b - 1 + q`` and
+    ``e^b - 1``, so only the eigenvalues trace through ``beta``."""
+    import numpy as np
+
+    beta = jnp.asarray(beta)
+    seed = np.ones((q, q))
+    seed[:, 1:] = np.eye(q)[:, 1:]
+    vecs, _ = np.linalg.qr(seed)  # first column = -+ 1/sqrt(q)
+    eb = jnp.exp(beta)
+    vals = jnp.concatenate([
+        (eb - 1.0 + q)[None], jnp.broadcast_to(eb - 1.0, (q - 1,))])
+    w = jnp.asarray(vecs) * jnp.sqrt(vals)[None, :]
+    return jnp.einsum("su,sl,sd,sr->uldr", w, w, w, w,
+                      precision=dot_precision(w.dtype))
+
+
+def hotrg_log_z_diff(a, chi, steps=24):
+    """``log Z`` per site as a TRACED scalar, reverse-mode
+    differentiable through the entire RG flow.
+
+    The isometries are held FIXED under differentiation (see
+    :func:`_merge_step`: the truncation boundary cuts degenerate
+    multiplets, where any straight-through eigh VJP diverges); the
+    resulting gradient equals the impurity-flow value — the
+    variational quality of the projectors makes their variation a
+    second-order effect — and converges with ``chi`` like every other
+    HOTRG observable (differentiable programming of TRG in the spirit
+    of Liao et al., PRX 9, 031041, with the projector-freezing rule).
+    Compose with the smooth tensor builders: ``jax.grad(lambda b:
+    hotrg_log_z_diff(ising_tensor_smooth(b), chi))(beta)`` is
+    ``-u(beta)`` — the internal energy from one reverse pass over the
+    flow, no impurity tensors anywhere.
+    """
+    a0 = _pad_to_chi(jnp.asarray(a), chi)
+    log_z, _, _ = _hotrg_flow(a0, a0, chi, int(steps), frozen_proj=True)
+    return log_z
+
+
+def ising_internal_energy_ad(beta, chi, steps=24, h_field=0.0):
+    """Onsager-testable internal energy per site ``u = -d log Z /
+    d beta`` by autodiff through the HOTRG flow."""
+    grad = jax.grad(
+        lambda b: hotrg_log_z_diff(ising_tensor_smooth(b, h_field),
+                                   chi, steps))
+    return float(-grad(jnp.asarray(beta, jnp.float64)))
+
+
+def ising_specific_heat_ad(beta, chi, steps=24, delta=1e-4):
+    """Specific heat ``C = beta^2 d^2 log Z / d beta^2`` as a central
+    difference OVER the autodiff energy (second-order reverse mode
+    does not compose through ``custom_vjp``; differencing two
+    machine-accurate first derivatives costs only ~``delta^2``)."""
+    beta = float(beta)
+    up = ising_internal_energy_ad(beta + delta, chi, steps)
+    dn = ising_internal_energy_ad(beta - delta, chi, steps)
+    return float(-beta * beta * (up - dn) / (2.0 * delta))

@@ -69,14 +69,18 @@ def _lift_right(mpo, dtype):
                jnp.asarray(np.asarray(mpo.right), dtype))
 
 
-def _dissipator_site(jump):
+def _dissipator_site(jump, adjoint=False):
     """One-site superoperator ``L (x) conj(L) - (1/2)(L+L (x) I)
-    - (1/2)(I (x) (L+L)^T)``."""
+    - (1/2)(I (x) (L+L)^T)``; with ``adjoint=True`` the Hilbert-Schmidt
+    adjoint ``O -> L+ O L - (1/2){L+L, O}`` (Heisenberg picture)."""
     el = np.asarray(jump, complex)
     d = el.shape[0]
     ldl = np.matmul(el.conj().T, el)
     eye = np.eye(d)
-    term = np.einsum("sS,aA->saSA", el, el.conj())
+    if adjoint:
+        term = np.einsum("sS,aA->saSA", el.conj().T, el.T)
+    else:
+        term = np.einsum("sS,aA->saSA", el, el.conj())
     term -= 0.5 * np.einsum("sS,aA->saSA", ldl, eye)
     term -= 0.5 * np.einsum("sS,aA->saSA", eye, ldl.T)
     return term.reshape(d * d, d * d)
@@ -92,17 +96,21 @@ def _superop_pair(a_mat, b_mat, d):
     return t.reshape(d * d, d * d, d * d, d * d)
 
 
-def _dissipator_bond(jump, d):
+def _dissipator_bond(jump, d, adjoint=False):
     """Two-site dissipator superoperator of a bond jump operator
     (``d^2 x d^2``), Schmidt-split across the bond.
 
     Returns ``[(U_k, V_k), ...]`` one-site factor pairs such that the
     dissipator is ``sum_k U_k (x) V_k`` on adjacent fused sites.
+    ``adjoint=True`` gives the Hilbert-Schmidt adjoint (Heisenberg).
     """
     el = np.asarray(jump, complex)
     ldl = np.matmul(el.conj().T, el)
     eye = np.eye(d * d)
-    t = _superop_pair(el, el.conj(), d)
+    if adjoint:
+        t = _superop_pair(el.conj().T, el.T, d)
+    else:
+        t = _superop_pair(el, el.conj(), d)
     t -= 0.5 * _superop_pair(ldl, eye, d)
     t -= 0.5 * _superop_pair(eye, ldl.T, d)
     # (r1, r2, c1, c2) -> ((r1 c1), (r2 c2)) and operator-Schmidt SVD
@@ -170,7 +178,7 @@ def liouvillian_mpo(h_mpo, jumps=(), bond_jumps=(), cutoff=1e-12):
     return MPO(comp.cores, comp.left * jnp.exp(log_norm), comp.right)
 
 
-def liouvillian_automaton(h_mpo, jumps=(), bond_jumps=()):
+def liouvillian_automaton(h_mpo, jumps=(), bond_jumps=(), adjoint=False):
     """The Lindbladian in TRIANGULAR AUTOMATON form (uncompressed).
 
     Same superoperator as :func:`liouvillian_mpo`, but the finite-state
@@ -180,6 +188,12 @@ def liouvillian_automaton(h_mpo, jumps=(), bond_jumps=()):
     valid automaton blocks, so the Liouvillian assembles channel by
     channel — which is exactly what :func:`~contractn_tpu.models.
     mpo_evolution.wii_mpo` needs to compile ``exp(t L)``.
+
+    ``adjoint=True`` builds the Hilbert-Schmidt adjoint ``L+`` (the
+    generator of the Heisenberg picture / adjoint master equation,
+    ``dO/dt = +i[H, O] + sum_k L_k+ O L_k - (1/2){L_k+ L_k, O}``) —
+    equal to the conjugate transpose of the dense superoperator, since
+    the vec basis is orthonormal under the Hilbert-Schmidt pairing.
 
     ``h_mpo`` must itself be in triangular automaton form (boundary
     vectors ``e_0`` / ``e_last``, as every builder here produces).
@@ -196,6 +210,7 @@ def liouvillian_automaton(h_mpo, jumps=(), bond_jumps=()):
                          "(right boundary = e_last)")
     r = wdim - 2
     eye = np.eye(d)
+    ih = 1j if adjoint else -1j
 
     def _ll(o):
         return np.einsum("sS,aA->saSA", o, eye).reshape(d * d, d * d)
@@ -207,9 +222,9 @@ def liouvillian_automaton(h_mpo, jumps=(), bond_jumps=()):
     for item in jumps:
         if isinstance(item, tuple):
             site, mat = item
-            onsite[site].append(_dissipator_site(mat))
+            onsite[site].append(_dissipator_site(mat, adjoint=adjoint))
         else:
-            dis = _dissipator_site(item)
+            dis = _dissipator_site(item, adjoint=adjoint)
             for i in range(n):
                 onsite[i].append(dis)
     bond_channels = []  # (site, U_k, V_k)
@@ -219,7 +234,7 @@ def liouvillian_automaton(h_mpo, jumps=(), bond_jumps=()):
         else:
             bonds = [(i, item) for i in range(n - 1)]
         for i, mat in bonds:
-            for uk, vk in _dissipator_bond(mat, d):
+            for uk, vk in _dissipator_bond(mat, d, adjoint=adjoint):
                 bond_channels.append((i, uk, vk))
 
     nb = len(bond_channels)
@@ -231,13 +246,13 @@ def liouvillian_automaton(h_mpo, jumps=(), bond_jumps=()):
         w = cores[i]
         out[i, :, :, 0, 0] = np.eye(dd)
         out[i, :, :, last, last] = np.eye(dd)
-        out[i, :, :, 0, last] = (-1j * _ll(w[:, :, 0, wdim - 1])
-                                 + 1j * _lr(w[:, :, 0, wdim - 1]))
+        out[i, :, :, 0, last] = (ih * _ll(w[:, :, 0, wdim - 1])
+                                 - ih * _lr(w[:, :, 0, wdim - 1]))
         for dis in onsite[i]:
             out[i, :, :, 0, last] += dis
         for a in range(1, r + 1):
-            out[i, :, :, 0, a] = -1j * _ll(w[:, :, 0, a])
-            out[i, :, :, 0, r + a] = 1j * _lr(w[:, :, 0, a])
+            out[i, :, :, 0, a] = ih * _ll(w[:, :, 0, a])
+            out[i, :, :, 0, r + a] = -ih * _lr(w[:, :, 0, a])
             out[i, :, :, a, last] = _ll(w[:, :, a, wdim - 1])
             out[i, :, :, r + a, last] = _lr(w[:, :, a, wdim - 1])
             for b in range(1, r + 1):
@@ -265,22 +280,25 @@ def lindblad_evolve_wii(rho0, h_mpo, t, n_steps, jumps=(),
     Returns the final vectorized density MPS (same conventions as
     :func:`lindblad_evolve`).
     """
+    la = liouvillian_automaton(h_mpo, jumps=jumps, bond_jumps=bond_jumps)
+    rho = rho0
+    for u2 in _wii_props(la, t / n_steps, order) * n_steps:
+        rho = _trim(apply_mpo_to_mps(u2, rho), max_bond)
+    return rho
+
+
+def _wii_props(superop_automaton, dt, order):
+    """The per-step W^II propagator list: the conjugate pair
+    ``dt (1 +- i)/2`` for globally second order, or the single plain
+    step for ``order=1``."""
     from .mpo_evolution import wii_mpo
 
-    la = liouvillian_automaton(h_mpo, jumps=jumps, bond_jumps=bond_jumps)
-    dt = t / n_steps
     if order == 2:
-        props = [wii_mpo(la, dt * (1 + 1j) / 2),
-                 wii_mpo(la, dt * (1 - 1j) / 2)]
-    elif order == 1:
-        props = [wii_mpo(la, dt)]
-    else:
-        raise ValueError("order must be 1 or 2")
-    rho = rho0
-    for _ in range(n_steps):
-        for u2 in props:
-            rho = _trim(apply_mpo_to_mps(u2, rho), max_bond)
-    return rho
+        return [wii_mpo(superop_automaton, dt * (1 + 1j) / 2),
+                wii_mpo(superop_automaton, dt * (1 - 1j) / 2)]
+    if order == 1:
+        return [wii_mpo(superop_automaton, dt)]
+    raise ValueError("order must be 1 or 2")
 
 
 def vectorized_product_state(states):

@@ -75,9 +75,13 @@ def eigh_safe(m, eps=_EPS):
 
     Forward pass is exactly ``jnp.linalg.eigh``; only the reverse rule
     differs (Lorentzian-broadened eigenvalue gaps).  Real-symmetric or
-    complex-Hermitian input.
+    complex-Hermitian input.  Returns a PLAIN tuple (not jax's
+    ``EighResult`` namedtuple) so the primal pytree structure matches
+    the fwd rule's — custom_vjp rejects the mismatch when a gradient
+    is traced through.
     """
-    return jnp.linalg.eigh(m)
+    vals, vecs = jnp.linalg.eigh(m)
+    return vals, vecs
 
 
 def _eigh_fwd(m, eps):

@@ -1,0 +1,164 @@
+"""Heisenberg-picture operator dynamics: dense-oracle parity for the
+adjoint Liouvillian automaton, W^II Heisenberg trajectories, OTOCs,
+light cones, operator entanglement, and the forward/adjoint duality.
+
+The reference has no operator dynamics (or evolution of any kind);
+these pin the vectorization and adjoint conventions against dense
+``expm`` conjugation in the standard row-major basis.
+"""
+
+import numpy as np
+import scipy.linalg as sla
+
+from contractn_tpu.models.lindblad import (
+    lindblad_evolve_wii,
+    liouvillian_automaton,
+    vectorized_product_state,
+)
+from contractn_tpu.models.mpo import mpo_from_bond_term
+from contractn_tpu.models.operator_dynamics import (
+    heisenberg_evolve_wii,
+    operator_entropy,
+    otoc,
+    vectorized_operator,
+)
+
+from test_lindblad import (
+    SM,
+    SP,
+    X,
+    Z,
+    _dense_liouvillian,
+    _fused_to_standard,
+    _mpo_dense,
+    _site_op,
+    _standard_to_fused_vec,
+)
+from test_mpo_evolution import _mps_dense
+
+I2 = np.eye(2)
+
+# mixed-field Ising bond term (nonintegrable -> genuine scrambling)
+HX, HZ = 1.05, 0.5
+H2 = (np.kron(Z, Z) + HX * 0.5 * (np.kron(X, I2) + np.kron(I2, X))
+      + HZ * 0.5 * (np.kron(Z, I2) + np.kron(I2, Z))).astype(complex)
+
+
+def _dense_h(n):
+    hd = np.zeros((2**n, 2**n), complex)
+    for i in range(n - 1):
+        hd += np.kron(np.kron(np.eye(2**i), H2), np.eye(2**(n - i - 2)))
+    return hd
+
+
+def test_adjoint_automaton_is_dense_adjoint():
+    """``liouvillian_automaton(adjoint=True)`` == conjugate transpose
+    of the dense Liouvillian (the vec basis is Hilbert-Schmidt
+    orthonormal), with site, uniform, and bond jumps mixed in."""
+    n = 3
+    h_mpo = mpo_from_bond_term(H2, n, dtype=complex)
+    jumps = [(0, 0.7 * SP), (2, 0.5 * SM), np.sqrt(0.3) * Z]
+    hop = np.sqrt(0.4) * (np.kron(SP, SM) + 0.5 * np.kron(SM, SP))
+
+    def _bond_op(mat, i):
+        out = np.eye(1)
+        for k in range(n):
+            if k == i:
+                out = np.kron(out, mat)
+            elif k != i + 1:
+                out = np.kron(out, I2)
+        return out
+
+    dense_jumps = (
+        [_site_op(0.7 * SP, 0, n), _site_op(0.5 * SM, n - 1, n)]
+        + [_site_op(np.sqrt(0.3) * Z, i, n) for i in range(n)]
+        + [_bond_op(hop, i) for i in range(n - 1)]
+    )
+    lv_dense = _dense_liouvillian(_dense_h(n), dense_jumps)
+    la = liouvillian_automaton(h_mpo, jumps=jumps, bond_jumps=[hop],
+                               adjoint=True)
+    da = _fused_to_standard(_mpo_dense(la, n, 4), n)
+    assert np.max(np.abs(da - lv_dense.conj().T)) < 1e-12
+
+
+def test_heisenberg_otoc_and_entropy_dense_parity():
+    """Closed-system Heisenberg evolution: vec(W(t)) == dense unitary
+    conjugation, the infinite-T OTOC matches the dense 4-point trace,
+    the squared commutator shows the light cone, and the operator
+    entanglement profile equals the dense operator Schmidt entropy of
+    the evolved MPS."""
+    n = 4
+    h_mpo = mpo_from_bond_term(H2, n, dtype=complex)
+    hd = _dense_h(n)
+    w0 = vectorized_operator(n, [(0, Z)])
+    t = 1.0
+    wt = heisenberg_evolve_wii(w0, h_mpo, t, n_steps=40, max_bond=48)
+
+    u = sla.expm(-1j * hd * t)
+    wt_dense = u.conj().T @ _site_op(Z, 0, n) @ u
+    wt_vec = _standard_to_fused_vec(wt_dense, n)
+    wt_mps = _mps_dense(wt)
+    assert np.max(np.abs(wt_mps - wt_vec)) < 2e-3  # O(dt^2) W^II error
+
+    f_mps, c_mps = otoc(wt, Z, 3)
+    f_dense = np.trace(
+        wt_dense.conj().T @ _site_op(Z, 3, n) @ wt_dense
+        @ _site_op(Z, 3, n)) / 2**n
+    assert abs(f_mps - f_dense) < 1e-5
+    assert abs(c_mps - (1.0 - np.real(f_dense))) < 1e-5
+
+    # light cone: at t=0.3 the front has not reached site 3
+    wt_s = heisenberg_evolve_wii(w0, h_mpo, 0.3, n_steps=12, max_bond=48)
+    _, c_far = otoc(wt_s, Z, 3)
+    _, c_near = otoc(wt_s, Z, 1)
+    assert abs(c_far) < 1e-8
+    assert c_near > 1e-4
+
+    # operator entropy == dense Schmidt entropy of the same vector
+    s_mps = np.asarray(operator_entropy(wt))
+    vec_f = wt_mps.reshape((4,) * n)
+    for cut in range(1, n):
+        sv = np.linalg.svd(vec_f.reshape(4**cut, -1), compute_uv=False)
+        p = sv**2 / np.sum(sv**2)
+        s_dense = -np.sum(np.where(p > 1e-300, p * np.log(p), 0.0))
+        assert abs(s_mps[cut - 1] - s_dense) < 1e-9
+    assert s_mps.max() > 0.1  # genuinely grown operator
+
+
+def test_adjoint_duality_with_dissipation():
+    """``Tr(O(t) rho(0)) == Tr(O(0) rho(t))`` — Heisenberg (adjoint
+    master equation) vs Schroedinger (Lindblad) W^II propagation are
+    adjoints of each other; and O(t) matches the dense adjoint
+    ``expm``."""
+    n = 4
+    h_mpo = mpo_from_bond_term(H2, n, dtype=complex)
+    jumps = [np.sqrt(0.3) * Z]
+    states = [np.array([1.0, 0.4]) if i % 2 else np.array([0.6, 1.0])
+              for i in range(n)]
+    rho0 = vectorized_product_state(states)
+    o0 = vectorized_operator(n, [(1, X)])
+    t = 0.6
+    ot = heisenberg_evolve_wii(o0, h_mpo, t, n_steps=40, jumps=jumps,
+                               max_bond=32)
+    rhot = lindblad_evolve_wii(rho0, h_mpo, t, n_steps=40, jumps=jumps,
+                               max_bond=32)
+
+    def _hs_trace(a_vec, b_vec):
+        a_d = _mps_dense(a_vec).reshape((2, 2) * n)
+        b_d = _mps_dense(b_vec).reshape((2, 2) * n)
+        perm = [2 * i for i in range(n)] + [2 * i + 1 for i in range(n)]
+        a_m = a_d.transpose(perm).reshape(2**n, 2**n)
+        b_m = b_d.transpose(perm).reshape(2**n, 2**n)
+        return np.trace(a_m @ b_m)
+
+    lhs = _hs_trace(ot, rho0)
+    rhs = _hs_trace(o0, rhot)
+    assert abs(lhs - rhs) < 1e-4
+    assert abs(np.real(lhs) - np.real(rhs)) < 1e-10
+
+    # O(t) against the dense adjoint propagator
+    lv = _dense_liouvillian(_dense_h(n),
+                            [_site_op(jumps[0], i, n) for i in range(n)])
+    ot_std = sla.expm(lv.conj().T * t) @ _site_op(X, 1, n).reshape(-1)
+    ot_dense = _standard_to_fused_vec(ot_std.reshape(2**n, 2**n), n)
+    assert np.max(np.abs(_mps_dense(ot) - ot_dense)) < 1e-3
