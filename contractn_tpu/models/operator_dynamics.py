@@ -39,7 +39,14 @@ import numpy as np
 
 from .boundary import apply_mpo_to_mps
 from .canonical import entanglement_entropy
-from .lindblad import _trim, _wii_props, liouvillian_automaton
+from .lindblad import (
+    _lift_left,
+    _lift_right,
+    _trim,
+    _wii_props,
+    liouvillian_automaton,
+)
+from .mpo import MPO, mpo_sum
 from .mps import MPS
 
 
@@ -119,6 +126,117 @@ def otoc(w_vec, v_op, site, d=2):
     f_val = superop_sandwich(
         w_vec, [(site, v_mat.conj().T, v_mat)], d=d)
     return f_val, float(np.real(1.0 - f_val))
+
+
+def vectorized_operator_sum(n, op, phases, d=2):
+    """``sum_j phases[j] O_j`` (identity elsewhere) as a BOND-2
+    vectorized MPS — the momentum-resolved probe
+    ``O_k = sum_j e^{i k j} O_j`` is ``phases = exp(1j k arange(n))``.
+    Vectorization is linear, so the sum is the standard two-state
+    insertion automaton on the fused ``(s, a)`` index."""
+    eye = np.eye(d).reshape(-1)
+    ov = np.asarray(op, complex).reshape(-1)
+    cores = np.zeros((n, d * d, 2, 2), complex)
+    for j in range(n):
+        cores[j, :, 0, 0] = eye
+        cores[j, :, 1, 1] = eye
+        cores[j, :, 0, 1] = complex(phases[j]) * ov
+    left = jnp.asarray(np.array([1.0, 0.0]), jnp.complex128)
+    right = jnp.asarray(np.array([0.0, 1.0]), jnp.complex128)
+    return MPS(jnp.asarray(cores), left, right)
+
+
+def commutator_superop_mpo(h_mpo, dtype=jnp.complex128):
+    """The HERMITIAN commutator generator ``K vec(O) = vec([H, O])``
+    (``K = H (x) I - I (x) H^T`` in the fused vectorization) — the
+    adjoint Heisenberg generator divided by ``i``, so its spectrum is
+    the set of TRANSITION frequencies ``E_n - E_m``.  This is what the
+    kernel-polynomial machinery expands in."""
+    lp = _lift_left(h_mpo, dtype)
+    lm = _lift_right(h_mpo, dtype)
+    return mpo_sum(lp, MPO(lm.cores, -lm.left, lm.right))
+
+
+def liouvillian_kpm_moments(h_mpo, vec_op, n_moments, h_bounds,
+                            max_bond=32, eps=0.025):
+    """KPM moments of the INFINITE-TEMPERATURE dynamical correlation
+    spectrum
+
+        ``S(w) = d^{-n} sum_{mn} |<n|O|m>|^2 delta(w - (E_n - E_m))``
+
+    — i.e. the Fourier transform of ``Tr(O+(t) O) / Tr(I)``, the
+    central object of high-temperature transport.  The moments are
+    ``mu_k = d^{-n} <vec(O)| T_k(K') |vec(O)>`` with ``K`` the
+    commutator superoperator, evaluated by the SAME Chebyshev MPS
+    recurrence as the T=0 spectral functions — the vectorized operator
+    is just an MPS (:mod:`~contractn_tpu.models.chebyshev`).
+
+    Args:
+        h_mpo: Hamiltonian MPO (phys dim ``d``).
+        vec_op: the vectorized probe (:func:`vectorized_operator` or
+            :func:`vectorized_operator_sum`).
+        n_moments: Chebyshev order.
+        h_bounds: envelope ``(emin, emax)`` of ``H`` — the transition
+            band ``[emin - emax, emax - emin]`` is derived from it.
+        max_bond: compression bond of the Chebyshev operator vectors.
+
+    Returns ``(moments, a, b)`` ready for :func:`~contractn_tpu.models.
+    chebyshev.spectral_function` (use ``e0=0``; the sum rule is
+    ``mu_0 = Tr(O+ O) / d^n``, = 1 for a single Pauli probe).
+    """
+    from .chebyshev import chebyshev_moments
+
+    n, dd = h_mpo.cores.shape[0], h_mpo.cores.shape[1]
+    k_mpo = commutator_superop_mpo(h_mpo)
+    width = float(h_bounds[1]) - float(h_bounds[0])
+    moments, a, b = chebyshev_moments(
+        k_mpo, vec_op, [], n_moments, (-width, width),
+        max_bond=max_bond, eps=eps)
+    return moments / float(dd) ** n, a, b
+
+
+def thermal_kpm_moments(h_mpo, purified_mps, op, site, n_moments,
+                        h_bounds, max_bond=32, eps=0.025):
+    """KPM moments of the FINITE-TEMPERATURE dynamical structure factor
+
+        ``S_beta(w) = sum_{mn} p_m |<n|O|m>|^2 delta(w - (E_n - E_m))``
+
+    (``p_m = e^{-beta E_m}/Z``).  The purification
+    ``|psi_beta> = (e^{-beta H/2} (x) I)|Phi_0>`` couples bra and ket
+    eigenstates pairwise, so propagating ``(O (x) I)|psi_beta>`` under
+    the SAME commutator superoperator ``K = H (x) I - I (x) H^T`` used
+    at infinite temperature resolves transition frequencies exactly —
+    the ancilla half carries ``E_m`` with the opposite sign, no
+    two-dimensional (double Chebyshev) expansion needed.
+
+    Args:
+        h_mpo: Hamiltonian MPO (phys dim ``d``).
+        purified_mps: the purified thermal state over fused ``d^2``
+            sites (:func:`~contractn_tpu.models.circuits.thermal_state`
+            ``.finalize()``, or any state in that convention);
+            normalized internally, so ``mu_0 = Tr(rho O+ O)``.
+        op, site: the one-site probe on the SYSTEM half.
+        n_moments, h_bounds, max_bond: as in
+            :func:`liouvillian_kpm_moments`.
+
+    Returns ``(moments, a, b)`` for :func:`~contractn_tpu.models.
+    chebyshev.spectral_function` with ``e0=0``.  Detailed balance
+    ``S(-w) = e^{-beta w} S(w)`` is inherited exactly (pinned against
+    dense thermal oracles in the tests).
+    """
+    from .chebyshev import chebyshev_moments
+
+    d = h_mpo.cores.shape[1]
+    op_d = np.kron(np.asarray(op, complex), np.eye(d))
+    nv, nl = purified_mps.norm_squared()
+    scale = jnp.exp(-0.5 * (jnp.log(jnp.real(nv)) + nl))
+    psi = MPS(jnp.asarray(purified_mps.cores, jnp.complex128),
+              scale * jnp.asarray(purified_mps.left, jnp.complex128),
+              jnp.asarray(purified_mps.right, jnp.complex128))
+    k_mpo = commutator_superop_mpo(h_mpo)
+    width = float(h_bounds[1]) - float(h_bounds[0])
+    return chebyshev_moments(k_mpo, psi, [(site, op_d)], n_moments,
+                             (-width, width), max_bond=max_bond, eps=eps)
 
 
 def operator_entropy(vec_a, alpha=1):

@@ -16,11 +16,14 @@ from contractn_tpu.models.lindblad import (
     vectorized_product_state,
 )
 from contractn_tpu.models.mpo import mpo_from_bond_term
+from contractn_tpu.models.chebyshev import spectral_function
 from contractn_tpu.models.operator_dynamics import (
     heisenberg_evolve_wii,
+    liouvillian_kpm_moments,
     operator_entropy,
     otoc,
     vectorized_operator,
+    vectorized_operator_sum,
 )
 
 from test_lindblad import (
@@ -162,3 +165,94 @@ def test_adjoint_duality_with_dissipation():
     ot_std = sla.expm(lv.conj().T * t) @ _site_op(X, 1, n).reshape(-1)
     ot_dense = _standard_to_fused_vec(ot_std.reshape(2**n, 2**n), n)
     assert np.max(np.abs(_mps_dense(ot) - ot_dense)) < 1e-3
+
+
+def test_liouvillian_kpm_infinite_t_spectrum():
+    """Infinite-temperature dynamical spectrum by Liouvillian KPM: the
+    MPS moments equal the dense matrix Chebyshev recursion on
+    ``K X = [H, X]`` at machine precision; the reconstructed S(w) is
+    positive, even (Hermitian probe at T=inf), and sums to
+    ``Tr(O+ O)/2^n``; the momentum probe's sum rule is ``n``."""
+    n = 5
+    h_mpo = mpo_from_bond_term(H2, n, dtype=complex)
+    hd = _dense_h(n)
+    evals = np.linalg.eigvalsh(hd)
+    bounds = (evals[0] - 0.2, evals[-1] + 0.2)
+    width = bounds[1] - bounds[0]
+
+    n_mom = 64
+    mom, a, b = liouvillian_kpm_moments(
+        h_mpo, vectorized_operator(n, [(2, Z)]), n_mom, bounds,
+        max_bond=48)
+    assert abs(b) < 1e-14
+
+    op = _site_op(Z, 2, n)
+    a_d = 2 * width / (2.0 - 0.025)
+    t_prev = op.copy()
+    t_cur = (hd @ op - op @ hd) / a_d
+    dm = [np.trace(op.conj().T @ t_prev) / 2 ** n,
+          np.trace(op.conj().T @ t_cur) / 2 ** n]
+    for _ in range(2, n_mom):
+        t_prev, t_cur = (t_cur,
+                         2 * (hd @ t_cur - t_cur @ hd) / a_d - t_prev)
+        dm.append(np.trace(op.conj().T @ t_cur) / 2 ** n)
+    assert np.max(np.abs(np.real(mom) - np.real(dm))) < 1e-10
+    assert np.max(np.abs(np.imag(mom))) < 1e-12
+
+    w = np.linspace(-width - 1, width + 1, 3001)
+    s = spectral_function(mom, a, b, w, e0=0.0)
+    assert np.all(s >= -1e-12)
+    assert np.max(np.abs(s - s[::-1])) < 1e-12  # even in w at T=inf
+    assert abs(np.trapezoid(s, w) - 1.0) < 1e-4  # Pauli sum rule
+
+    phases = np.exp(1j * np.pi * np.arange(n))
+    momk, _, _ = liouvillian_kpm_moments(
+        h_mpo, vectorized_operator_sum(n, Z, phases), 16, bounds,
+        max_bond=48)
+    assert abs(momk[0] - n) < 1e-10  # Tr(Ok+ Ok)/2^n == n
+
+
+def test_thermal_kpm_matches_dense_thermal_oracle():
+    """Finite-temperature dynamical structure factor by KPM on the
+    purification: moments equal the dense recursion traced against the
+    EXACT thermal density matrix (error = Trotter error of the
+    purified state), and the sum rule is Tr(rho O+ O)."""
+    import scipy.linalg as _sla
+
+    from contractn_tpu.models.circuits import thermal_state
+    from contractn_tpu.models.operator_dynamics import (
+        thermal_kpm_moments,
+    )
+
+    n, beta = 4, 0.8
+    hd = _dense_h(n)
+    evals = np.linalg.eigvalsh(hd)
+    bounds = (evals[0] - 0.2, evals[-1] + 0.2)
+    psi = thermal_state(H2, n, beta, max_bond=64, n_steps=200).finalize()
+    h_mpo = mpo_from_bond_term(H2, n, dtype=complex)
+    n_mom = 48
+    mom, a, b = thermal_kpm_moments(h_mpo, psi, Z, 1, n_mom, bounds,
+                                    max_bond=64)
+
+    rho = _sla.expm(-beta * hd)
+    rho /= np.trace(rho)
+    od = _site_op(Z, 1, n)
+    width = bounds[1] - bounds[0]
+    a_d = 2 * width / (2.0 - 0.025)
+    t_prev = od.copy()
+    t_cur = (hd @ od - od @ hd) / a_d
+    dm = [np.trace(rho @ od.conj().T @ t_prev),
+          np.trace(rho @ od.conj().T @ t_cur)]
+    for _ in range(2, n_mom):
+        t_prev, t_cur = (t_cur,
+                         2 * (hd @ t_cur - t_cur @ hd) / a_d - t_prev)
+        dm.append(np.trace(rho @ od.conj().T @ t_cur))
+    assert abs(mom[0] - 1.0) < 1e-10  # Tr(rho Z^2) == 1
+    assert np.max(np.abs(mom - np.array(dm))) < 1e-6  # Trotter-limited
+
+    w = np.linspace(-width - 0.5, width + 0.5, 4001)
+    s = spectral_function(mom, a, b, w, e0=0.0)
+    assert np.all(s >= -1e-12)
+    assert abs(np.trapezoid(s, w) - 1.0) < 1e-4
+    # finite T breaks the w -> -w symmetry (detailed balance weights)
+    assert np.max(np.abs(s - s[::-1])) > 1e-3
