@@ -186,6 +186,183 @@ def ttn_ground_state(h_mpo, chi, key=None, steps=3000, lr=0.02, d=None):
     return _optimize(params, h_mpo, int(steps), float(lr))
 
 
+# -- sweeped eigensolves (TTN-DMRG) ------------------------------------ #
+#
+# The adam route above is gauge-free and robust; the sweeps below are
+# the classical alternative: keep every tensor isometric TOWARD the
+# orthogonality center, walk the center along the tree in a depth-first
+# Euler tour, and replace each tensor by the ground state of its
+# effective Hamiltonian (children blocks + up-environment, N_eff = I by
+# the gauge).  Converges to the variational optimum at machine
+# precision in a handful of sweeps — the same few-sweep behavior as
+# chain DMRG, at log depth.
+
+def _leaf_block(w, c1, c2, prec):
+    return jnp.einsum("sta,sSpq,tTqr,STb->prab", w.conj(), c1, c2, w,
+                      precision=prec)
+
+
+def _node_block(w, el, er, prec):
+    return jnp.einsum("xya,pqxX,qryY,XYb->prab", w.conj(), el, er, w,
+                      precision=prec)
+
+
+def _node_matvec(el, er, up, theta, prec):
+    """``H_eff theta`` for an internal/leaf tensor ``(x, y, o)``:
+    children blocks on the first two legs, up-environment on the third.
+    For leaves, ``el``/``er`` are the two MPO cores reshaped to the
+    same ``(p, m, x, X)`` layout."""
+    t = jnp.einsum("pmxX,XYO->pmxYO", el, theta, precision=prec)
+    t = jnp.einsum("mqyY,pmxYO->pqxyO", er, t, precision=prec)
+    return jnp.einsum("pqoO,pqxyO->xyo", up, t, precision=prec)
+
+
+def _core_as_block(c):
+    """MPO core ``(d_out, d_in, p, q)`` -> block layout ``(p, q, x, X)``
+    (bra index = output leg)."""
+    return jnp.transpose(c, (2, 3, 0, 1))
+
+
+def _lq_rows(mat):
+    """``mat = L Q`` with orthonormal ROWS of ``Q``."""
+    q, r = jnp.linalg.qr(mat.conj().T)
+    return r.conj().T, q.conj().T
+
+
+def _child_upenv(up, sib_block, w, side, prec):
+    """Up-environment of a child given the parent's up-env, the
+    sibling's block, and the (already isometrized) parent tensor."""
+    if side == "left":
+        t = jnp.einsum("pqoO,XYO->pqXYo", up, w, precision=prec)
+        t = jnp.einsum("mqyY,pqXYo->pmXyo", sib_block, t, precision=prec)
+        return jnp.einsum("xyo,pmXyo->pmxX", w.conj(), t, precision=prec)
+    t = jnp.einsum("pqoO,XYO->pqXYo", up, w, precision=prec)
+    t = jnp.einsum("pmxX,pqXYo->mqxYo", sib_block, t, precision=prec)
+    return jnp.einsum("xyo,mqxYo->mqyY", w.conj(), t, precision=prec)
+
+
+def ttn_dmrg(h_mpo, chi, key=None, sweeps=4, lanczos_iters=24, d=None):
+    """Ground state by sweeped local eigensolves (TTN-DMRG).
+
+    Returns ``(params, energies)`` with one energy per sweep (the root
+    solve's eigenvalue — variational, non-increasing).  Reaches the
+    manifold optimum at machine precision where the adam route
+    (:func:`ttn_ground_state`) stalls at its step-noise floor.
+    """
+    from ..ops.krylov import lanczos_ground
+
+    cores = jnp.asarray(h_mpo.cores)
+    n = cores.shape[0]
+    if d is None:
+        d = cores.shape[1]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    params = random_ttn(key, n, d, chi, dtype=cores.dtype)
+    levels = [[lv[b] for b in range(lv.shape[0])]
+              for lv in params["levels"]]
+    top = params["top"]
+    n_lv = len(levels)
+    prec = dot_precision(cores.dtype)
+    lvec = jnp.asarray(h_mpo.left, cores.dtype)
+    rvec = jnp.asarray(h_mpo.right, cores.dtype)
+    pair = cores.reshape(n // 2, 2, *cores.shape[1:])
+
+    def block_at(lv, b):
+        if lv == 0:
+            return _leaf_block(levels[0][b], pair[b, 0], pair[b, 1], prec)
+        return _node_block(levels[lv][b], blocks[lv - 1][2 * b],
+                           blocks[lv - 1][2 * b + 1], prec)
+
+    blocks = [[None] * len(levels[lv]) for lv in range(n_lv)]
+    for lv in range(n_lv):
+        for b in range(len(levels[lv])):
+            blocks[lv][b] = block_at(lv, b)
+
+    def children_blocks(lv, b):
+        if lv == 0:
+            return (_core_as_block(pair[b, 0]), _core_as_block(pair[b, 1]))
+        return blocks[lv - 1][2 * b], blocks[lv - 1][2 * b + 1]
+
+    def descend(lv, b, up):
+        """Center is at node (lv, b); optimize, recurse, exit with the
+        node isometric toward its parent, returning the R factor."""
+        el, er = children_blocks(lv, b)
+        w0 = levels[lv][b]
+        _, theta = lanczos_ground(
+            lambda t: _node_matvec(el, er, up, t, prec), w0,
+            lanczos_iters)
+        levels[lv][b] = theta
+        if lv > 0:
+            # left child: isometrize this node w.r.t. (y, o)
+            x_dim, y_dim, o_dim = theta.shape
+            lmat, q = _lq_rows(theta.reshape(x_dim, y_dim * o_dim))
+            levels[lv][b] = q.reshape(x_dim, y_dim, o_dim)
+            levels[lv - 1][2 * b] = peinsum(
+                "xyo,ok->xyk", levels[lv - 1][2 * b], lmat)
+            up_l = _child_upenv(up, blocks[lv - 1][2 * b + 1],
+                                levels[lv][b], "left", prec)
+            r = descend(lv - 1, 2 * b, up_l)
+            blocks[lv - 1][2 * b] = block_at(lv - 1, 2 * b)
+            levels[lv][b] = peinsum("kx,xyo->kyo", r, levels[lv][b])
+            # right child: isometrize w.r.t. (x, o)
+            theta = levels[lv][b]
+            m = jnp.transpose(theta, (1, 0, 2)).reshape(
+                theta.shape[1], -1)
+            lmat, q = _lq_rows(m)
+            levels[lv][b] = jnp.transpose(
+                q.reshape(theta.shape[1], theta.shape[0],
+                          theta.shape[2]), (1, 0, 2))
+            levels[lv - 1][2 * b + 1] = peinsum(
+                "xyo,ok->xyk", levels[lv - 1][2 * b + 1], lmat)
+            up_r = _child_upenv(up, blocks[lv - 1][2 * b],
+                                levels[lv][b], "right", prec)
+            r = descend(lv - 1, 2 * b + 1, up_r)
+            blocks[lv - 1][2 * b + 1] = block_at(lv - 1, 2 * b + 1)
+            levels[lv][b] = peinsum("ky,xyo->xko", r, levels[lv][b])
+        # exit: QR toward the parent
+        theta = levels[lv][b]
+        q, r = jnp.linalg.qr(theta.reshape(-1, theta.shape[2]))
+        levels[lv][b] = q.reshape(theta.shape[0], theta.shape[1], -1)
+        blocks[lv][b] = block_at(lv, b)
+        return r  # (k, o_old): the caller contracts Sum_o R[k, o]
+
+    energies = []
+    for _ in range(sweeps):
+        el, er = blocks[-1][0], blocks[-1][1]
+        elc = peinsum("p,pqxX->qxX", lvec, el)
+        erc = peinsum("qryY,r->qyY", er, rvec)
+
+        def top_matvec(t):
+            s = jnp.einsum("qxX,XY->qxY", elc, t, precision=prec)
+            return jnp.einsum("qyY,qxY->xy", erc, s, precision=prec)
+
+        energy, top = lanczos_ground(top_matvec, top, lanczos_iters)
+        energies.append(float(jnp.real(energy)))
+        # left subtree
+        lmat, q = _lq_rows(top)
+        top = q
+        levels[-1][0] = peinsum("xyo,ok->xyk", levels[-1][0], lmat)
+        m = peinsum("qryY,r,xy,XY->qxX", blocks[-1][1], rvec,
+                    top.conj(), top)
+        up_l = peinsum("p,qxX->pqxX", lvec, m)
+        r = descend(n_lv - 1, 0, up_l)
+        blocks[-1][0] = block_at(n_lv - 1, 0)
+        top = peinsum("kx,xy->ky", r, top)
+        # right subtree
+        q2, r2 = jnp.linalg.qr(top)
+        top = q2
+        levels[-1][1] = peinsum("xyo,ok->xyk", levels[-1][1], r2.T)
+        m2 = peinsum("p,pqxX,xy,XY->qyY", lvec, blocks[-1][0],
+                     top.conj(), top)
+        up_r = peinsum("qyY,r->qryY", m2, rvec)
+        r = descend(n_lv - 1, 1, up_r)
+        blocks[-1][1] = block_at(n_lv - 1, 1)
+        top = peinsum("ky,xy->xk", r, top)
+        top = top / jnp.linalg.norm(top)
+    out = {"levels": [jnp.stack(lv) for lv in levels], "top": top}
+    return out, energies
+
+
 def ttn_to_dense(params, d=None):
     """Dense state vector (little lattices only) — the oracle for the
     block-flow machinery in tests."""
