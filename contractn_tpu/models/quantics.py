@@ -164,6 +164,70 @@ def quantics_integral(mps, domain=(0.0, 1.0)):
     return complex(v * jnp.exp(log)) * dx
 
 
+def register_mpo(mpo, n_total, offset, dtype=None):
+    """Embed an ``n``-site MPO on the site window ``[offset, offset+n)``
+    of an ``n_total``-site lattice (identities elsewhere).
+
+    The window MPO's boundary vectors are folded into its edge cores
+    (channel 0 at the uniform bond), so multi-register quantics
+    operators compose by plain :func:`~contractn_tpu.models.mpo.
+    mpo_sum` / :func:`~contractn_tpu.models.mpo.mpo_multiply` — e.g.
+    the 2D Laplacian is ``register_mpo(lap, 2n, 0) + register_mpo(lap,
+    2n, n)`` on the stacked ``(x-bits, y-bits)`` ordering.
+    """
+    cores = np.asarray(mpo.cores)
+    n, d, _, w, _ = cores.shape
+    if offset < 0 or offset + n > n_total:
+        raise ValueError("window does not fit the lattice")
+    dt = np.asarray(cores).dtype if dtype is None else np.dtype(dtype)
+    first = np.einsum("l,sSlr->sSr", np.asarray(mpo.left), cores[0])
+    last = np.einsum("sSlr,r->sSl", cores[-1], np.asarray(mpo.right))
+    out = np.zeros((n_total, d, d, w, w), dt)
+    eye = np.eye(d)
+    for i in range(n_total):
+        if i < offset or i >= offset + n:
+            out[i, :, :, 0, 0] = eye
+        elif i == offset:
+            if n == 1:  # both boundary vectors fold into the one core
+                out[i, :, :, 0, 0] = np.einsum(
+                    "sSr,r->sS", first, np.asarray(mpo.right))
+            else:
+                out[i, :, :, 0, :] = first
+        elif i == offset + n - 1:
+            out[i, :, :, :, 0] = last
+        else:
+            out[i] = cores[i - offset]
+    e0 = np.zeros(w)
+    e0[0] = 1.0
+    return MPO(jnp.asarray(out), jnp.asarray(e0, out.dtype),
+               jnp.asarray(e0, out.dtype))
+
+
+def function_mps_2d(f, n_bits, domains=((0.0, 1.0), (0.0, 1.0)),
+                    max_bond=None, cutoff=1e-14):
+    """Quantics MPS of a 2D function on the ``2^n x 2^n`` grid, stacked
+    register ordering (x bits = sites ``0..n-1``, y bits = the rest).
+    ``f`` is vectorized over meshgrid arrays (or an explicit
+    ``(2^n, 2^n)`` sample array)."""
+    if callable(f):
+        gx = grid(n_bits, domains[0])
+        gy = grid(n_bits, domains[1])
+        vals = np.asarray(f(gx[:, None], gy[None, :]))
+    else:
+        vals = np.asarray(f)
+    if vals.shape != (2 ** n_bits, 2 ** n_bits):
+        raise ValueError(f"need a (2**{n_bits}, 2**{n_bits}) sample grid")
+    return MPS.from_dense(jnp.asarray(vals.reshape(-1)), 2,
+                          max_bond=max_bond, cutoff=cutoff)
+
+
+def quantics_to_dense_2d(mps):
+    """Dense ``(2^n, 2^n)`` sample grid of a stacked 2D quantics MPS."""
+    flat = quantics_to_dense(mps)
+    side = int(np.sqrt(flat.size))
+    return flat.reshape(side, side)
+
+
 def reverse_mps(mps):
     """Exact site reversal (used by the QFT's final bit reversal):
     cores reversed with their virtual legs swapped."""

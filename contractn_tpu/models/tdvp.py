@@ -253,6 +253,33 @@ def tdvp_evolve(mpo, mps0, dt, n_steps, max_bond=None, imaginary=False,
     return mps, energies
 
 
+def tdvp_evolve_driven(mpo_fn, mps0, dt, n_steps, max_bond=None,
+                       iters=16, masks=None, theta_masks=None,
+                       splitter=None):
+    """TDVP under a TIME-DEPENDENT Hamiltonian ``H(t)``.
+
+    ``mpo_fn(t)`` returns the MPO at time ``t``; each step evolves by
+    the MIDPOINT Hamiltonian ``H(t + dt/2)`` — the exponential-midpoint
+    rule, globally second order in ``dt`` for smooth drives (same order
+    as the symmetric two-site sweep itself), so driving does not
+    degrade the integrator.  Returns ``(mps, [energies])`` with the
+    instantaneous midpoint energies.
+
+    Beware shape churn: if ``mpo_fn`` builds a fresh MPO every call
+    with the same bond dimensions, all steps share one compiled sweep;
+    time-varying MPO bond dimensions force recompiles.
+    """
+    mps = mps0
+    energies = []
+    for k in range(n_steps):
+        mpo_t = mpo_fn((k + 0.5) * dt)
+        mps, e = tdvp_step(mpo_t, mps, dt, max_bond=max_bond,
+                           imaginary=False, iters=iters, masks=masks,
+                           theta_masks=theta_masks, splitter=splitter)
+        energies.append(e)
+    return mps, energies
+
+
 # --------------------------------------------------------------------- #
 # Single-site TDVP (TDVP1)
 # --------------------------------------------------------------------- #
