@@ -195,6 +195,79 @@ def liouvillian_kpm_moments(h_mpo, vec_op, n_moments, h_bounds,
     return moments / float(dd) ** n, a, b
 
 
+def daoe_mpo(n, gamma, lstar, d=2):
+    """The DAOE dissipator (Rakovszky, von Keyserlingk, Pollmann, PRB
+    105, 075131): a diagonal superoperator in the Pauli-string basis
+    multiplying each string of weight ``w`` by ``exp(-gamma max(0,
+    w - lstar))`` — long operators (which carry no hydrodynamic
+    information) are damped, so the operator entanglement stops
+    growing and transport coefficients become reachable at long times.
+
+    The weight count is a saturating ``lstar + 1``-state automaton, so
+    the dissipator is an exact bond-``(lstar+1)`` MPO on the vectorized
+    ``d^2`` sites (diagonal in the per-site Hermitian operator basis;
+    built in the Pauli basis and conjugated to the computational fused
+    basis).  Weight-``<= lstar`` strings — in particular every
+    conserved density — are untouched EXACTLY, which is what makes the
+    scheme hydrodynamically safe.
+    """
+    if d != 2:
+        raise ValueError("daoe_mpo currently supports qubits (d=2)")
+    lstar = int(lstar)
+    if lstar < 0:
+        raise ValueError("lstar must be >= 0")
+    f = float(np.exp(-float(gamma)))
+    # orthonormal Hermitian basis: vec(P)/sqrt(2), P in {I, X, Y, Z}
+    paulis = [np.eye(2), np.array([[0, 1], [1, 0]], complex),
+              np.array([[0, -1j], [1j, 0]]), np.diag([1.0, -1.0])]
+    u = np.stack([p.reshape(-1) / np.sqrt(2.0) for p in paulis],
+                 axis=1)  # (fused, pauli)
+    w_dim = lstar + 1
+    core_p = np.zeros((4, 4, w_dim, w_dim), complex)
+    for w in range(w_dim):
+        core_p[0, 0, w, w] = 1.0  # identity component: weight unchanged
+        w_next = min(w + 1, lstar)
+        damp = 1.0 if w < lstar else f
+        for k in (1, 2, 3):
+            core_p[k, k, w, w_next] = damp
+    core = np.einsum("ap,pqwv,bq->abwv", u, core_p, u.conj())
+    cores = jnp.asarray(np.broadcast_to(core, (n, 4, 4, w_dim, w_dim)))
+    left = np.zeros(w_dim)
+    left[0] = 1.0  # start at weight 0
+    right = np.ones(w_dim)  # accept any final count
+    return MPO(cores, jnp.asarray(left, jnp.complex128),
+               jnp.asarray(right, jnp.complex128))
+
+
+def daoe_evolve(op0, h_mpo, t, n_steps, gamma, lstar, jumps=(),
+                bond_jumps=(), max_bond=32, order=2):
+    """Heisenberg evolution with the DAOE dissipator applied after
+    each W^II step — same signature family as
+    :func:`heisenberg_evolve_wii` plus ``(gamma, lstar)``.  ``gamma=0``
+    (or ``lstar >= n``) reduces to the plain adjoint evolution
+    exactly."""
+    la = liouvillian_automaton(h_mpo, jumps=jumps, bond_jumps=bond_jumps,
+                               adjoint=True)
+    n = int(op0.cores.shape[0])
+    dis = daoe_mpo(n, gamma, lstar)
+    props = _wii_props(la, t / n_steps, order)
+    op = op0
+    for _ in range(n_steps):
+        for u2 in props:
+            op = _trim(apply_mpo_to_mps(u2, op), max_bond)
+        op = _trim(apply_mpo_to_mps(dis, op), max_bond)
+    return op
+
+
+def operator_overlap(vec_a, vec_b, d=2):
+    """Normalized Hilbert-Schmidt pairing ``Tr(A+ B) / d^n`` of two
+    vectorized operators (the infinite-temperature correlation
+    functional)."""
+    n = int(vec_a.cores.shape[0])
+    v, log = vec_a.inner(vec_b)
+    return complex(v * jnp.exp(log)) / float(d) ** n
+
+
 def thermal_kpm_moments(h_mpo, purified_mps, op, site, n_moments,
                         h_bounds, max_bond=32, eps=0.025):
     """KPM moments of the FINITE-TEMPERATURE dynamical structure factor

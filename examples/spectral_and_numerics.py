@@ -63,8 +63,8 @@ def main():
 
     # --- infinite-temperature transport spectrum ---------------------- #
     mom_inf, a2, b2 = liouvillian_kpm_moments(
-        h_mpo, vectorized_operator(n, [(n // 2, Z)]), 64,
-        (1.3 * e0, -1.3 * e0), max_bond=32)
+        h_mpo, vectorized_operator(n, [(n // 2, Z)]), 48,
+        (1.3 * e0, -1.3 * e0), max_bond=24)
     w2 = np.linspace(-6, 6, 400)
     s2 = kpm_spectral_function(mom_inf, a2, b2, w2)
     print(f"KPM T=inf sum rule {np.trapezoid(s2, w2):.6f} (expect 1); "

@@ -256,3 +256,57 @@ def test_thermal_kpm_matches_dense_thermal_oracle():
     assert abs(np.trapezoid(s, w) - 1.0) < 1e-4
     # finite T breaks the w -> -w symmetry (detailed balance weights)
     assert np.max(np.abs(s - s[::-1])) > 1e-3
+
+
+def test_daoe_dissipator_and_conserved_transport():
+    """DAOE: the dissipator's dense action is exactly diagonal in the
+    Pauli-string basis with eigenvalue exp(-gamma max(0, w - lstar));
+    lstar >= n is the identity; gamma=0 evolution reduces to the plain
+    adjoint evolution; and along a DAOE trajectory of the XX chain the
+    conserved-density overlaps sum to a constant (hydrodynamic
+    safety)."""
+    import itertools
+
+    from contractn_tpu.models.operator_dynamics import (
+        daoe_evolve,
+        daoe_mpo,
+        operator_overlap,
+    )
+
+    n, gamma, lstar = 3, 0.7, 1
+    dis = daoe_mpo(n, gamma, lstar)
+    dd = _mpo_dense(dis, n, 4)
+    paulis = [np.eye(2), X, np.array([[0, -1j], [1j, 0]]), Z]
+    for combo in itertools.product(range(4), repeat=n):
+        vec = np.array([1.0])
+        for k in combo:
+            vec = np.kron(vec, paulis[k].reshape(-1))
+        w = sum(1 for k in combo if k != 0)
+        expect = np.exp(-gamma * max(0, w - lstar))
+        got = dd @ vec
+        assert np.max(np.abs(got - expect * vec)) < 1e-12, combo
+
+    ident = _mpo_dense(daoe_mpo(n, 0.9, n), n, 4)
+    assert np.max(np.abs(ident - np.eye(4 ** n))) < 1e-12
+
+    # XX chain: [H, Z_tot] = 0; DAOE leaves the weight-1 conserved
+    # density invariant, so sum_i Tr(Z_i W(t))/2^n is constant.
+    nn = 6
+    xx = (np.kron(X, X) + np.kron(
+        np.array([[0, -1j], [1j, 0]]), np.array([[0, -1j], [1j, 0]]))
+    ).astype(complex)
+    h_mpo = mpo_from_bond_term(xx, nn, dtype=complex)
+    w0 = vectorized_operator(nn, [(2, Z)])
+    zs = [vectorized_operator(nn, [(i, Z)]) for i in range(nn)]
+    s0 = sum(np.real(operator_overlap(z, w0)) for z in zs)
+    wt = daoe_evolve(w0, h_mpo, 1.0, 20, gamma=0.4, lstar=1,
+                     max_bond=64)  # 4^3: exact manifold at n=6
+    st = sum(np.real(operator_overlap(z, wt)) for z in zs)
+    assert abs(s0 - 1.0) < 1e-12
+    assert abs(st - s0) < 1e-6, (s0, st)
+
+    # gamma=0 == plain adjoint evolution
+    wt0 = daoe_evolve(w0, h_mpo, 0.4, 8, gamma=0.0, lstar=2,
+                      max_bond=64)
+    wt_ref = heisenberg_evolve_wii(w0, h_mpo, 0.4, 8, max_bond=64)
+    assert np.max(np.abs(_mps_dense(wt0) - _mps_dense(wt_ref))) < 1e-10
