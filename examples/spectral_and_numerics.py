@@ -65,7 +65,8 @@ def main():
     mom_inf, a2, b2 = liouvillian_kpm_moments(
         h_mpo, vectorized_operator(n, [(n // 2, Z)]), 48,
         (1.3 * e0, -1.3 * e0), max_bond=24)
-    w2 = np.linspace(-6, 6, 400)
+    band = 2.6 * abs(e0)  # the transition band is +-(emax - emin)
+    w2 = np.linspace(-band, band, 2001)
     s2 = kpm_spectral_function(mom_inf, a2, b2, w2)
     print(f"KPM T=inf sum rule {np.trapezoid(s2, w2):.6f} (expect 1); "
           f"S(0) = {s2[np.argmin(np.abs(w2))]:.4f}")
