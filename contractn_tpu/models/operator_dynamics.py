@@ -195,6 +195,34 @@ def liouvillian_kpm_moments(h_mpo, vec_op, n_moments, h_bounds,
     return moments / float(dd) ** n, a, b
 
 
+def dos_kpm_moments(h_mpo, n_moments, h_bounds, max_bond=32, eps=0.025):
+    """EXACT many-body density-of-states moments
+    ``mu_k = Tr T_k(H') / d^n`` — no stochastic trace estimator.
+
+    ``Tr T_k(H) = <vec(I)| T_k(H (x) I) |vec(I)>``, and ``vec(I)`` is a
+    bond-1 MPS, so the operator Chebyshev recursion rides the standard
+    MPS machinery (:mod:`~contractn_tpu.models.chebyshev`): the k-th
+    Chebyshev vector is the compressed vectorization of the OPERATOR
+    ``T_k(H)``.  The usual KPM-DOS route needs random-vector averaging
+    with ``1/sqrt(R d^n)`` statistical error (Weisse et al., RMP 78,
+    275 section IV); the vectorized trace is exact at every order.
+
+    Returns ``(moments, a, b)`` for :func:`~contractn_tpu.models.
+    chebyshev.spectral_function` (``e0=0``, absolute energies;
+    ``mu_0 = 1`` and the reconstruction integrates to 1 — the level
+    density is normalized per Hilbert-space dimension).
+    """
+    from .chebyshev import chebyshev_moments
+
+    n, d = h_mpo.cores.shape[0], h_mpo.cores.shape[1]
+    lifted = _lift_left(h_mpo, jnp.complex128)
+    vec_i = vectorized_operator(n, [], d=d)
+    moments, a, b = chebyshev_moments(lifted, vec_i, [], n_moments,
+                                      h_bounds, max_bond=max_bond,
+                                      eps=eps)
+    return moments / float(d) ** n, a, b
+
+
 def daoe_mpo(n, gamma, lstar, d=2):
     """The DAOE dissipator (Rakovszky, von Keyserlingk, Pollmann, PRB
     105, 075131): a diagonal superoperator in the Pauli-string basis

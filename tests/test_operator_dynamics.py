@@ -310,3 +310,45 @@ def test_daoe_dissipator_and_conserved_transport():
                       max_bond=64)
     wt_ref = heisenberg_evolve_wii(w0, h_mpo, 0.4, 8, max_bond=64)
     assert np.max(np.abs(_mps_dense(wt0) - _mps_dense(wt_ref))) < 1e-10
+
+
+def test_dos_kpm_exact_trace():
+    """Exact KPM density of states: moments equal the dense
+    eigenvalue sums (no stochastic estimator anywhere), mu_0 = 1, the
+    reconstruction is a normalized positive density, and the spectral
+    mean equals Tr(H)/2^n = 0 (traceless TFIM)."""
+    from contractn_tpu.models.dmrg import tfim_mpo
+    from contractn_tpu.models.operator_dynamics import dos_kpm_moments
+
+    # n=6 with bond 64 = 4^(n/2): the OPERATOR manifold is exact, so
+    # the trace moments are machine-exact (operator Chebyshev vectors
+    # grow in Schmidt rank much faster than states — at a truncating
+    # bond the late moments drift at the truncation scale).
+    n, h = 6, 1.1
+    h_mpo = tfim_mpo(n, h=h)
+    hd = np.zeros((2 ** n, 2 ** n))
+    for i in range(n - 1):
+        hd -= _site_op(Z, i, n) @ _site_op(Z, i + 1, n)
+    for i in range(n):
+        hd -= h * _site_op(X, i, n)
+    evals = np.linalg.eigvalsh(hd)
+    bounds = (evals[0] - 0.2, evals[-1] + 0.2)
+
+    n_mom = 48
+    mom, a, b = dos_kpm_moments(h_mpo, n_mom, bounds, max_bond=64)
+    xs = (evals - b) / a
+    dense = np.array([np.mean(np.cos(k * np.arccos(xs)))
+                      for k in range(n_mom)])
+    assert abs(mom[0] - 1.0) < 1e-12
+    assert np.max(np.abs(np.real(mom) - dense)) < 1e-8
+    assert np.max(np.abs(np.imag(mom))) < 1e-10
+
+    w = np.linspace(bounds[0] - 0.5, bounds[1] + 0.5, 6001)
+    rho = spectral_function(mom, a, b, w, e0=0.0)
+    assert np.all(rho >= -1e-12)
+    # the reconstruction clips hard at the reduced band edge where
+    # the 1/sqrt(1-x^2) weight peaks, so the quadrature floor is ~1e-5
+    # regardless of grid density
+    assert abs(np.trapezoid(rho, w) - 1.0) < 1e-4
+    mean = np.trapezoid(rho * w, w)
+    assert abs(mean) < 1e-4  # Tr H = 0

@@ -145,3 +145,28 @@ def test_ttn_dmrg_heisenberg():
     e0 = float(np.linalg.eigvalsh(hd)[0])
     _, es = ttn_dmrg(h_mpo, chi=16, sweeps=5)
     assert abs(es[-1] - e0) < 1e-9, es[-1] - e0
+
+
+def test_ttn_dmrg_2d_snake_hamiltonian():
+    """Trees are natural for 2D: ttn_dmrg consumes the snake-flattened
+    4x4 TFIM MPO unchanged and agrees with converged chain DMRG."""
+    import jax as _jax
+
+    from contractn_tpu.models import MPS, dmrg, tfim2d_mpo
+    from contractn_tpu.models.ttn import ttn_dmrg
+
+    lx = ly = 4
+    n = lx * ly
+    h = 3.5  # strongly polarized: modest chi suffices
+    h_mpo = tfim2d_mpo(lx, ly, h=h)
+    # 2^16 dense ED is infeasible; the oracle is converged chain DMRG
+    # on the SAME snake MPO (an independent optimizer on an
+    # independent manifold).
+    gs, e_dmrg, _ = dmrg(
+        h_mpo, MPS.random(_jax.random.PRNGKey(0), n, 2, 16,
+                          dtype=np.float64),
+        max_bond=48, sweeps=6)
+    e_dmrg = float(np.real(e_dmrg))
+    _, es = ttn_dmrg(h_mpo, chi=32, sweeps=5)
+    err = abs(es[-1] - e_dmrg) / abs(e_dmrg)
+    assert err < 2e-6, (es[-1], e_dmrg)
