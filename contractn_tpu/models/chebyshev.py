@@ -32,12 +32,15 @@ weights reproduce ``|<n|O|0>|^2``.  The reference has no spectral
 machinery of any kind (SURVEY.md section 2).
 """
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops.stabilize import peinsum
 from .boundary import apply_mpo_to_mps
-from .canonical import compress, mps_add
+from .canonical import compress, compress_fixed, mps_add
 from .mpo import MPO, mpo_sum
 from .mps import MPS
 
@@ -129,6 +132,91 @@ def chebyshev_moments(h_mpo, psi0, op_sites, n_moments, bounds,
         t_next = _keep_scale(mps_add(two_ht, neg_prev, max_bond=max_bond))
         moments.append(_inner_value(phi, t_next))
         t_prev, t_cur = t_cur, t_next
+    return np.asarray(moments), a, b
+
+
+def _pad_bond(mps, chi):
+    """Zero-pad an MPS to uniform bond ``chi`` (exact embedding)."""
+    cores = jnp.asarray(mps.cores)
+    n, d, db, _ = cores.shape
+    if db > chi:
+        raise ValueError(f"bond {db} exceeds the target {chi}")
+    out = jnp.zeros((n, d, chi, chi), cores.dtype)
+    out = out.at[:, :, :db, :db].set(cores)
+    left = jnp.zeros((chi,), cores.dtype).at[:db].set(
+        jnp.asarray(mps.left))
+    right = jnp.zeros((chi,), cores.dtype).at[:db].set(
+        jnp.asarray(mps.right))
+    return MPS(out, left, right)
+
+
+def _dsum(a, b):
+    """Exact MPS sum by bond direct sum (jit-safe ``mps_add``)."""
+    ca, cb = jnp.asarray(a.cores), jnp.asarray(b.cores)
+    n, d, da, _ = ca.shape
+    db = cb.shape[2]
+    dt = jnp.result_type(ca.dtype, cb.dtype)
+    out = jnp.zeros((n, d, da + db, da + db), dt)
+    out = out.at[:, :, :da, :da].set(ca.astype(dt))
+    out = out.at[:, :, da:, da:].set(cb.astype(dt))
+    left = jnp.concatenate([jnp.asarray(a.left, dt),
+                            jnp.asarray(b.left, dt)])
+    right = jnp.concatenate([jnp.asarray(a.right, dt),
+                             jnp.asarray(b.right, dt)])
+    return MPS(out, left, right)
+
+
+@partial(jax.jit, static_argnames=("steps", "max_bond"))
+def _cheb_scan(hp, phi, t_prev, t_cur, steps, max_bond):
+    """The Chebyshev recurrence as ONE device program: each step is
+    exact MPO application + direct sum + fixed-``chi`` compression,
+    emitting split-format moment pieces.  No host round-trips — on the
+    TPU tunnel the host loop pays ~28 ms RTT per moment; this pays one
+    dispatch for the whole series."""
+
+    def body(carry, _):
+        tp, tc = carry
+        ht = apply_mpo_to_mps(hp, tc)
+        two_ht = MPS(ht.cores, 2.0 * ht.left, ht.right)
+        neg_prev = MPS(tp.cores, -tp.left, tp.right)
+        summed = _dsum(two_ht, neg_prev)
+        tn, log_norm, _ = compress_fixed(summed, max_bond)
+        tn = MPS(tn.cores, jnp.exp(log_norm) * tn.left, tn.right)
+        v, lg = phi.inner(tn)
+        return (tc, tn), (v, lg)
+
+    (_, _), (vs, lgs) = jax.lax.scan(body, (t_prev, t_cur), None,
+                                     length=steps)
+    return vs, lgs
+
+
+def chebyshev_moments_scanned(h_mpo, psi0, op_sites, n_moments, bounds,
+                              max_bond=32, eps=0.025):
+    """:func:`chebyshev_moments` with the recurrence as one jitted
+    ``lax.scan`` — identical moments (same truncation rank per step),
+    one device dispatch for the whole series instead of one compressed
+    MPO application per moment.  Use on TPU where dispatch latency
+    dominates; the host version remains the reference path."""
+    hp, a, b = rescaled_mpo(h_mpo, bounds, eps=eps)
+    phi = apply_site_ops(psi0, op_sites)
+    dt = jnp.result_type(jnp.asarray(phi.cores).dtype,
+                         jnp.asarray(hp.cores).dtype)
+    phi = MPS(jnp.asarray(phi.cores, dt), jnp.asarray(phi.left, dt),
+              jnp.asarray(phi.right, dt))
+    hp = MPO(jnp.asarray(hp.cores, dt), jnp.asarray(hp.left, dt),
+             jnp.asarray(hp.right, dt))
+    phi_p = _pad_bond(phi, max_bond)
+    moments = [_inner_value(phi, phi)]
+    if n_moments == 1:
+        return np.asarray(moments), a, b
+    t1, log_n, _ = compress_fixed(apply_mpo_to_mps(hp, phi_p), max_bond)
+    t1 = MPS(t1.cores, jnp.exp(log_n) * t1.left, t1.right)
+    moments.append(_inner_value(phi_p, t1))
+    if n_moments > 2:
+        vs, lgs = _cheb_scan(hp, phi_p, phi_p, t1,
+                             int(n_moments) - 2, int(max_bond))
+        rest = np.asarray(vs) * np.exp(np.asarray(lgs))
+        moments.extend(rest.tolist())
     return np.asarray(moments), a, b
 
 

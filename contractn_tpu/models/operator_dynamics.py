@@ -158,7 +158,7 @@ def commutator_superop_mpo(h_mpo, dtype=jnp.complex128):
 
 
 def liouvillian_kpm_moments(h_mpo, vec_op, n_moments, h_bounds,
-                            max_bond=32, eps=0.025):
+                            max_bond=32, eps=0.025, scanned=False):
     """KPM moments of the INFINITE-TEMPERATURE dynamical correlation
     spectrum
 
@@ -184,18 +184,19 @@ def liouvillian_kpm_moments(h_mpo, vec_op, n_moments, h_bounds,
     chebyshev.spectral_function` (use ``e0=0``; the sum rule is
     ``mu_0 = Tr(O+ O) / d^n``, = 1 for a single Pauli probe).
     """
-    from .chebyshev import chebyshev_moments
+    from .chebyshev import chebyshev_moments, chebyshev_moments_scanned
 
     n, dd = h_mpo.cores.shape[0], h_mpo.cores.shape[1]
     k_mpo = commutator_superop_mpo(h_mpo)
     width = float(h_bounds[1]) - float(h_bounds[0])
-    moments, a, b = chebyshev_moments(
-        k_mpo, vec_op, [], n_moments, (-width, width),
-        max_bond=max_bond, eps=eps)
+    fn = chebyshev_moments_scanned if scanned else chebyshev_moments
+    moments, a, b = fn(k_mpo, vec_op, [], n_moments, (-width, width),
+                       max_bond=max_bond, eps=eps)
     return moments / float(dd) ** n, a, b
 
 
-def dos_kpm_moments(h_mpo, n_moments, h_bounds, max_bond=32, eps=0.025):
+def dos_kpm_moments(h_mpo, n_moments, h_bounds, max_bond=32, eps=0.025,
+                    scanned=False):
     """EXACT many-body density-of-states moments
     ``mu_k = Tr T_k(H') / d^n`` — no stochastic trace estimator.
 
@@ -212,14 +213,14 @@ def dos_kpm_moments(h_mpo, n_moments, h_bounds, max_bond=32, eps=0.025):
     ``mu_0 = 1`` and the reconstruction integrates to 1 — the level
     density is normalized per Hilbert-space dimension).
     """
-    from .chebyshev import chebyshev_moments
+    from .chebyshev import chebyshev_moments, chebyshev_moments_scanned
 
     n, d = h_mpo.cores.shape[0], h_mpo.cores.shape[1]
     lifted = _lift_left(h_mpo, jnp.complex128)
     vec_i = vectorized_operator(n, [], d=d)
-    moments, a, b = chebyshev_moments(lifted, vec_i, [], n_moments,
-                                      h_bounds, max_bond=max_bond,
-                                      eps=eps)
+    fn = chebyshev_moments_scanned if scanned else chebyshev_moments
+    moments, a, b = fn(lifted, vec_i, [], n_moments, h_bounds,
+                       max_bond=max_bond, eps=eps)
     return moments / float(d) ** n, a, b
 
 
@@ -297,7 +298,8 @@ def operator_overlap(vec_a, vec_b, d=2):
 
 
 def thermal_kpm_moments(h_mpo, purified_mps, op, site, n_moments,
-                        h_bounds, max_bond=32, eps=0.025):
+                        h_bounds, max_bond=32, eps=0.025,
+                        scanned=False):
     """KPM moments of the FINITE-TEMPERATURE dynamical structure factor
 
         ``S_beta(w) = sum_{mn} p_m |<n|O|m>|^2 delta(w - (E_n - E_m))``
@@ -325,7 +327,7 @@ def thermal_kpm_moments(h_mpo, purified_mps, op, site, n_moments,
     ``S(-w) = e^{-beta w} S(w)`` is inherited exactly (pinned against
     dense thermal oracles in the tests).
     """
-    from .chebyshev import chebyshev_moments
+    from .chebyshev import chebyshev_moments, chebyshev_moments_scanned
 
     d = h_mpo.cores.shape[1]
     op_d = np.kron(np.asarray(op, complex), np.eye(d))
@@ -336,8 +338,9 @@ def thermal_kpm_moments(h_mpo, purified_mps, op, site, n_moments,
               jnp.asarray(purified_mps.right, jnp.complex128))
     k_mpo = commutator_superop_mpo(h_mpo)
     width = float(h_bounds[1]) - float(h_bounds[0])
-    return chebyshev_moments(k_mpo, psi, [(site, op_d)], n_moments,
-                             (-width, width), max_bond=max_bond, eps=eps)
+    fn = chebyshev_moments_scanned if scanned else chebyshev_moments
+    return fn(k_mpo, psi, [(site, op_d)], n_moments, (-width, width),
+              max_bond=max_bond, eps=eps)
 
 
 def operator_entropy(vec_a, alpha=1):
