@@ -37,6 +37,7 @@ reference (contractn/ contains no evolution machinery at all).
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.stabilize import peinsum
 from .boundary import apply_mpo_to_mps
 from .canonical import compress, compress_mpo, mps_add
 from .fermions2d import string_mpo
@@ -299,6 +300,82 @@ def _wii_props(superop_automaton, dt, order):
     if order == 1:
         return [wii_mpo(superop_automaton, dt)]
     raise ValueError("order must be 1 or 2")
+
+
+def superop_apply_left(rho, op, site, d=2):
+    """``rho -> O_site rho`` (left multiplication) on a vectorized
+    density MPS: the one-site superoperator ``O (x) I`` on the fused
+    index.  The quantum-regression building block."""
+    cores = jnp.asarray(rho.cores)
+    m = jnp.asarray(np.kron(np.asarray(op, complex), np.eye(d)),
+                    cores.dtype if jnp.iscomplexobj(cores)
+                    else jnp.complex128)
+    cores = cores.astype(m.dtype)
+    cores = cores.at[site].set(
+        peinsum("mq,qDE->mDE", m, cores[site]))
+    return MPS(cores, jnp.asarray(rho.left, m.dtype),
+               jnp.asarray(rho.right, m.dtype))
+
+
+def two_time_correlation(rho0, h_mpo, op_a, site_a, op_b, site_b,
+                         t1, taus, n_steps_per_unit=40, jumps=(),
+                         bond_jumps=(), max_bond=32, order=2):
+    """Two-time correlation ``C(t1, t1 + tau) = Tr(B e^{L tau}[A
+    rho(t1)])`` by the quantum regression theorem: evolve to ``t1``,
+    left-multiply by ``A`` (a superoperator insertion, not a
+    measurement), keep evolving the RESULT under the same Lindbladian,
+    and trace against ``B`` at each requested ``tau``.
+
+    Args:
+        rho0: initial vectorized density MPS.
+        h_mpo: Hamiltonian MPO in triangular automaton form.
+        op_a, site_a: the earlier operator ``A`` (applied at ``t1``).
+        op_b, site_b: the later operator ``B``.
+        t1: first time.
+        taus: increasing lag grid (the trajectory is evolved once,
+            values emitted at each grid point).
+        n_steps_per_unit: W^II steps per unit time.
+        jumps, bond_jumps, max_bond, order: as in
+            :func:`lindblad_evolve_wii`.
+
+    Returns the complex array ``C(t1, t1 + tau)`` over ``taus``,
+    normalized by ``Tr rho(t1)``.  Note the evolved object ``A rho``
+    is NOT a density matrix (not Hermitian, zero trace possible) —
+    2-norm compression handles it fine; normalization uses the
+    PHYSICAL trace of ``rho(t1)``.
+    """
+    la = liouvillian_automaton(h_mpo, jumps=jumps, bond_jumps=bond_jumps)
+    rho1 = rho0
+    if t1 > 0:
+        n1 = max(int(round(t1 * n_steps_per_unit)), 1)
+        for u2 in _wii_props(la, t1 / n1, order) * n1:
+            rho1 = _trim(apply_mpo_to_mps(u2, rho1), max_bond)
+    norm = density_trace(rho1)
+    sigma = superop_apply_left(rho1, op_a, site_a)
+    taus = np.asarray(taus, float)
+    if np.any(np.diff(taus) < 0):
+        raise ValueError("taus must be non-decreasing")
+    out = []
+    cur_t = 0.0
+    n_sites = int(sigma.cores.shape[0])
+    eye = np.eye(h_mpo.cores.shape[1])
+    for tau in taus:
+        span = float(tau) - cur_t
+        if span > 1e-12:
+            n_tau = max(int(round(span * n_steps_per_unit)), 1)
+            for u2 in _wii_props(la, span / n_tau, order) * n_tau:
+                sigma = _trim(apply_mpo_to_mps(u2, sigma), max_bond)
+            cur_t = float(tau)
+        # Tr(B sigma): the same contraction as density_expectation's
+        # numerator, without the trace normalization of sigma
+        cores = np.tile(eye.reshape(-1)[None, :, None, None],
+                        (n_sites, 1, 1, 1)).astype(complex)
+        cores[site_b, :, 0, 0] = np.asarray(op_b, complex).T.reshape(-1)
+        one = jnp.ones((1,), jnp.complex128)
+        bra = MPS(jnp.asarray(cores), one, one)
+        v, log = sigma.inner(bra, conjugate=False)
+        out.append(complex(v * jnp.exp(log)) / norm)
+    return np.asarray(out)
 
 
 def vectorized_product_state(states):

@@ -314,3 +314,50 @@ def test_driven_chain_steady_state_annihilated():
         - density_expectation_multi(rho_d, [(1, Y), (2, X)])
     )
     assert abs(jm.real - currents[1]) < 1e-8
+
+
+def test_two_time_correlation_quantum_regression():
+    """C(t1, t1+tau) = Tr(B e^{L tau}[A rho(t1)]) by the quantum
+    regression theorem == the dense expm route at the W^II Trotter
+    error, along the whole lag grid (A rho is NOT a state — this pins
+    that the evolution machinery is linear, not trace-projecting)."""
+    from contractn_tpu.models.lindblad import two_time_correlation
+
+    n = 3
+    h2 = (np.kron(Z, Z)
+          + 0.9 * 0.5 * (np.kron(X, I2) + np.kron(I2, X))).astype(complex)
+    h_mpo = mpo_from_bond_term(h2, n, dtype=complex)
+    jumps = [np.sqrt(0.35) * SM]
+
+    hd = np.zeros((2 ** n, 2 ** n), complex)
+    for i in range(n - 1):
+        hd += np.kron(np.kron(np.eye(2 ** i), h2),
+                      np.eye(2 ** (n - i - 2)))
+    lv = _dense_liouvillian(
+        hd, [_site_op(np.sqrt(0.35) * SM, i, n) for i in range(n)])
+
+    states = [np.array([1.0, 0.5]), np.array([0.3, 1.0]),
+              np.array([1.0, -0.2])]
+    rho0_d = np.eye(1)
+    for s in states:
+        v = np.array(s, complex)
+        rho0_d = np.kron(rho0_d, np.outer(v, v.conj()))
+    rho0 = vectorized_product_state(states)
+
+    t1, taus = 0.3, np.array([0.0, 0.2, 0.5, 0.9])
+    got = two_time_correlation(rho0, h_mpo, X, 0, Z, 2, t1, taus,
+                               n_steps_per_unit=200, jumps=jumps,
+                               max_bond=32)
+    dim = 2 ** n
+    rho1 = (sla.expm(lv * t1) @ rho0_d.reshape(-1)).reshape(dim, dim)
+    sig = _site_op(X, 0, n) @ rho1
+    want = np.array([
+        np.trace(_site_op(Z, 2, n)
+                 @ (sla.expm(lv * tau) @ sig.reshape(-1)
+                    ).reshape(dim, dim)) / np.trace(rho1)
+        for tau in taus])
+    assert np.max(np.abs(got - want)) < 2e-5
+    # tau=0 sanity: C(t1, t1) = <Z_2 X_0>_{rho(t1)}
+    direct = np.trace(_site_op(Z, 2, n) @ _site_op(X, 0, n) @ rho1
+                      ) / np.trace(rho1)
+    assert abs(got[0] - direct) < 2e-5
