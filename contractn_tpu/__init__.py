@@ -17,6 +17,7 @@ from .nodes import Node
 from .edges import Edge
 from .compiler.engine import contract
 from .compiler.expression import contract_expression
+from .compiler.bp import bp_contract, bp_environment
 from .ops.stabilize import stabilize, destabilize
 from .utils.errors import TNError
 
@@ -28,6 +29,8 @@ __all__ = [
     "Edge",
     "contract",
     "contract_expression",
+    "bp_contract",
+    "bp_environment",
     "stabilize",
     "destabilize",
     "TNError",
