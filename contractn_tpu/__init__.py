@@ -18,6 +18,7 @@ from .edges import Edge
 from .compiler.engine import contract
 from .compiler.expression import contract_expression
 from .compiler.bp import bp_contract, bp_environment
+from .compiler.bp_gauge import bp_gauge, bp_norm, bp_truncate
 from .ops.stabilize import stabilize, destabilize
 from .utils.errors import TNError
 
@@ -31,6 +32,9 @@ __all__ = [
     "contract_expression",
     "bp_contract",
     "bp_environment",
+    "bp_gauge",
+    "bp_norm",
+    "bp_truncate",
     "stabilize",
     "destabilize",
     "TNError",
