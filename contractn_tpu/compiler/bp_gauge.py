@@ -189,6 +189,28 @@ def _rebuild(tn, new_tensors, bonds):
     return out
 
 
+def _gauge_internal(tn, tol, max_iter, damping, floor):
+    """Gauged tensors + raw (unnormalized) bond weights, no TN rebuild.
+
+    The absorbed root is ``sqrt(S)`` of the raw SVD values — the exact
+    telescope scale; callers normalize for reporting.
+    """
+    (_, _, msgs, _, _), bonds = _run_doubled(tn, tol, max_iter, damping)
+    tensors = [jnp.asarray(n.tensor if n.node_type == "dense"
+                           else n.base_node.tensor) for n in tn.nodes()]
+    weights = []
+    for e, (dim, ends) in enumerate(bonds):
+        ma = msgs[2 * e].reshape(dim, dim)
+        mb = msgs[2 * e + 1].reshape(dim, dim)
+        ga, gb, s = _bond_transforms(ma, mb, floor)
+        root = jnp.sqrt(s)
+        for pos, mode, side in ends:
+            g = ga if side == 0 else gb
+            tensors[pos] = _apply_mode(tensors[pos], g * root[None, :], mode)
+        weights.append(s)
+    return tensors, bonds, weights
+
+
 def bp_gauge(tn, tol=1e-12, max_iter=200, damping=0.0, floor=1e-14):
     """Gauge an open network into the (symmetric) Vidal form via BP.
 
@@ -204,19 +226,9 @@ def bp_gauge(tn, tol=1e-12, max_iter=200, damping=0.0, floor=1e-14):
         ``(gauged_tn, spectra)`` — ``spectra[i]`` belongs to the i-th
         non-dangling edge in ``tn.edges()`` order.
     """
-    (_, _, msgs, _, _), bonds = _run_doubled(tn, tol, max_iter, damping)
-    tensors = [jnp.asarray(n.tensor if n.node_type == "dense"
-                           else n.base_node.tensor) for n in tn.nodes()]
-    spectra = []
-    for e, (dim, ends) in enumerate(bonds):
-        ma = msgs[2 * e].reshape(dim, dim)
-        mb = msgs[2 * e + 1].reshape(dim, dim)
-        ga, gb, s = _bond_transforms(ma, mb, floor)
-        root = jnp.sqrt(s)
-        for pos, mode, side in ends:
-            g = ga if side == 0 else gb
-            tensors[pos] = _apply_mode(tensors[pos], g * root[None, :], mode)
-        spectra.append(s / jnp.linalg.norm(s))
+    tensors, bonds, weights = _gauge_internal(
+        tn, tol, max_iter, damping, floor)
+    spectra = [s / jnp.linalg.norm(s) for s in weights]
     return _rebuild(tn, tensors, bonds), spectra
 
 
