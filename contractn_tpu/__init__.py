@@ -19,6 +19,7 @@ from .compiler.engine import contract
 from .compiler.expression import contract_expression
 from .compiler.bp import bp_contract, bp_environment
 from .compiler.bp_gauge import bp_gauge, bp_norm, bp_truncate
+from .compiler.bp_measure import bp_measure
 from .compiler.bp_update import bp_apply_gates, gate_from_term
 from .ops.stabilize import stabilize, destabilize
 from .utils.errors import TNError
@@ -35,6 +36,7 @@ __all__ = [
     "bp_environment",
     "bp_apply_gates",
     "bp_gauge",
+    "bp_measure",
     "bp_norm",
     "bp_truncate",
     "gate_from_term",
