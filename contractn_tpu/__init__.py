@@ -21,6 +21,11 @@ from .compiler.bp import bp_contract, bp_environment
 from .compiler.bp_gauge import bp_gauge, bp_norm, bp_truncate
 from .compiler.bp_measure import bp_measure
 from .compiler.bp_update import bp_apply_gates, gate_from_term
+from .compiler.bp_variational import (
+    bp_energy,
+    bp_ground_state,
+    make_bp_energy,
+)
 from .ops.stabilize import stabilize, destabilize
 from .utils.errors import TNError
 
@@ -36,7 +41,10 @@ __all__ = [
     "bp_environment",
     "bp_apply_gates",
     "bp_gauge",
+    "bp_energy",
+    "bp_ground_state",
     "bp_measure",
+    "make_bp_energy",
     "bp_norm",
     "bp_truncate",
     "gate_from_term",
