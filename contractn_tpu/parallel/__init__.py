@@ -1,5 +1,6 @@
 from .ensembles import dmrg_ensemble_sharded, ipeps_cell_scan_sharded
 from .fit import fit_tn, make_tn_train_step
+from .generative import fit_born_machine_sharded, make_sharded_born_loss
 from .mesh import make_mesh
 from .tp_dmrg import dmrg_uniform_tp, heff_matvec_tp
 from .pipeline import make_pipeline_train_step, pipeline_mps_forward
@@ -18,7 +19,9 @@ __all__ = [
     "ipeps_cell_scan_sharded",
     "dmrg_uniform_tp",
     "heff_matvec_tp",
+    "fit_born_machine_sharded",
     "fit_tn",
+    "make_sharded_born_loss",
     "make_tn_train_step",
     "make_pipeline_train_step",
     "pipeline_mps_forward",
