@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.stabilize import peinsum
 from ..utils.errors import TNError
 
 _LETTERS = string.ascii_letters
@@ -121,7 +122,7 @@ def _node_out_messages(kind, tensor, wiring, msgs):
             operands.append(inbound[j])
             spec.append(_LETTERS[j])
         eq = ",".join(spec) + "->" + _LETTERS[i]
-        out.append(jnp.einsum(eq, *operands))
+        out.append(peinsum(eq, *operands))
     return out
 
 
@@ -137,7 +138,7 @@ def _bethe_assembly(nodes, msgs, tensors):
             k = t.ndim
             eq = (",".join([_LETTERS[:k]] + [_LETTERS[j]
                                              for j in range(k)]) + "->")
-            z = jnp.einsum(eq, t, *inbound)
+            z = peinsum(eq, t, *inbound)
         factors.append(z)
     n_edges = len(msgs) // 2
     for e in range(n_edges):

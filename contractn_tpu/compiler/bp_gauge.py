@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from ..network import TN
+from ..ops.stabilize import dot_precision, peinsum
 from ..utils.errors import TNError
 from .bp import _bethe_assembly, _bp_fixed_point
 
@@ -99,7 +100,7 @@ def _doubled_spec(tn):
             bonds[e][1].append((pos, mode, side))
             out.append(ket[mode] + spec_bra[mode])
         eq = ket + "," + "".join(spec_bra) + "->" + "".join(out)
-        dbl = jnp.einsum(eq, t, t.conj())
+        dbl = peinsum(eq, t, t.conj())
         fused = tuple(dbl.shape[2 * i] ** 2 for i in range(len(out)))
         nodes.append(("dense", len(tensors), None, None, wiring))
         tensors.append(dbl.reshape(fused))
@@ -160,15 +161,17 @@ def _bond_transforms(ma, mb, floor=1e-14):
     xb = rb[:, None] * vb.T
     xa_inv = va.conj() * ra_inv[None, :]
     xb_inv = vb.conj() * rb_inv[None, :]
-    u, s, vh = jnp.linalg.svd(xa @ xb.T)
-    ga = xa_inv @ u
-    gb = xb_inv @ vh.T
+    u, s, vh = jnp.linalg.svd(peinsum("ij,kj->ik", xa, xb))
+    ga = peinsum("ij,jk->ik", xa_inv, u)
+    gb = peinsum("ij,kj->ik", xb_inv, vh)
     return ga, gb, s
 
 
 def _apply_mode(tensor, mat, mode):
     """Contract ``tensor``'s ``mode`` with ``mat[old, new]`` in place."""
-    moved = jnp.tensordot(tensor, mat, axes=[[mode], [0]])
+    moved = jnp.tensordot(tensor, mat, axes=[[mode], [0]],
+                          precision=dot_precision(tensor.dtype,
+                                                  mat.dtype))
     return jnp.moveaxis(moved, -1, mode)
 
 

@@ -30,6 +30,7 @@ import string
 
 import jax.numpy as jnp
 
+from ..ops.stabilize import peinsum
 from ..utils.errors import TNError
 from .bp_gauge import _run_doubled
 
@@ -108,7 +109,7 @@ def _sandwich(group, mats, op):
         operands.append(op.reshape(tuple(phys_dims) * 2))
         subs.append("".join(bra_phys) + "".join(ket_phys))
     eq = ",".join(subs) + "->"
-    return jnp.einsum(eq, *operands)
+    return peinsum(eq, *operands)
 
 
 def bp_measure(tn, local=(), bonds=(), tol=1e-12, max_iter=200,

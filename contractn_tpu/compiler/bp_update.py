@@ -27,6 +27,7 @@ import numpy as np
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
+from ..ops.stabilize import dot_precision
 from ..utils.errors import TNError
 from .bp_gauge import _gauge_internal, _rebuild
 
@@ -114,12 +115,15 @@ def _apply_one_gate(tensors, bonds, weights, mode_edge, gate,
     others_b = [m for m in range(b.ndim) if m not in (phys_b, mode_b)]
     a_perm = jnp.transpose(a, others_a + [phys_a, mode_a])
     b_perm = jnp.transpose(b, [mode_b] + others_b + [phys_b])
-    theta = jnp.tensordot(a_perm, b_perm, axes=[[a.ndim - 1], [0]])
+    prec = dot_precision(a.dtype, b.dtype)
+    theta = jnp.tensordot(a_perm, b_perm, axes=[[a.ndim - 1], [0]],
+                          precision=prec)
     # theta: (A_others, d_a, B_others, d_b); contract the gate's input
     # pair, then put the outputs back in the same slots.
     na = len(others_a)
     nb = len(others_b)
-    theta = jnp.tensordot(theta, gate, axes=[[na, na + nb + 1], [2, 3]])
+    theta = jnp.tensordot(theta, gate, axes=[[na, na + nb + 1], [2, 3]],
+                          precision=prec)
     theta = jnp.moveaxis(theta, (-2, -1), (na, na + nb + 1))
 
     left = int(np.prod(theta.shape[:na + 1]))

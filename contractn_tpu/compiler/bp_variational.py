@@ -33,10 +33,12 @@ from jax import lax
 
 import optax
 
+from ..ops.stabilize import peinsum
 from ..utils.errors import TNError
 from .bp import _node_out_messages, _normalize
 from .bp_gauge import _doubled_spec, _rebuild
 from .bp_measure import _sandwich
+
 
 def _doubling_plans(tn):
     """Static per-node doubling plans ``(eq, fused_shape)`` matching
@@ -163,7 +165,7 @@ def make_bp_energy(tn, bond_terms=(), local_terms=(), n_sweeps=30,
 
     def energy(ts):
         doubled = tuple(
-            jnp.einsum(eq, t, t.conj()).reshape(fused)
+            peinsum(eq, t, t.conj()).reshape(fused)
             for (eq, fused), t in zip(plans, ts))
         msgs = _bp_sweeps(nodes, dims, doubled, n_sweeps, damping)
         mats = {}

@@ -135,9 +135,9 @@ def _assemble(fn, I, J, dims):
                 try:
                     m = np.linalg.solve(p.T, flat.T).T
                 except np.linalg.LinAlgError:
-                    m = flat @ np.linalg.pinv(p)
+                    m = np.matmul(flat, np.linalg.pinv(p))
             else:
-                m = flat @ np.linalg.pinv(p)
+                m = np.matmul(flat, np.linalg.pinv(p))
             t = m.reshape(t.shape[0], t.shape[1], p.shape[0])
         tensors.append(t.transpose(1, 0, 2))  # (d, left, right)
     return tensors
@@ -296,7 +296,7 @@ def function_tci(f, n_bits, domain=(0.0, 1.0), max_bond=16, tol=1e-10,
     w = _bit_weights(n_bits)
 
     def fn(idx):
-        return np.asarray(f(a + h * (idx @ w)))
+        return np.asarray(f(a + h * np.matmul(idx, w)))
 
     return tci_cross(fn, (2,) * n_bits, max_bond=max_bond, tol=tol,
                      sweeps=sweeps, seed=seed)
@@ -318,8 +318,8 @@ def function_tci_2d(f, n_bits, domains=((0.0, 1.0), (0.0, 1.0)),
     w = _bit_weights(n_bits)
 
     def fn(idx):
-        jx = idx[:, :n_bits] @ w
-        jy = idx[:, n_bits:] @ w
+        jx = np.matmul(idx[:, :n_bits], w)
+        jy = np.matmul(idx[:, n_bits:], w)
         return np.asarray(f(float(ax) + hx * jx, float(ay) + hy * jy))
 
     return tci_cross(fn, (2,) * (2 * n_bits), max_bond=max_bond, tol=tol,
