@@ -151,7 +151,8 @@ def _apply_one_gate(tensors, bonds, weights, mode_edge, gate,
 
 
 def bp_apply_gates(tn, gates, max_bond=None, cutoff=0.0, tol=1e-12,
-                   max_iter=200, damping=0.0, floor=1e-14):
+                   max_iter=200, damping=0.0, floor=1e-14,
+                   renormalize=False):
     """Apply two-site gates to an open network, truncating via BP.
 
     The network is BP-gauged once, then each ``(gate, node_a, node_b)``
@@ -159,6 +160,13 @@ def bp_apply_gates(tn, gates, max_bond=None, cutoff=0.0, tol=1e-12,
     the ``max_bond``/``cutoff`` truncation) on trees, the simple-update
     approximation on loopy graphs.  ``gate`` has axes
     ``(out_a, out_b, in_a, in_b)`` — see :func:`gate_from_term`.
+
+    ``renormalize=True`` rescales every tensor to mean ``|t| = 1``
+    before returning — non-unitary (imaginary-time) gate layers grow
+    tensor scales by ``~exp(tau |E|)`` PER LAYER, so long evolutions
+    overflow float64 within a few dozen layers without it.  The state
+    ray is unchanged; only the physically-irrelevant global scale is
+    dropped (use split-format contraction if the scale matters).
 
     Returns:
         ``(new_tn, spectra)`` — the updated network (same topology,
@@ -176,5 +184,8 @@ def bp_apply_gates(tn, gates, max_bond=None, cutoff=0.0, tol=1e-12,
             raise TNError(f"unknown node in gate target ({na}, {nb})")
         _apply_one_gate(tensors, bonds, weights, mode_edge, gate,
                         pos_of[na], pos_of[nb], max_bond, cutoff)
+    if renormalize:
+        tensors = [t / jnp.maximum(jnp.mean(jnp.abs(t)), _FLOOR)
+                   for t in tensors]
     spectra = [w / jnp.linalg.norm(w) for w in weights]
     return _rebuild(tn, tensors, bonds), spectra

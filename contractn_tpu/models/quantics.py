@@ -221,6 +221,18 @@ def function_mps_2d(f, n_bits, domains=((0.0, 1.0), (0.0, 1.0)),
                           max_bond=max_bond, cutoff=cutoff)
 
 
+def quantics_integral_2d(mps, domains=((0.0, 1.0), (0.0, 1.0))):
+    """Riemann sum ``sum_jk f(x_j, y_k) dx dy`` of a stacked 2D
+    quantics MPS — one contraction with the all-ones product bra."""
+    n2 = mps.cores.shape[0]
+    n = n2 // 2
+    dx = (float(domains[0][1]) - float(domains[0][0])) / 2 ** n
+    dy = (float(domains[1][1]) - float(domains[1][0])) / 2 ** n
+    ones = MPS.constant(n2, 2, 1, fill=1.0, dtype=mps.cores.dtype)
+    v, log = ones.inner(mps, conjugate=True)
+    return complex(v * jnp.exp(log)) * dx * dy
+
+
 def quantics_to_dense_2d(mps):
     """Dense ``(2^n, 2^n)`` sample grid of a stacked 2D quantics MPS."""
     flat = quantics_to_dense(mps)

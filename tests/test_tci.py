@@ -93,3 +93,17 @@ def test_tci_zero_function_raises():
 
     with pytest.raises(ValueError):
         tci_cross(lambda idx: np.zeros(len(idx)), (2,) * 6)
+
+
+def test_tci_2d_gaussian_integral():
+    """Isotropic Gaussian on [-5, 5]^2 learned by 2D TCI from adaptive
+    samples; the 2D Riemann sum hits pi to 1e-8."""
+    from contractn_tpu.models import function_tci_2d, quantics_integral_2d
+
+    dom = ((-5.0, 5.0), (-5.0, 5.0))
+    mps, info = function_tci_2d(
+        lambda x, y: np.exp(-(x * x + y * y)), 10, domains=dom,
+        max_bond=12, tol=1e-12)
+    val = quantics_integral_2d(mps, domains=dom)
+    assert abs(complex(val).real - np.pi) < 1e-8
+    assert info.n_evals < 4 ** 10 / 100
