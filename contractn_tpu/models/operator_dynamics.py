@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .boundary import apply_mpo_to_mps
-from .canonical import entanglement_entropy
+from .canonical import compress, entanglement_entropy, mps_add
 from .lindblad import (
     _lift_left,
     _lift_right,
@@ -155,6 +155,49 @@ def commutator_superop_mpo(h_mpo, dtype=jnp.complex128):
     lp = _lift_left(h_mpo, dtype)
     lm = _lift_right(h_mpo, dtype)
     return mpo_sum(lp, MPO(lm.cores, -lm.left, lm.right))
+
+
+def lanczos_coefficients(h_mpo, op_sites, n_coeffs, max_bond=32, d=2):
+    """Operator-growth Lanczos coefficients ``b_1..b_n`` (the Krylov-
+    complexity diagnostic).
+
+    The Lanczos recursion in OPERATOR space,
+
+        ``|w) = K|O_k) - b_k |O_{k-1})``,  ``b_{k+1} = ||w||``,
+
+    with ``K = [H, .]`` (:func:`commutator_superop_mpo`) and the
+    normalized Hilbert-Schmidt inner product
+    (:func:`operator_overlap`).  The diagonal coefficients ``a_k``
+    vanish identically for Hermitian ``H`` and ``O`` (``K`` alternates
+    the Hermitian and anti-Hermitian sectors), so the pure three-term
+    recursion is exact.  Each step is one exact MPO application + one
+    direct-sum subtraction + one SVD compression to ``max_bond`` — the
+    same jit-shaped primitives as the KPM stack.  The growth rate of
+    ``b_k`` bounds the Krylov-complexity growth (linear ``b_k`` =
+    exponential operator spreading; bounded ``b_k`` = integrable-like
+    dynamics).
+
+    Returns the ``(n_coeffs,)`` float array of ``b`` coefficients.
+    """
+    n = int(h_mpo.cores.shape[0])
+    k_mpo = commutator_superop_mpo(h_mpo)
+    v = vectorized_operator(n, op_sites, d)
+    nrm = np.sqrt(operator_overlap(v, v, d).real)
+    v = MPS(v.cores, v.left / nrm, v.right)
+    v_prev = None
+    bs = []
+    for _ in range(int(n_coeffs)):
+        w = apply_mpo_to_mps(k_mpo, v)
+        if v_prev is not None:
+            w = mps_add(w, MPS(v_prev.cores, -bs[-1] * v_prev.left,
+                               v_prev.right))
+        comp, log_norm, _ = compress(w, max_bond=max_bond)
+        w = MPS(comp.cores, comp.left * jnp.exp(log_norm), comp.right)
+        b = float(np.sqrt(operator_overlap(w, w, d).real))
+        v_prev = v
+        v = MPS(w.cores, w.left / b, w.right)
+        bs.append(b)
+    return np.array(bs)
 
 
 def liouvillian_kpm_moments(h_mpo, vec_op, n_moments, h_bounds,

@@ -363,6 +363,24 @@ def ttn_dmrg(h_mpo, chi, key=None, sweeps=4, lanczos_iters=24, d=None):
     return out, energies
 
 
+def ttn_inner(pa, pb):
+    """Overlap ``<psi_a|psi_b>`` of two same-shape TTNs by the
+    log-depth mixed block flow (no gauge assumption on either tree)."""
+    def leaf(wa, wb):
+        return peinsum("sta,stb->ab", wa.conj(), wb)
+
+    m = jax.vmap(leaf)(pa["levels"][0], pb["levels"][0])
+
+    def internal(wa, wb, ml, mr):
+        return peinsum("xya,xX,yY,XYb->ab", wa.conj(), ml, mr, wb)
+
+    for wa, wb in zip(pa["levels"][1:], pb["levels"][1:]):
+        m2 = m.reshape(m.shape[0] // 2, 2, *m.shape[1:])
+        m = jax.vmap(internal)(wa, wb, m2[:, 0], m2[:, 1])
+    return peinsum("xy,xX,yY,XY->", pa["top"].conj(), m[0], m[1],
+                   pb["top"])
+
+
 def ttn_to_dense(params, d=None):
     """Dense state vector (little lattices only) — the oracle for the
     block-flow machinery in tests."""

@@ -352,3 +352,36 @@ def test_dos_kpm_exact_trace():
     assert abs(np.trapezoid(rho, w) - 1.0) < 1e-4
     mean = np.trapezoid(rho * w, w)
     assert abs(mean) < 1e-4  # Tr H = 0
+
+
+def test_lanczos_coefficients_match_dense_liouvillian():
+    """Operator-growth b_n (Krylov complexity): the MPO-compressed
+    three-term recursion equals the dense commutator Lanczos exactly
+    when max_bond covers the light cone."""
+    from contractn_tpu.models import lanczos_coefficients, tfim_mpo
+
+    n = 6
+    h = 1.05
+    h_mpo = tfim_mpo(n, h=h)
+    bs = lanczos_coefficients(h_mpo, [(n // 2, Z)], 10, max_bond=64)
+
+    hd = np.zeros((2 ** n, 2 ** n))
+    for i in range(n - 1):
+        hd -= _site_op(Z, i, n) @ _site_op(Z, i + 1, n)
+    for i in range(n):
+        hd -= h * _site_op(X, i, n)
+
+    def ip(a, b):
+        return np.trace(a.conj().T @ b) / 2 ** n
+
+    op = _site_op(Z, n // 2, n)
+    op = op / np.sqrt(ip(op, op).real)
+    prev, ref = None, []
+    for _ in range(10):
+        w = hd @ op - op @ hd
+        if prev is not None:
+            w = w - ref[-1] * prev
+        b = np.sqrt(ip(w, w).real)
+        prev, op = op, w / b
+        ref.append(b)
+    assert np.abs(bs - np.array(ref)).max() < 1e-10

@@ -170,3 +170,23 @@ def test_ttn_dmrg_2d_snake_hamiltonian():
     _, es = ttn_dmrg(h_mpo, chi=32, sweeps=5)
     err = abs(es[-1] - e_dmrg) / abs(e_dmrg)
     assert err < 2e-6, (es[-1], e_dmrg)
+
+
+def test_ttn_inner_matches_dense_overlap():
+    from contractn_tpu.models.ttn import ttn_inner
+
+    ka, kb = jax.random.PRNGKey(21), jax.random.PRNGKey(22)
+    pa = random_ttn(ka, 8, 2, 5)
+    pb = random_ttn(kb, 8, 2, 5)
+    # deform both away from isometric gauge
+    pa = jax.tree_util.tree_map(
+        lambda a: a + 0.2 * jax.random.normal(ka, a.shape, a.dtype), pa)
+    pb = jax.tree_util.tree_map(
+        lambda a: a + 0.2 * jax.random.normal(kb, a.shape, a.dtype), pb)
+    va = np.asarray(ttn_to_dense(pa))
+    vb = np.asarray(ttn_to_dense(pb))
+    ref = np.vdot(va, vb)
+    val = complex(ttn_inner(pa, pb))
+    assert abs(val - ref) < 1e-11
+    # norm special case
+    assert abs(complex(ttn_inner(pa, pa)) - np.vdot(va, va)) < 1e-11
