@@ -267,6 +267,39 @@ def bench_train(rtt, on_tpu):
     )
 
 
+def bench_born(rtt, on_tpu):
+    """Exact-NLL generative training step (Born machine: amplitude scan
+    + split-format norm + grad + adam), the round-4 ML path."""
+    from contractn_tpu.models.born import born_machine, fit_born_machine
+
+    if on_tpu:
+        n_sites, bond, batch, k_inner = 64, 64, 4096, 10
+    else:
+        n_sites, bond, batch, k_inner = 16, 8, 64, 2
+    model = born_machine(jax.random.PRNGKey(0), n_sites, 2, bond,
+                         dtype=jnp.float32)
+    data = jax.random.randint(jax.random.PRNGKey(1), (batch, n_sites),
+                              0, 2)
+
+    def run():
+        _, losses = fit_born_machine(model, data, steps=k_inner, lr=1e-3)
+        return float(losses[-1])
+
+    run()
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    per = (min(times) - rtt) / k_inner
+    emit(
+        f"Born-machine exact-NLL training step, {n_sites} sites x bond "
+        f"{bond} x batch {batch}",
+        round(per * 1e3, 3), "ms/step", None,
+        spread=spread_of(times, rtt=rtt, scale=k_inner),
+    )
+
+
 def bench_chain(rtt):
     from contractn_tpu import TN
 
@@ -527,6 +560,7 @@ def main():
 
     bench_flagship(rtt, on_tpu)
     bench_train(rtt, on_tpu)
+    bench_born(rtt, on_tpu)
     bench_chain(rtt)
     bench_copy101(rtt)
     bench_cp_tucker(rtt)
