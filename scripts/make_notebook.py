@@ -88,6 +88,45 @@ print("TFIM(12) DMRG ground energy:", round(energy, 8))
 evolved, energies = tdvp_evolve(mpo, mps0, dt=0.1, n_steps=5,
                                 max_bond=8, imaginary=True)
 print("imaginary-time TDVP energies:", [round(e, 4) for e in energies])"""),
+    ("code", '''\
+# Generative models: an MPS Born machine trained by EXACT max-likelihood
+import itertools
+from contractn_tpu.models import born_machine, fit_born_machine, sample
+
+pats = sorted({tuple(np.repeat(b, 3)) for b in
+               itertools.product([0, 1], repeat=3)} |
+              {tuple(np.tile(b, 3)) for b in
+               itertools.product([0, 1], repeat=3)})
+data = np.array(pats)[np.random.default_rng(0).integers(0, len(pats), 3000)]
+model = born_machine(jax.random.PRNGKey(1), 9, 2, 10)
+model, nll = fit_born_machine(model, data, steps=900, lr=0.02)
+print(f"NLL {float(nll[0]):.2f} -> {float(nll[-1]):.4f}"
+      f"  (bars-and-stripes entropy = {np.log(len(pats)):.4f})")
+draws, _ = sample(model, jax.random.PRNGKey(2), 300)
+ok = np.mean([tuple(s) in set(map(tuple, pats))
+              for s in np.asarray(draws).tolist()])
+print(f"valid generated patterns: {100 * ok:.1f}%")'''),
+    ("code", '''\
+# Arbitrary graphs via belief propagation: TFIM ground state on the cube
+from contractn_tpu import bp_ground_state, bp_measure
+
+SX = np.array([[0.0, 1.0], [1.0, 0.0]]); SZ = np.diag([1.0, -1.0])
+edges = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7),
+         (7, 4), (0, 4), (1, 5), (2, 6), (3, 7)]
+rng = np.random.default_rng(3)
+g = TN()
+for i in range(8):
+    g.add_dense_node(0.3 * rng.standard_normal((2, 3, 3, 3)), name=f"v{i}")
+nxt = {i: 1 for i in range(8)}
+for a, b in edges:
+    g.connect_nodes(f"v{a}", f"v{b}", nxt[a], nxt[b])
+    nxt[a] += 1; nxt[b] += 1
+bonds = [(f"v{a}", f"v{b}", -np.kron(SZ, SZ)) for a, b in edges]
+local = [(f"v{i}", -2.5 * SX) for i in range(8)]
+g2, es = bp_ground_state(g, bonds, local, steps=300, lr=0.03)
+loc, _ = bp_measure(g2, local=[("v0", SX)])
+print(f"Bethe energy {float(es[0]):.2f} -> {float(es[-1]):.5f};"
+      f"  <X> = {loc[0].real:.4f}")'''),
 ]
 
 
