@@ -1,0 +1,228 @@
+"""AutoMPO compiler vs independent dense oracles.
+
+The oracle builds every term as a product of FULL-lattice operators
+(explicit Kronecker products, explicit JW string factors) multiplied as
+``2^n x 2^n`` matrices — a completely independent code path from the
+compiler's per-site factor bookkeeping.
+"""
+
+import numpy as np
+import pytest
+
+from contractn_tpu.models.autompo import OP_TABLE, OpSum, op_sum_mpo
+from contractn_tpu.models.dmrg import heisenberg_mpo
+
+_I = np.eye(2)
+_Z = np.diag([1.0, -1.0])
+
+
+def _mpo_dense(mpo, n):
+    w = np.asarray(mpo.cores)
+    cur = np.einsum("w,abwv->abv", np.asarray(mpo.left), w[0])
+    for i in range(1, n):
+        dd = cur.shape[0]
+        cur = np.einsum("ABw,abwv->AaBbv", cur, w[i]).reshape(
+            2 * dd, 2 * dd, -1)
+    return np.einsum("ABv,v->AB", cur, np.asarray(mpo.right))
+
+
+def _full_op(mat, site, n, fermi=False):
+    out = np.eye(1)
+    for j in range(n):
+        if j == site:
+            f = mat
+        elif fermi and j < site:
+            f = _Z
+        else:
+            f = _I
+        out = np.kron(out, f)
+    return out
+
+
+def _dense_opsum(opsum, n):
+    """Independent oracle: full-matrix products in term order."""
+    tot = np.zeros((2 ** n, 2 ** n), complex)
+    for coef, ops, sites in opsum.terms:
+        term = coef * np.eye(2 ** n)
+        for op, s in zip(ops, sites):
+            if isinstance(op, str):
+                mat, fermi = OP_TABLE[op]
+            else:
+                mat, fermi = np.asarray(op), False
+            term = term @ _full_op(mat, s, n, fermi)
+        tot += term
+    return tot
+
+
+def _check(opsum, n, atol=1e-10, **kw):
+    mpo = op_sum_mpo(opsum, n, **kw)
+    got = _mpo_dense(mpo, n)
+    want = _dense_opsum(opsum, n)
+    assert np.max(np.abs(got - want)) < atol * max(
+        1.0, np.max(np.abs(want))
+    ), np.max(np.abs(got - want))
+    return mpo
+
+
+def test_tfim_bond_dim_3():
+    n = 8
+    h = OpSum()
+    for i in range(n - 1):
+        h += (-1.0, "Z", i, "Z", i + 1)
+    for i in range(n):
+        h += (-0.7, "X", i)
+    mpo = _check(h, n)
+    assert mpo.cores.shape[3] == 3
+
+
+def test_heisenberg_matches_builder_and_w5():
+    """X X + Y Y + Z Z written as 2(S+S- + S-S+) + Z Z == the hand
+    triangular W=5 builder, and the compiler also lands at W=5."""
+    n = 7
+    h = OpSum()
+    for i in range(n - 1):
+        h += (2.0, "S+", i, "S-", i + 1)
+        h += (2.0, "S-", i, "S+", i + 1)
+        h += (1.0, "Z", i, "Z", i + 1)
+    mpo = _check(h, n)
+    assert mpo.cores.shape[3] == 5
+    want = _mpo_dense(heisenberg_mpo(n), n)
+    got = _mpo_dense(mpo, n)
+    assert np.max(np.abs(got - want)) < 1e-10
+
+
+def test_exp_decay_all_pairs_compresses_to_w3():
+    """sum_{i<j} lam^{j-i} Z_i Z_j: the SVD stage must find the W=3
+    exponential loop the naive FSM (W = O(n^2)) does not expose."""
+    n = 9
+    lam = 0.55
+    h = OpSum()
+    for i in range(n):
+        for j in range(i + 1, n):
+            h += (lam ** (j - i), "Z", i, "Z", j)
+    mpo = _check(h, n)
+    assert mpo.cores.shape[3] == 3
+
+
+def test_fermion_hopping_auto_jw():
+    """NN + NNN hopping and pairing with automatic JW strings."""
+    n = 6
+    h = OpSum()
+    for i in range(n - 1):
+        h += (-1.0, "Cdag", i, "C", i + 1)
+        h += (-1.0, "Cdag", i + 1, "C", i)
+    for i in range(n - 2):
+        h += (-0.3, "Cdag", i, "C", i + 2)
+        h += (-0.3, "Cdag", i + 2, "C", i)
+    for i in range(n):
+        h += (0.4, "N", i)
+    mpo = _check(h, n)
+    # anticommutation: the dense oracle carries explicit string factors,
+    # so agreement pins the sign structure; also check hermiticity
+    dense = _dense_opsum(h, n)
+    assert np.max(np.abs(dense - dense.conj().T)) < 1e-12
+    assert mpo.cores.shape[3] <= 8
+
+
+def test_fermion_order_sign():
+    """Cdag_0 C_2 written in the opposite order flips sign (true
+    anticommutation, not just dense parity)."""
+    n = 3
+    a = OpSum()
+    a += (1.0, "Cdag", 0, "C", 2)
+    b = OpSum()
+    b += (1.0, "C", 2, "Cdag", 0)
+    da = _mpo_dense(op_sum_mpo(a, n), n)
+    db = _mpo_dense(op_sum_mpo(b, n), n)
+    assert np.max(np.abs(da + db)) < 1e-12
+    assert np.max(np.abs(da)) > 0.5
+
+
+def test_same_site_products_and_complex():
+    n = 4
+    h = OpSum()
+    h += (0.5 + 0.25j, "S+", 1, "S-", 1)   # same-site product
+    h += (-0.5 - 0.25j, "Sz", 2, "Sz", 2, "X", 0)
+    h += (1.0j, "Y", 3)
+    _check(h, n)
+
+
+def test_raw_matrices_and_custom_ops():
+    n = 4
+    rng = np.random.default_rng(0)
+    m1 = rng.standard_normal((2, 2))
+    m2 = rng.standard_normal((2, 2))
+    h = OpSum()
+    h += (1.3, m1, 0, m2, 3)
+    h += (-0.2, "Q", 1)
+    mpo = op_sum_mpo(h, n, ops={"Q": m2})
+    got = _mpo_dense(mpo, n)
+    want = 1.3 * _full_op(m1, 0, n) @ _full_op(m2, 3, n) \
+        - 0.2 * _full_op(m2, 1, n)
+    assert np.max(np.abs(got - want)) < 1e-10
+
+
+def test_random_stress_long_range():
+    """20 random multi-op terms (1-4 ops, repeated sites allowed,
+    mixed fermionic/bosonic) vs the full-matrix oracle."""
+    n = 6
+    rng = np.random.default_rng(7)
+    names = list(OP_TABLE)
+    h = OpSum()
+    for _ in range(20):
+        k = int(rng.integers(1, 5))
+        args = []
+        for _ in range(k):
+            args += [names[rng.integers(len(names))],
+                     int(rng.integers(n))]
+        coef = complex(rng.standard_normal(), rng.standard_normal())
+        h.add(coef, *args)
+    _check(h, n, atol=1e-9)
+
+
+def test_constant_term_and_single_site():
+    n = 3
+    h = OpSum()
+    h += (2.5, "I", 1)           # constant shift
+    h += (-1.0, "Z", 0)
+    got = _mpo_dense(op_sum_mpo(h, n), n)
+    want = 2.5 * np.eye(8) - _full_op(_Z, 0, n)
+    assert np.max(np.abs(got - want)) < 1e-12
+
+
+def test_validation():
+    h = OpSum()
+    with pytest.raises(ValueError):
+        h.add(1.0, "Z")          # missing site
+    with pytest.raises(ValueError):
+        op_sum_mpo(h, 4)         # empty
+    h += (1.0, "Z", 5)
+    with pytest.raises(ValueError):
+        op_sum_mpo(h, 4)         # site out of range
+    g = OpSum()
+    g += (1.0, "Nope", 0)
+    with pytest.raises(ValueError):
+        op_sum_mpo(g, 2)
+
+
+def test_dmrg_end_to_end():
+    """AutoMPO-built TFIM feeds the DMRG solver: ground energy ==
+    dense ED."""
+    import jax
+    import jax.numpy as jnp
+
+    from contractn_tpu.models.dmrg import dmrg
+    from contractn_tpu.models.mps import MPS
+
+    n = 8
+    h = OpSum()
+    for i in range(n - 1):
+        h += (-1.0, "Z", i, "Z", i + 1)
+    for i in range(n):
+        h += (-1.0, "X", i)
+    mpo = op_sum_mpo(h, n)
+    mps0 = MPS.random(jax.random.PRNGKey(0), n, 2, 16,
+                      dtype=jnp.float64)
+    _, e, _ = dmrg(mpo, mps0, max_bond=16, sweeps=6)
+    want = np.linalg.eigvalsh(_dense_opsum(h, n).real)[0]
+    assert abs(float(e) - want) < 1e-8
