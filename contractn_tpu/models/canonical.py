@@ -434,3 +434,57 @@ def entanglement_entropy(mps, alpha=1):
     if alpha <= 0:
         raise ValueError("Renyi index must be positive")
     return jnp.log(jnp.sum(probs ** alpha, axis=1)) / (1.0 - alpha)
+
+
+def truncate_safe(cores, left, right, chi):
+    """Differentiable canonicalize-and-truncate of a RAGGED boundary.
+
+    Input is a LIST of ``(d, Dl, Dr)`` cores (per-site bond dims may
+    differ — the form boundary-MPS contractions grow), compressed to
+    bond ``chi`` by a left canonicalization sweep + right-to-left
+    truncation sweep.  Both sweeps use
+    :func:`~contractn_tpu.ops.linalg_ad.svd_safe` (degeneracy-broadened
+    VJPs), because the padded/rank-deficient bonds these contractions
+    produce NaN stock QR/SVD gradients — ``jax.grad`` flows through the
+    whole compression.  Host-unrolled over the few columns (this is the
+    inner step of 2D energy/amplitude sweeps, not a long-chain pass).
+
+    Returns ``(cores, log_norm)`` with the boundary weights absorbed
+    and the state normalized; promoted from the fermionic-PEPS module
+    where it was born (it is layer-agnostic).
+    """
+    from ..ops.linalg_ad import svd_safe
+
+    n = len(cores)
+    carry = left[None, :]
+    log = jnp.zeros(())
+    lcan = []
+    for i in range(n):
+        t = peinsum("ai,dij->daj", carry, cores[i])
+        d_dim, a_dim, j_dim = t.shape
+        m = t.transpose(1, 0, 2).reshape(a_dim * d_dim, j_dim)
+        u, sv, vh = svd_safe(m)
+        k = min(m.shape)
+        lcan.append(u.reshape(a_dim, d_dim, k).transpose(1, 0, 2))
+        nrm = jnp.maximum(jnp.linalg.norm(sv), 1e-300)
+        log = log + jnp.log(nrm)
+        carry = (sv / nrm)[:, None] * vh
+    closing = peinsum("kj,j->k", carry, right)
+    # right-to-left truncation
+    out = [None] * n
+    rcarry = closing[:, None]  # (k, 1)
+    for i in reversed(range(n)):
+        t = peinsum("dik,ka->dia", lcan[i], rcarry)
+        d_dim, i_dim, a_dim = t.shape
+        m = t.transpose(1, 0, 2).reshape(i_dim, d_dim * a_dim)
+        u, sv, vh = svd_safe(m)
+        k = min(min(m.shape), int(chi))
+        u, sv, vh = u[:, :k], sv[:k], vh[:k]
+        out[i] = vh.reshape(k, d_dim, a_dim).transpose(1, 0, 2)
+        nrm = jnp.maximum(jnp.linalg.norm(sv), 1e-300)
+        log = log + jnp.log(nrm)
+        rcarry = u * (sv / nrm)[None, :]
+    # rcarry collapses to the (1, 1) leftmost residue (left vector was
+    # absorbed in the first sweep): fold its sign/scale into core 0
+    out[0] = out[0] * rcarry[0, 0]
+    return out, log

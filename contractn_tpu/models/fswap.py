@@ -643,49 +643,10 @@ def _sign_block(pu, pd):
     return s
 
 
-def _truncate_safe(cores, left, right, chi):
-    """Canonicalize-and-truncate a boundary given as a LIST of
-    ``(d, Dl, Dr)`` cores, differentiably: both sweeps use ``svd_safe``
-    (degeneracy-broadened VJPs — the padded/rank-deficient bonds that
-    NaN stock QR/SVD gradients are the NORM here), host-unrolled over
-    the few columns.  Returns ``(cores, log_norm)`` with unit boundary
-    weights absorbed.
-    """
-    from ..ops.linalg_ad import svd_safe
-
-    n = len(cores)
-    carry = left[None, :]
-    log = jnp.zeros(())
-    lcan = []
-    for i in range(n):
-        t = peinsum("ai,dij->daj", carry, cores[i])
-        d_dim, a_dim, j_dim = t.shape
-        m = t.transpose(1, 0, 2).reshape(a_dim * d_dim, j_dim)
-        u, sv, vh = svd_safe(m)
-        k = min(m.shape)
-        lcan.append(u.reshape(a_dim, d_dim, k).transpose(1, 0, 2))
-        nrm = jnp.maximum(jnp.linalg.norm(sv), 1e-300)
-        log = log + jnp.log(nrm)
-        carry = (sv / nrm)[:, None] * vh
-    closing = peinsum("kj,j->k", carry, right)
-    # right-to-left truncation
-    out = [None] * n
-    rcarry = closing[:, None]  # (k, 1)
-    for i in reversed(range(n)):
-        t = peinsum("dik,ka->dia", lcan[i], rcarry)
-        d_dim, i_dim, a_dim = t.shape
-        m = t.transpose(1, 0, 2).reshape(i_dim, d_dim * a_dim)
-        u, sv, vh = svd_safe(m)
-        k = min(min(m.shape), int(chi))
-        u, sv, vh = u[:, :k], sv[:k], vh[:k]
-        out[i] = vh.reshape(k, d_dim, a_dim).transpose(1, 0, 2)
-        nrm = jnp.maximum(jnp.linalg.norm(sv), 1e-300)
-        log = log + jnp.log(nrm)
-        rcarry = u * (sv / nrm)[None, :]
-    # rcarry collapses to the (1, 1) leftmost residue (left vector was
-    # absorbed in the first sweep): fold its sign/scale into core 0
-    out[0] = out[0] * rcarry[0, 0]
-    return out, log
+# _truncate_safe moved to canonical.truncate_safe (promoted: the
+# differentiable ragged-boundary compressor is layer-agnostic and the
+# PEPS Born machine reuses it); kept under its old private name here.
+from .canonical import truncate_safe as _truncate_safe  # noqa: E402
 
 
 def fpeps_energy_diff(tensors, ph_vec, pv_vec, chi, t=1.0, mu=0.0,
