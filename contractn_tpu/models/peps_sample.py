@@ -99,9 +99,11 @@ def _trivial_mps(cols, dtype):
     return MPS(jnp.ones((cols, 1, 1, 1), dtype), one, one)
 
 
-def _below_envs(rows_open, h, chi, dtype):
-    """``below[r]``: boundary MPS of the traced rows ``r+1 ..`` with
-    open legs on row ``r``'s down bonds (sample-independent)."""
+def _below_envs(rows_open, w, h, chi, dtype):
+    """``below[r]``: boundary MPS of the rows ``r+1 ..`` — free sites
+    traced, observed sites projected via the physical weight vectors
+    ``w[r][c] (d,)`` — with open legs on row ``r``'s down bonds
+    (sample-independent: the observations are fixed per call)."""
     rows = len(rows_open)
     cols = len(rows_open[0])
     below = [None] * rows
@@ -109,8 +111,11 @@ def _below_envs(rows_open, h, chi, dtype):
     for r in range(rows - 2, -1, -1):
         # absorbing from below: the row maps its dn legs (toward the
         # already-built environment) to its u legs -> do = u^2, di = dn^2
-        cores = jnp.stack([jnp.transpose(t.sum(0), (0, 2, 1, 3))
-                           for t in rows_open[r + 1]])
+        cores = jnp.stack([
+            jnp.transpose(peinsum("s,suldr->uldr", w[r + 1, c],
+                                  rows_open[r + 1][c]), (0, 2, 1, 3))
+            for c in range(cols)
+        ])
         e0 = jnp.zeros((h,), dtype).at[0].set(1.0)
         grown = apply_mpo_to_mps(MPO(cores, e0, e0), below[r + 1])
         below[r], _, _ = compress_fixed(grown, chi)
@@ -131,10 +136,10 @@ def _right_partials(a_mps, b_mps, row_tr, cols):
                         a_mps.cores[c], row_tr[c], b_mps.cores[c], r_vec)
         r_vec = r_vec / jnp.maximum(jnp.max(jnp.abs(r_vec)), 1e-300)
         parts.append(r_vec)
-    return parts[::-1]  # parts[c] closes columns c..cols-1
+    return parts[::-1]  # parts[c] closes columns c+1..cols-1
 
 
-def sample_peps(grid, key, num_samples, chi):
+def sample_peps(grid, key, num_samples, chi, observed=None):
     """Draw ``num_samples`` configurations from ``|<s|P>|^2 / <P|P>``.
 
     Args:
@@ -146,36 +151,57 @@ def sample_peps(grid, key, num_samples, chi):
         chi: boundary bond for BOTH half-plane environments.  At the
             exact half-plane rank the conditionals (and ``log_prob``)
             are exact.
+        observed: optional ``(rows, cols)`` ints, ``-1`` = free —
+            exact conditional sampling (inpainting) from
+            ``p(free | observed)``.  Both environments and the in-row
+            closures carry the observations as projections (free
+            conditionals condition on observations ANYWHERE on the
+            lattice, not just already-visited sites), branchlessly via
+            per-site physical weight vectors.
 
     Returns:
         ``(samples, log_probs)`` — ``(num_samples, rows, cols)`` int32
-        and the exact log of each sample's model probability.
+        (observed values copied in) and the exact log of each sample's
+        model probability (conditional ``log p(free | observed)`` when
+        ``observed`` is given: only free sites accumulate).
     """
     grid, rows, cols, dt = _check_grid(grid)
     d = grid[0][0].shape[0]
+    if observed is None:
+        observed = -jnp.ones((rows, cols), jnp.int32)
+    else:
+        observed = jnp.asarray(observed, jnp.int32)
+        if observed.shape != (rows, cols):
+            raise ValueError(f"observed must be ({rows}, {cols})")
+    w = jnp.where(
+        (observed >= 0)[:, :, None],
+        jax.nn.one_hot(jnp.clip(observed, 0), d, dtype=dt),
+        jnp.ones((rows, cols, d), dt),
+    )
     h = max(max(t.shape[2], t.shape[4]) for row in grid for t in row)
     h = h * h
     rows_open = [[_pad_h(_open_dbl(t), h) for t in row] for row in grid]
-    below = _below_envs(rows_open, h, chi, dt)
+    below = _below_envs(rows_open, w, h, chi, dt)
     below_flat = tuple((m.cores, m.left, m.right) for m in below)
     rows_stacked = tuple(jnp.stack(row) for row in rows_open)
 
     keys = jax.random.split(key, num_samples)
-    return _sample_batch(rows_stacked, below_flat, keys, rows, cols, d,
-                         h, chi)
+    return _sample_batch(rows_stacked, below_flat, keys, observed, w,
+                         rows, cols, d, h, chi)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
-def _sample_batch(rows_stacked, below_flat, keys, rows, cols, d, h,
-                  chi):
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def _sample_batch(rows_stacked, below_flat, keys, observed, w, rows,
+                  cols, d, h, chi):
     def single(key):
-        return _sample_one(rows_stacked, below_flat, key, rows, cols,
-                           d, h, chi)
+        return _sample_one(rows_stacked, below_flat, key, observed, w,
+                           rows, cols, d, h, chi)
 
     return jax.vmap(single)(keys)
 
 
-def _sample_one(rows_stacked, below_flat, key, rows, cols, d, h, chi):
+def _sample_one(rows_stacked, below_flat, key, observed, w, rows,
+                cols, d, h, chi):
     dt = rows_stacked[0].dtype
     rdt = jnp.zeros((), dt).real.dtype
     above = _trivial_mps(cols, dt)
@@ -186,23 +212,26 @@ def _sample_one(rows_stacked, below_flat, key, rows, cols, d, h, chi):
 
     for r in range(rows):
         row_open = [rows_stacked[r][c] for c in range(cols)]
-        row_tr = [t.sum(0) for t in row_open]
+        row_tr = [peinsum("s,suldr->uldr", w[r, c], row_open[c])
+                  for c in range(cols)]
         b_mps = MPS(*below_flat[r])
         rps = _right_partials(above, b_mps, row_tr, cols)
         l_vec = peinsum("a,l,b->alb", above.left, e0, b_mps.left)
         row_samp = []
         sel_cores = []
         for c in range(cols):
-            w = peinsum("alb,uax,suldr,dby,xry->s",
-                        l_vec, above.cores[c], row_open[c],
-                        b_mps.cores[c], rps[c])
-            w = jnp.clip(jnp.real(w), 0.0, None) + 1e-300
-            p = w / jnp.sum(w)
-            s = jnp.searchsorted(jnp.cumsum(p),
-                                 jax.random.uniform(keys[r, c], (),
-                                                    rdt))
-            s = jnp.clip(s, 0, d - 1)
-            log_p = log_p + jnp.log(p[s])
+            wv = peinsum("alb,uax,suldr,dby,xry->s",
+                         l_vec, above.cores[c], row_open[c],
+                         b_mps.cores[c], rps[c])
+            wv = jnp.clip(jnp.real(wv), 0.0, None) + 1e-300
+            p = wv / jnp.sum(wv)
+            drawn = jnp.searchsorted(jnp.cumsum(p),
+                                     jax.random.uniform(keys[r, c], (),
+                                                        rdt))
+            drawn = jnp.clip(drawn, 0, d - 1)
+            s = jnp.where(observed[r, c] >= 0, observed[r, c], drawn)
+            log_p = log_p + jnp.where(observed[r, c] >= 0, 0.0,
+                                      jnp.log(p[s]))
             row_samp.append(s)
             t_sel = jnp.take(row_open[c], s, axis=0)
             sel_cores.append(jnp.transpose(t_sel, (2, 0, 1, 3)))

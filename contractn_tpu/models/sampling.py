@@ -71,3 +71,78 @@ def sample(mps, key, num_samples):
     """
     mps_rc, _ = right_canonicalize(mps)
     return sample_canonical(mps_rc, key, num_samples)
+
+
+def sample_conditional(mps, key, num_samples, observed):
+    """Exact conditional sampling (inpainting): draw the FREE sites of
+    ``observed`` (``(N,)`` ints, ``-1`` = free) from
+    ``p(x_free | x_obs)``.
+
+    Clamping the observed sites inside the plain autoregressive sweep
+    would be WRONG — each free conditional must also condition on the
+    observations yet to come (GHZ with only the last site observed is
+    the sharp counterexample: the clamped sampler draws site 0 from the
+    50/50 marginal).  Instead the right environments are built with the
+    observed sites PROJECTED onto their values and free sites traced —
+    branchlessly, via per-site physical weight vectors ``w_s`` (ones
+    when free, one-hot when observed), so the whole sampler stays two
+    ``lax.scan`` programs: one sample-independent right-environment
+    sweep, one batched forward draw.
+
+    Returns ``(samples, log_prob)``: full ``(B, N)`` configurations
+    (observed sites copied in) and the exact CONDITIONAL
+    ``log p(x_free | x_obs)`` (only free sites accumulate).
+    """
+    cores = mps.cores  # (N, d, D, D)
+    n_sites, phys_dim, bond, _ = cores.shape
+    observed = jnp.asarray(observed, jnp.int32)
+    w = jnp.where(
+        (observed >= 0)[:, None],
+        jax.nn.one_hot(jnp.clip(observed, 0), phys_dim,
+                       dtype=cores.dtype),
+        jnp.ones((n_sites, phys_dim), cores.dtype),
+    )  # (N, d)
+
+    # right marginal/projected environments, rescaled each step
+    r_n = jnp.outer(mps.right, jnp.conj(mps.right)).astype(cores.dtype)
+
+    def renv_step(r, inp):
+        core, ws = inp
+        nxt = peinsum("s,sij,jk,slk->il", ws, core, r, jnp.conj(core))
+        scale = jnp.maximum(jnp.max(jnp.abs(nxt)), 1e-300)
+        return nxt / scale, r
+
+    _, renvs = jax.lax.scan(renv_step, r_n, (cores, w), reverse=True)
+    # renvs[i] = environment strictly right of site i (scaled)
+
+    v0 = jnp.broadcast_to(mps.left.astype(cores.dtype),
+                          (num_samples, bond))
+    rdt = jnp.zeros((), cores.dtype).real.dtype
+    keys = jax.random.split(key, n_sites)
+
+    def step(carry, inp):
+        v, logp = carry
+        core, r, obs, ws, k = inp
+        u = peinsum("bi,sij->bsj", v, core)  # (B, d, D)
+        weight = jnp.real(peinsum("bsj,jk,bsk->bs", u, r,
+                                  jnp.conj(u)))
+        weight = jnp.clip(weight, 0.0, None) * ws[None, :]
+        total = jnp.sum(weight, axis=1, keepdims=True)
+        logits = jnp.log(weight + 1e-300)
+        drawn = jax.random.categorical(k, logits, axis=1)
+        choice = jnp.where(obs >= 0, obs, drawn)
+        v = jnp.take_along_axis(u, choice[:, None, None], axis=1)[:, 0]
+        nrm = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=1,
+                               keepdims=True))
+        v = v / jnp.maximum(nrm, 1e-300)
+        p = (jnp.take_along_axis(weight, choice[:, None], 1)[:, 0]
+             / total[:, 0])
+        logp = logp + jnp.where(obs >= 0, 0.0,
+                                jnp.log(p + 1e-300)).astype(rdt)
+        return (v, logp), choice
+
+    (v, logp), samples = jax.lax.scan(
+        step, (v0, jnp.zeros((num_samples,), rdt)),
+        (cores, renvs, observed, w, keys),
+    )
+    return samples.T.astype(jnp.int32), logp

@@ -141,3 +141,58 @@ def test_grid_validation():
     bad = [[jnp.ones((2, 2, 1, 1, 1))]]  # up dim != 1 on row 0
     with pytest.raises(ValueError):
         sample_peps(bad, jax.random.PRNGKey(0), 1, 4)
+
+
+def test_conditional_sampling_matches_dense():
+    """Inpainting: observed sites pinned, free-site draws from the
+    exact conditional — every sample's log_prob == dense
+    log p(free | obs), and observed values are copied in."""
+    rng = np.random.default_rng(31)
+    tn, grid = peps_tn(2, 3, bond_dim=2, phys_dim=2, rng=rng)
+    arrs = _grid_arrays(grid, 2, 3)
+    p = _dense_probs(tn)
+
+    obs = -np.ones((2, 3), np.int32)
+    obs[0, 1] = 1
+    obs[1, 2] = 0
+    samples, log_probs = sample_peps(arrs, jax.random.PRNGKey(5), 40,
+                                     chi=16, observed=jnp.asarray(obs))
+    s = np.asarray(samples)
+    assert np.all(s[:, 0, 1] == 1) and np.all(s[:, 1, 2] == 0)
+
+    # dense conditional
+    idx_all = _flat_index(
+        _all_cfgs := np.stack(np.meshgrid(
+            *[[0, 1]] * 6, indexing="ij"), -1).reshape(-1, 6), 2)
+    cfgs = _all_cfgs.reshape(-1, 2, 3)
+    consistent = (cfgs[:, 0, 1] == 1) & (cfgs[:, 1, 2] == 0)
+    p_obs = p[idx_all[consistent]].sum()
+    want = np.log(p[_flat_index(s, 2)]) - np.log(p_obs)
+    assert np.max(np.abs(np.asarray(log_probs) - want)) < 1e-10
+
+
+def test_conditional_ghz_future_observation():
+    """GHZ-like PEPS with ONE corner observed: plain clamping would
+    sample the opposite mode half the time; the conditional sampler
+    must force the whole lattice."""
+    rows, cols = 2, 2
+    grid = []
+    for r in range(rows):
+        row = []
+        for c in range(cols):
+            u = 2 if r > 0 else 1
+            l = 2 if c > 0 else 1
+            dn = 2 if r < rows - 1 else 1
+            rr = 2 if c < cols - 1 else 1
+            t = np.zeros((2, u, l, dn, rr))
+            t[(0,) + (0,) * 4] = 1.0
+            t[(1,) + tuple(min(1, x - 1) for x in (u, l, dn, rr))] = 1.0
+            row.append(jnp.asarray(t))
+        grid.append(row)
+    obs = -np.ones((2, 2), np.int32)
+    obs[1, 1] = 1  # the LAST site in raster order
+    samples, log_probs = sample_peps(grid, jax.random.PRNGKey(9), 16,
+                                     chi=4, observed=jnp.asarray(obs))
+    s = np.asarray(samples).reshape(16, -1)
+    assert np.all(s == 1)
+    assert np.max(np.abs(np.asarray(log_probs))) < 1e-10
