@@ -2,6 +2,7 @@ from .ensembles import dmrg_ensemble_sharded, ipeps_cell_scan_sharded
 from .fit import fit_tn, make_tn_train_step
 from .generative import fit_born_machine_sharded, make_sharded_born_loss
 from .mesh import make_mesh
+from .rs_dmrg import dmrg_realspace
 from .tp_dmrg import dmrg_uniform_tp, heff_matvec_tp
 from .pipeline import make_pipeline_train_step, pipeline_mps_forward
 from .sharded import sharded_mps_forward, segment_mps_forward
@@ -17,6 +18,7 @@ __all__ = [
     "make_mesh",
     "dmrg_ensemble_sharded",
     "ipeps_cell_scan_sharded",
+    "dmrg_realspace",
     "dmrg_uniform_tp",
     "heff_matvec_tp",
     "fit_born_machine_sharded",
