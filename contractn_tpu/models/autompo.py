@@ -270,3 +270,139 @@ def op_sum_mpo(opsum, n_sites, d=2, ops=None, cutoff=1e-12, dtype=None):
         return MPO(out_cores, comp.left.astype(dtype),
                    comp.right.astype(dtype))
     return MPO(out_cores, comp.left, comp.right)
+
+
+class InfiniteOpSum:
+    """Translation-invariant operator sums for infinite chains.
+
+    ``add(coef, op, off, op, off, ...)`` adds
+    ``sum_i c * O_1(i + off_1) O_2(i + off_2) ...`` (offsets are
+    shifted so the leftmost factor sits at the base site); fermionic
+    terms must contain an EVEN number of ``Cdag/C`` factors (their JW
+    strings then cancel below the support — odd counts have no
+    translation-invariant bulk automaton and are rejected).
+
+    ``add_exp(coef, op1, lam, op2, string=None)`` adds the
+    exponentially decaying two-point sum
+    ``sum_i sum_{r>=1} c lam^(r-1) O_1(i) S(i+1)..S(i+r-1) O_2(i+r)``
+    as ONE geometric channel (``W`` grows by 1, not by range);
+    ``string="Z"`` gives the Jordan-Wigner insertion for long-range
+    fermion bilinears.
+
+    :meth:`to_umpo` compiles the terms into a single UPPER-TRIANGULAR
+    bulk core with identity corners — exactly the form
+    :func:`~contractn_tpu.models.vumps.vumps` /
+    :func:`~contractn_tpu.models.vumps_cell.vumps_cell` environments
+    require (their interior solver handles the |lam| < 1 diagonal
+    channels by geometric linear solves).  Unlike :func:`op_sum_mpo`,
+    NO SVD compression runs here: it would destroy the triangularity
+    the infinite environment solver depends on.
+    """
+
+    def __init__(self):
+        self.terms = []
+        self.exp_terms = []
+
+    def add(self, coef, *ops_and_offsets):
+        if len(ops_and_offsets) % 2 != 0 or not ops_and_offsets:
+            raise ValueError(
+                "add() takes (coef, op, offset, op, offset, ...)")
+        ops = list(ops_and_offsets[0::2])
+        offs = [int(x) for x in ops_and_offsets[1::2]]
+        self.terms.append((complex(coef), ops, offs))
+        return self
+
+    def add_exp(self, coef, op1, lam, op2, string=None):
+        self.exp_terms.append((complex(coef), op1, complex(lam), op2,
+                               string))
+        return self
+
+    def __iadd__(self, term):
+        return self.add(*term)
+
+    def to_umpo(self, d=2, ops=None, dtype=None):
+        """Compile to one ``(d, d, W, W)`` triangular bulk core."""
+        if not self.terms and not self.exp_terms:
+            raise ValueError("empty InfiniteOpSum")
+        prepped = []
+        complex_any = False
+        for coef, raw_ops, offs in self.terms:
+            resolved = [_resolve(o, d, ops) for o in raw_ops]
+            n_fermi = sum(1 for _, f in resolved if f)
+            if n_fermi % 2:
+                raise ValueError(
+                    "infinite terms need an even number of fermionic "
+                    "operators (JW strings must cancel below the "
+                    "support)")
+            if n_fermi and d != 2:
+                raise ValueError("fermionic ops require d=2")
+            lo = min(offs)
+            offs = [o - lo for o in offs]
+            coef, factors = _site_factors(coef, resolved, offs, d)
+            base = min(factors)  # base factor may have dropped to I
+            factors = {k - base: v for k, v in factors.items()}
+            complex_any = complex_any or np.iscomplex(coef) or any(
+                np.iscomplexobj(m) for m in factors.values())
+            prepped.append((coef, factors))
+        exps = []
+        for coef, op1, lam, op2, string in self.exp_terms:
+            m1, _ = _resolve(op1, d, ops)
+            m2, _ = _resolve(op2, d, ops)
+            ms = (np.eye(d) if string is None
+                  else _resolve(string, d, ops)[0])
+            complex_any = complex_any or np.iscomplex(coef) or \
+                np.iscomplex(lam) or any(
+                    np.iscomplexobj(m) for m in (m1, m2, ms))
+            exps.append((coef, m1, lam, m2, ms))
+
+        np_dt = np.complex128 if complex_any else np.float64
+
+        def cast(x):
+            x = np.asarray(x)
+            if np_dt == np.float64 and np.iscomplexobj(x):
+                x = x.real  # lossless: real term sets carry 0 imag
+            return x.astype(np_dt)
+
+        eye = np.eye(d)
+        # states: 0 = start, then term-progress states, then one per
+        # exp channel, last = done
+        n_states = 2 + sum(max(fac) for _, fac in prepped) \
+            + len(exps)
+        w = np.zeros((d, d, n_states, n_states), np_dt)
+        done = n_states - 1
+        w[:, :, 0, 0] = eye
+        w[:, :, done, done] = eye
+        nxt = 1
+        for coef, factors in prepped:
+            span = max(factors)
+            if span == 0:
+                w[:, :, 0, done] += cast(coef * factors[0])
+                continue
+            states = list(range(nxt, nxt + span))
+            nxt += span
+            w[:, :, 0, states[0]] += cast(coef * factors[0])
+            for m in range(1, span):
+                w[:, :, states[m - 1], states[m]] = cast(
+                    factors.get(m, eye))
+            w[:, :, states[-1], done] += cast(factors[span])
+        for coef, m1, lam, m2, ms in exps:
+            e = nxt
+            nxt += 1
+            w[:, :, 0, e] += cast(coef * m1)
+            w[:, :, e, e] = cast(lam * ms)
+            w[:, :, e, done] += cast(m2)
+        if dtype is not None:
+            return jnp.asarray(w, dtype)
+        return jnp.asarray(w)
+
+
+def umpo_finite(core, n_sites):
+    """Wrap a triangular bulk core into a finite :class:`MPO`
+    (boundary vectors select start/done) — cross-validation against
+    the finite compiler and direct finite use."""
+    core = jnp.asarray(core)
+    nw = core.shape[2]
+    cores = jnp.broadcast_to(core, (n_sites,) + core.shape)
+    left = jnp.zeros((nw,), core.dtype).at[0].set(1.0)
+    right = jnp.zeros((nw,), core.dtype).at[nw - 1].set(1.0)
+    return MPO(cores, left, right)
