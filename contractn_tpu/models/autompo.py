@@ -317,6 +317,25 @@ class InfiniteOpSum:
                                string))
         return self
 
+    def add_power_law(self, coef, op1, alpha, op2, n_exp=8, r_max=60,
+                      string=None):
+        """Add ``sum_i sum_{r>=1} c r^-alpha O_1(i) O_2(i+r)`` as
+        ``n_exp`` fitted geometric channels (:func:`fit_exp_sum`).
+
+        The fit window ``r_max`` bounds the ranges represented
+        faithfully; beyond it the fitted tail keeps decaying but drifts
+        from the true power law (for ``alpha >= 2`` the neglected
+        weight is tiny).  Returns the max relative fit error over the
+        window so callers can tighten ``n_exp`` when needed.
+        """
+        c, lam = fit_exp_sum(lambda r: float(r) ** -float(alpha),
+                             n_exp, r_max)
+        for ck, lk in zip(c, lam):
+            self.add_exp(coef * ck, op1, lk, op2, string=string)
+        r = np.arange(1.0, r_max + 1)
+        fit = (c[None, :] * lam[None, :] ** (r[:, None] - 1)).sum(1)
+        return float(np.max(np.abs(fit * r ** float(alpha) - 1.0)))
+
     def __iadd__(self, term):
         return self.add(*term)
 
@@ -394,6 +413,56 @@ class InfiniteOpSum:
         if dtype is not None:
             return jnp.asarray(w, dtype)
         return jnp.asarray(w)
+
+
+def fit_exp_sum(f, n_exp, r_max):
+    """Fit ``f(r) ~= sum_k c_k lam_k^(r-1)`` on ``r = 1..r_max``.
+
+    Prony's extended method: a linear-prediction least-squares pass
+    finds the recurrence whose characteristic roots are the ``lam_k``
+    (growing roots discarded; near-real roots realified, genuinely
+    complex pairs dropped — the amplitude refit compensates), then a
+    relative-error-weighted least squares sets the ``c_k``.  This is
+    the standard route for compiling power-law couplings into the
+    geometric MPO channels of :meth:`InfiniteOpSum.add_exp` (TeNPy's
+    CouplingModel does the same reduction).
+
+    Args:
+        f: callable ``r -> float`` on positive integers (decaying).
+        n_exp: number of exponentials requested (fewer may return if
+            roots are discarded).
+        r_max: fit window; needs ``r_max >= 2 * n_exp + 1``.
+
+    Returns:
+        ``(c, lam)`` float64 arrays sorted by decreasing ``|lam|``.
+    """
+    n = int(n_exp)
+    r_max = int(r_max)
+    if r_max < 2 * n + 1:
+        raise ValueError(f"r_max={r_max} too small for n_exp={n} "
+                         f"(need >= {2 * n + 1})")
+    r = np.arange(1, r_max + 1)
+    y = np.array([float(f(int(k))) for k in r])
+    # linear prediction y[m] = sum_{k=1..n} a_k y[m-k]; rows weighted
+    # 1/|y[m]| so tail roots are resolved too (12x better on r^-3)
+    lhs = np.stack([y[n - k:r_max - k] for k in range(1, n + 1)],
+                   axis=1)
+    rhs = y[n:]
+    pw = 1.0 / np.maximum(np.abs(rhs), 1e-300)
+    a, *_ = np.linalg.lstsq(lhs * pw[:, None], rhs * pw, rcond=None)
+    roots = np.roots(np.concatenate(([1.0], -a)))
+    roots = roots[np.abs(roots) < 1.0 - 1e-12]
+    keep = np.abs(roots.imag) <= 1e-8 * np.maximum(np.abs(roots), 1e-30)
+    lam = np.real(roots[keep])
+    if lam.size == 0:
+        raise ValueError("no decaying real exponentials found — is f "
+                         "monotonically decaying on the window?")
+    # amplitudes, weighted for uniform RELATIVE error over the window
+    van = lam[None, :] ** (r[:, None] - 1)
+    wgt = 1.0 / np.maximum(np.abs(y), 1e-300)
+    c, *_ = np.linalg.lstsq(van * wgt[:, None], y * wgt, rcond=None)
+    order = np.argsort(-np.abs(lam))
+    return c[order], lam[order]
 
 
 def umpo_finite(core, n_sites):

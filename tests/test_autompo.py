@@ -367,3 +367,53 @@ def test_infinite_vumps_longrange_tfim_consistency():
                       key=jax.random.PRNGKey(0))["energy"])
     assert abs(e8 - e16) < 1e-6, (e8, e16)
     assert e16 < -1.0 / 0.6 + 1e-9 or e16 < -1.66  # below trivial FM
+
+
+# ---------------- power-law fits -> geometric channels -------------- #
+
+def test_fit_exp_sum_quality():
+    from contractn_tpu.models.autompo import fit_exp_sum
+
+    for alpha, want in ((1.0, 1e-4), (2.0, 1e-3), (3.0, 5e-3)):
+        c, lam = fit_exp_sum(lambda r: r ** -alpha, 8, 60)
+        assert len(lam) == 8
+        assert np.all(np.abs(lam) < 1.0)
+        r = np.arange(1.0, 61)
+        fit = (c[None, :] * lam[None, :] ** (r[:, None] - 1)).sum(1)
+        assert np.max(np.abs(fit * r ** alpha - 1.0)) < want
+
+
+def test_power_law_matches_explicit_couplings():
+    """Finite wrap of the fitted channels == explicit 1/r^alpha OpSum
+    couplings, to the fit error the call itself reports."""
+    from contractn_tpu.models.autompo import InfiniteOpSum
+
+    n, alpha = 8, 2.0
+    inf = InfiniteOpSum()
+    err = inf.add_power_law(0.7, "Z", alpha, "Z", n_exp=8)
+    got = _finite_wrap_dense(inf.to_umpo(), n)
+    fin = OpSum()
+    for i in range(n):
+        for j in range(i + 1, n):
+            fin += (0.7 * float(j - i) ** -alpha, "Z", i, "Z", j)
+    want = _mpo_dense(op_sum_mpo(fin, n), n)
+    # <= n^2/2 pairs, |coef err| <= 0.7 * err * coupling, ||ZZ|| = 1
+    assert np.max(np.abs(got - want)) < 0.7 * err * n * n
+    assert err < 1e-3
+
+
+def test_haldane_shastry_vumps():
+    """1/r^2 Heisenberg chain: VUMPS on the fitted power-law uMPO vs
+    the EXACT Haldane-Shastry energy -pi^2/24 per site."""
+    import jax
+
+    from contractn_tpu.models.autompo import InfiniteOpSum, umpo_finite
+    from contractn_tpu.models.vumps import vumps
+
+    inf = InfiniteOpSum()
+    inf.add_power_law(1.0, "Sz", 2.0, "Sz", n_exp=8)
+    inf.add_power_law(0.5, "Sp", 2.0, "Sm", n_exp=8)
+    inf.add_power_law(0.5, "Sm", 2.0, "Sp", n_exp=8)
+    e = float(vumps(umpo_finite(inf.to_umpo(), 2), bond_dim=16,
+                    iters=40, key=jax.random.PRNGKey(0))["energy"])
+    assert abs(e + np.pi ** 2 / 24) < 1e-3, e
