@@ -68,6 +68,32 @@ OP_TABLE = {
 }
 
 
+def spin_ops(s):
+    """Operator table for spin-``s`` sites (``d = 2s + 1``).
+
+    Returns ``{name: matrix}`` for ``I, Sz, Sp/S+, Sm/S-, Sx, Sy`` in
+    the standard ``|s, m>`` basis ordered ``m = s .. -s`` — pass as the
+    ``ops=`` argument of the compilers (the built-in table only covers
+    ``d = 2``).  ``S+|s,m> = sqrt(s(s+1) - m(m+1)) |s,m+1>``.
+    """
+    d = int(round(2 * s)) + 1
+    if abs(2 * s - round(2 * s)) > 1e-12 or d < 2:
+        raise ValueError(f"spin must be a half-integer >= 1/2, got {s}")
+    m = s - np.arange(d)
+    sp = np.zeros((d, d))
+    for k in range(1, d):
+        sp[k - 1, k] = np.sqrt(s * (s + 1) - m[k] * (m[k] + 1))
+    sm = sp.T.copy()
+    return {
+        "I": np.eye(d),
+        "Sz": np.diag(m),
+        "Sp": sp, "S+": sp,
+        "Sm": sm, "S-": sm,
+        "Sx": (sp + sm) / 2.0,
+        "Sy": (sp - sm) / 2.0j,
+    }
+
+
 class OpSum:
     """Accumulator for symbolic operator sums.
 

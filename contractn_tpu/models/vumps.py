@@ -323,6 +323,9 @@ def vumps(mpo_cell, bond_dim, iters=60, d=None, dtype=jnp.float64,
         is a valid uniform core for the :mod:`~contractn_tpu.models.
         umps` observables.
     """
+    # a complex MPO silently cast to a real dtype is a WRONG
+    # Hamiltonian (imaginary operator factors dropped) — promote
+    dtype = jnp.result_type(dtype, jnp.asarray(mpo_cell.cores).dtype)
     w = jnp.asarray(mpo_cell.cores[0], dtype)
     d = d or w.shape[0]
     key = key if key is not None else jax.random.PRNGKey(0)

@@ -359,6 +359,10 @@ def vumps_cell(mpo_cores, bond_dim, iters=60, dtype=jnp.float64,
     ``cs``, plus ``energy`` (per SITE), ``energies``, and
     ``gradient_norm`` (max over sites).
     """
+    # promote a complex MPO rather than silently dropping the
+    # imaginary operator factors (same guard as vumps.vumps)
+    for w in mpo_cores:
+        dtype = jnp.result_type(dtype, jnp.asarray(w).dtype)
     ws = [jnp.asarray(w, dtype) for w in mpo_cores]
     n = len(ws)
     key = key if key is not None else jax.random.PRNGKey(0)

@@ -417,3 +417,111 @@ def test_haldane_shastry_vumps():
     e = float(vumps(umpo_finite(inf.to_umpo(), 2), bond_dim=16,
                     iters=40, key=jax.random.PRNGKey(0))["energy"])
     assert abs(e + np.pi ** 2 / 24) < 1e-3, e
+
+
+# ---------------- arbitrary spin + long-range dynamics -------------- #
+
+def test_spin_ops_algebra():
+    from contractn_tpu.models.autompo import spin_ops
+
+    for s in (0.5, 1.0, 1.5, 2.0):
+        t = spin_ops(s)
+        sx, sy, sz = t["Sx"], t["Sy"], t["Sz"]
+        assert np.max(np.abs(sx @ sy - sy @ sx - 1j * sz)) < 1e-12
+        assert np.max(np.abs(sz @ sx - sx @ sz - 1j * sy)) < 1e-12
+        s2 = sx @ sx + sy @ sy + sz @ sz
+        want = s * (s + 1) * np.eye(int(round(2 * s)) + 1)
+        assert np.max(np.abs(s2 - want)) < 1e-12
+    with pytest.raises(ValueError):
+        spin_ops(0.7)
+
+
+def _heis_terms(inf, ops, c=1.0):
+    inf.add(c, "Sz", 0, "Sz", 1)
+    inf.add(0.5 * c, "Sp", 0, "Sm", 1)
+    inf.add(0.5 * c, "Sm", 0, "Sp", 1)
+
+
+def test_aklt_vumps_exact():
+    """AKLT: S.S + (S.S)^2/3 has an EXACT D=2 ground state at
+    E/site = -2/3 — VUMPS must hit it to machine precision.  The
+    biquadratic enters as raw two-site products (SxSy etc. are
+    complex); the complex bulk core must auto-promote vumps's dtype
+    (a silent real cast is a WRONG Hamiltonian — it measured -0.818,
+    below the true minimum, before the promotion guard)."""
+    import jax
+
+    from contractn_tpu.models.autompo import (InfiniteOpSum, spin_ops,
+                                              umpo_finite)
+    from contractn_tpu.models.vumps import vumps
+
+    ops = spin_ops(1.0)
+    inf = InfiniteOpSum()
+    _heis_terms(inf, ops)
+    for a in ("Sx", "Sy", "Sz"):
+        for b in ("Sx", "Sy", "Sz"):
+            mab = ops[a] @ ops[b]
+            inf.add(1.0 / 3.0, mab, 0, mab, 1)
+    core = inf.to_umpo(d=3, ops=ops)
+    assert np.iscomplexobj(np.asarray(core))
+    r = vumps(umpo_finite(core, 2), bond_dim=2, iters=40,
+              key=jax.random.PRNGKey(0))
+    assert abs(float(np.real(r["energy"])) + 2.0 / 3.0) < 1e-12
+
+
+def test_haldane_chain_vumps():
+    """Spin-1 Heisenberg (Haldane) chain vs White's reference energy
+    -1.401484038971 — pins spin_ops through the full infinite stack."""
+    import jax
+
+    from contractn_tpu.models.autompo import (InfiniteOpSum, spin_ops,
+                                              umpo_finite)
+    from contractn_tpu.models.vumps import vumps
+
+    ops = spin_ops(1.0)
+    inf = InfiniteOpSum()
+    _heis_terms(inf, ops)
+    e = float(np.real(vumps(umpo_finite(inf.to_umpo(d=3, ops=ops), 2),
+                            bond_dim=24, iters=60,
+                            key=jax.random.PRNGKey(1))["energy"]))
+    assert abs(e + 1.401484038971) < 1e-5, e
+
+
+def test_power_law_wii_quench():
+    """W^II evolution under a power-law TFIM: the umpo_finite wrap of
+    the fitted channels IS a triangular automaton, so mpo_evolve
+    accepts it unchanged; compare against dense expm of the SAME
+    wrapped operator (fit error drops out)."""
+    import jax
+    import scipy.linalg as sla
+
+    from contractn_tpu.models.autompo import InfiniteOpSum, umpo_finite
+    from contractn_tpu.models.mpo_evolution import mpo_evolve
+    from contractn_tpu.models.mps import MPS
+
+    n, t = 6, 0.4
+    inf = InfiniteOpSum()
+    inf.add_power_law(-0.8, "Z", 2.0, "Z", n_exp=6, r_max=20)
+    inf.add(-1.1, "X", 0)
+    hm = umpo_finite(inf.to_umpo(), n)
+    hd = _mpo_dense(hm, n)
+    assert np.max(np.abs(hd - hd.conj().T)) < 1e-12
+
+    theta = 0.3
+    one = np.array([np.cos(theta), np.sin(theta)])
+    psi0 = MPS(
+        np.broadcast_to(one[None, :, None, None],
+                        (n, 2, 1, 1)).astype(np.complex128),
+        np.ones((1,), np.complex128), np.ones((1,), np.complex128))
+    dense0 = np.einsum("i,j,k,l,m,n->ijklmn", *([one] * n)).reshape(-1)
+    target = sla.expm(-1j * np.asarray(hd) * t) @ dense0
+
+    out = mpo_evolve(psi0, hm, t, 16, max_bond=32, order=2)
+    c = np.asarray(out.cores)
+    cur = np.einsum("j,djk->dk", np.asarray(out.left), c[0])
+    for i in range(1, n):
+        cur = np.einsum("Dk,dkl->Ddl", cur, c[i]).reshape(-1, c.shape[3])
+    got = cur @ np.asarray(out.right)
+    fid = abs(np.vdot(target, got)) / (
+        np.linalg.norm(target) * np.linalg.norm(got))
+    assert 1.0 - fid < 1e-6, fid
