@@ -130,6 +130,28 @@ class OpSum:
     def __iadd__(self, term):
         return self.add(*term)
 
+    def add_gate(self, coef, mat, i, j, cutoff=1e-12):
+        """Add ``coef * M(i, j)`` from a two-site ``(d^2, d^2)`` matrix
+        (row/col index ``s_i * d + s_j``) via operator-Schmidt SVD —
+        one term per singular value above ``cutoff`` (relative).  Real
+        matrices yield real factors (see
+        :meth:`InfiniteOpSum.add_gate`)."""
+        mat = np.asarray(mat)
+        d2 = mat.shape[0]
+        d = int(round(np.sqrt(d2)))
+        if mat.shape != (d2, d2) or d * d != d2:
+            raise ValueError(f"mat must be (d^2, d^2), got {mat.shape}")
+        if i == j:
+            raise ValueError("add_gate needs two distinct sites")
+        m = mat.reshape(d, d, d, d).transpose(0, 2, 1, 3).reshape(
+            d2, d2)
+        u, s, vt = np.linalg.svd(m)
+        for k in np.nonzero(s > cutoff * s[0])[0]:
+            root = np.sqrt(s[k])
+            self.add(coef, (u[:, k] * root).reshape(d, d), int(i),
+                     (vt[k] * root).reshape(d, d), int(j))
+        return self
+
     def __len__(self):
         return len(self.terms)
 
@@ -341,6 +363,35 @@ class InfiniteOpSum:
     def add_exp(self, coef, op1, lam, op2, string=None):
         self.exp_terms.append((complex(coef), op1, complex(lam), op2,
                                string))
+        return self
+
+    def add_gate(self, coef, mat, r=1, cutoff=1e-12):
+        """Add ``sum_i coef * M(i, i+r)`` from a two-site matrix.
+
+        ``mat`` is the ``(d^2, d^2)`` operator on sites ``(i, i+r)``
+        (row/col index = ``s1 * d + s2``), decomposed by operator-
+        Schmidt SVD into per-site factor pairs — one
+        :meth:`add` term per singular value above ``cutoff`` (relative).
+        A real ``mat`` yields REAL factors even when the natural
+        per-site operators are complex (e.g. the ``Sy Sy`` pieces of a
+        Heisenberg or biquadratic bond term), keeping the compiled core
+        real.
+        """
+        mat = np.asarray(mat)
+        d2 = mat.shape[0]
+        d = int(round(np.sqrt(d2)))
+        if mat.shape != (d2, d2) or d * d != d2:
+            raise ValueError(f"mat must be (d^2, d^2), got {mat.shape}")
+        if int(r) < 1:
+            raise ValueError("r must be >= 1")
+        m = mat.reshape(d, d, d, d).transpose(0, 2, 1, 3).reshape(
+            d2, d2)
+        u, s, vt = np.linalg.svd(m)
+        keep = s > cutoff * s[0]
+        for k in np.nonzero(keep)[0]:
+            root = np.sqrt(s[k])
+            self.add(coef, (u[:, k] * root).reshape(d, d), 0,
+                     (vt[k] * root).reshape(d, d), int(r))
         return self
 
     def add_power_law(self, coef, op1, alpha, op2, n_exp=8, r_max=60,

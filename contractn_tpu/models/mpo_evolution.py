@@ -39,10 +39,14 @@ relaxes to the dense ground state.  The reference has no time
 evolution of any kind (SURVEY.md section 2).
 """
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.linalg as sla
 
+from ..ops.stabilize import peinsum
 from .boundary import apply_mpo_to_mps
 from .canonical import compress
 from .mpo import MPO
@@ -57,6 +61,43 @@ _LY[2, 0] = _LY[3, 1] = 1.0
 _LXY = np.zeros((4, 4))
 _LXY[3, 0] = 1.0
 _I4 = np.eye(4)
+
+
+def wii_core(w, delta):
+    """W^II propagator core from ONE triangular bulk core.
+
+    ``w`` is ``(d, d, W, W)`` in automaton form (start channel 0, done
+    channel last, identity corners); returns the ``(d, d, W-1, W-1)``
+    complex propagator core — the per-site building block of
+    :func:`wii_mpo` and the whole story for uniform (infinite) chains.
+    """
+    w = np.asarray(w)
+    d = w.shape[0]
+    wdim = w.shape[2]
+    last = wdim - 1
+    r = wdim - 2
+    root = np.sqrt(complex(delta))
+    out = np.zeros((d, d, r + 1, r + 1), complex)
+    dblk = w[:, :, 0, last]
+    if r == 0:
+        out[:, :, 0, 0] = sla.expm(complex(delta) * dblk)
+        return out
+    base = complex(delta) * np.kron(_I4, dblk)
+    for b in range(1, r + 1):
+        for a in range(1, r + 1):
+            m = (base
+                 + root * np.kron(_LX, w[:, :, b, last])
+                 + root * np.kron(_LY, w[:, :, 0, a])
+                 + np.kron(_LXY, w[:, :, b, a]))
+            g = sla.expm(m)
+            if b == 1 and a == 1:
+                out[:, :, 0, 0] = g[0 * d:1 * d, 0:d]
+            if a == 1:
+                out[:, :, b, 0] = g[1 * d:2 * d, 0:d]
+            if b == 1:
+                out[:, :, 0, a] = g[2 * d:3 * d, 0:d]
+            out[:, :, b, a] = g[3 * d:4 * d, 0:d]
+    return out
 
 
 def wii_mpo(h_mpo, delta):
@@ -84,29 +125,9 @@ def wii_mpo(h_mpo, delta):
                          "(right boundary = e_last)")
     last = wdim - 1
     r = wdim - 2
-    root = np.sqrt(complex(delta))
     out = np.zeros((n, d, d, r + 1, r + 1), complex)
     for i in range(n):
-        w = cores[i]
-        dblk = w[:, :, 0, last]
-        base = complex(delta) * np.kron(_I4, dblk)
-        if r == 0:
-            out[i, :, :, 0, 0] = sla.expm(complex(delta) * dblk)
-            continue
-        for b in range(1, r + 1):
-            for a in range(1, r + 1):
-                m = (base
-                     + root * np.kron(_LX, w[:, :, b, last])
-                     + root * np.kron(_LY, w[:, :, 0, a])
-                     + np.kron(_LXY, w[:, :, b, a]))
-                g = sla.expm(m)
-                if b == 1 and a == 1:
-                    out[i, :, :, 0, 0] = g[0 * d:1 * d, 0:d]
-                if a == 1:
-                    out[i, :, :, b, 0] = g[1 * d:2 * d, 0:d]
-                if b == 1:
-                    out[i, :, :, 0, a] = g[2 * d:3 * d, 0:d]
-                out[i, :, :, b, a] = g[3 * d:4 * d, 0:d]
+        out[i] = wii_core(cores[i], delta)
     one = np.zeros((r + 1,))
     one[0] = 1.0
     return MPO(jnp.asarray(out), jnp.asarray(one, jnp.complex128),
@@ -170,3 +191,84 @@ def exp_decay_ising_mpo(n_sites, j=1.0, lam=0.5, h=1.0,
     left = jnp.zeros((3,), dtype).at[0].set(1.0)
     right = jnp.zeros((3,), dtype).at[2].set(1.0)
     return MPO(cores, left, right)
+
+
+# --------------------------------------------------------------------- #
+# Infinite chains: uniform W^II application + Schmidt truncation
+# --------------------------------------------------------------------- #
+
+@partial(jax.jit, static_argnums=(2,))
+def _umps_apply_jit(core, op_core, k):
+    from .vumps import mixed_gauge
+
+    d, dd, _ = core.shape
+    w = op_core.shape[2]
+    big = peinsum("stwv,tij->swivj", op_core, core)
+    big = big.reshape(d, w * dd, w * dd)
+    al, _, c = mixed_gauge(big)
+    s = jnp.real(jnp.diagonal(c))
+    err = 1.0 - (s[:k] ** 2).sum() / (s ** 2).sum()
+    return al[:, :k, :k], err
+
+
+def umps_apply(core, op_core, bond_dim):
+    """Apply a uniform MPO core to a uniform MPS core and truncate.
+
+    The fused ``(d, W*D, W*D)`` core is brought to mixed canonical
+    gauge (:func:`~contractn_tpu.models.vumps.mixed_gauge` gauge-fixes
+    the bond to the Schmidt basis, singular values sorted), so
+    truncation to ``bond_dim`` is a pure slice of ``AL`` — the
+    dominant-Schmidt projection used by iMPS MPO-evolution schemes
+    (Zaletel et al., PRB 91, 165112, section V).
+
+    The whole step (fuse, gauge, slice) is ONE jitted program per
+    (shape, ``k``) pair — the bond saturates at ``bond_dim`` after
+    ``log_W(D)`` steps, so a long evolution reuses one executable.
+
+    Returns ``(new_core, trunc_err)`` — the sliced left-isometric core
+    (exactly isometric only up to the truncated weight; the
+    :mod:`~contractn_tpu.models.umps` observables never assume
+    isometry) and the discarded Schmidt weight.
+    """
+    core = jnp.asarray(core)
+    op_core = jnp.asarray(op_core)
+    dt = jnp.result_type(core.dtype, op_core.dtype)
+    k = min(int(bond_dim), op_core.shape[2] * core.shape[1])
+    return _umps_apply_jit(core.astype(dt), op_core.astype(dt), k)
+
+
+def umps_mpo_evolve(core0, h_core, t, n_steps, bond_dim, imag=False,
+                    order=2, callback=None):
+    """Evolve an INFINITE chain: ``exp(-i H t)`` (or ``exp(-H t)``)
+    applied to a uniform MPS by repeated uniform-W^II application.
+
+    This is the regime no gate evolver reaches: long-range
+    (exponential / power-law) Hamiltonians directly in the
+    thermodynamic limit.  ``h_core`` is a triangular bulk core
+    (:meth:`~contractn_tpu.models.autompo.InfiniteOpSum.to_umpo`,
+    ``tfim_mpo(2).cores[0]``, ...); ``order=2`` composes the conjugate
+    pair ``delta (1 +- i)/2`` per step (second global order even for
+    long range).
+
+    Returns the final ``(d, D, D)`` uniform core — feed it to the
+    :mod:`~contractn_tpu.models.umps` observables (``expect_local``,
+    ``correlate``...), which normalize by the transfer fixed point and
+    never assume a canonical gauge.  ``callback(k, core)`` runs after
+    each full step.
+    """
+    dt_step = t / n_steps
+    delta = -dt_step if imag else -1j * dt_step
+    if order == 2:
+        props = [wii_core(h_core, delta * (1 + 1j) / 2),
+                 wii_core(h_core, delta * (1 - 1j) / 2)]
+    elif order == 1:
+        props = [wii_core(h_core, delta)]
+    else:
+        raise ValueError("order must be 1 or 2")
+    core = jnp.asarray(core0, jnp.complex128)
+    for k in range(int(n_steps)):
+        for p in props:
+            core, _ = umps_apply(core, jnp.asarray(p), bond_dim)
+        if callback is not None:
+            callback(k, core)
+    return core

@@ -525,3 +525,62 @@ def test_power_law_wii_quench():
     fid = abs(np.vdot(target, got)) / (
         np.linalg.norm(target) * np.linalg.norm(got))
     assert 1.0 - fid < 1e-6, fid
+
+
+def test_add_gate_finite_dense_parity():
+    """Operator-Schmidt gate terms == explicit factor terms; a real
+    two-site matrix compiles to REAL cores even when the natural
+    factorization (Sy Sy) is complex."""
+    from contractn_tpu.models.autompo import spin_ops
+
+    so = spin_ops(0.5)
+    heis = (np.kron(so["Sx"], so["Sx"]).real
+            + np.kron(so["Sy"], so["Sy"]).real
+            + np.kron(so["Sz"], so["Sz"]))
+    h1 = OpSum().add_gate(0.7, heis, 1, 3).add(0.3, "X", 0)
+    h2 = OpSum()
+    h2.add(0.7, so["Sx"], 1, so["Sx"], 3)
+    # Sy Sy = -(i Sy)(i Sy) with i Sy = (Sp - Sm)/2 real
+    h2.add(-0.7, (so["Sp"] - so["Sm"]) / 2, 1,
+           (so["Sp"] - so["Sm"]) / 2, 3)
+    h2.add(0.7, so["Sz"], 1, so["Sz"], 3)
+    h2.add(0.3, "X", 0)
+    m1, m2 = op_sum_mpo(h1, 4), op_sum_mpo(h2, 4)
+    assert np.asarray(m1.cores).dtype == np.float64
+    assert np.max(np.abs(_mpo_dense(m1, 4) - _mpo_dense(m2, 4))) < 1e-12
+
+
+def test_add_gate_infinite_dense_parity():
+    """InfiniteOpSum.add_gate at r=1 and r=2 == explicit terms through
+    the triangular bulk compiler (finite wrap oracle)."""
+    from contractn_tpu.models.autompo import (
+        InfiniteOpSum, spin_ops, umpo_finite)
+
+    so = spin_ops(0.5)
+    heis = (np.kron(so["Sx"], so["Sx"]).real
+            + np.kron(so["Sy"], so["Sy"]).real
+            + np.kron(so["Sz"], so["Sz"]))
+    g1 = InfiniteOpSum().add_gate(1.0, heis).add_gate(0.25, heis, r=2)
+    g2 = InfiniteOpSum()
+    for r, c in ((1, 1.0), (2, 0.25)):
+        g2.add(c, so["Sx"], 0, so["Sx"], r)
+        g2.add(-c, (so["Sp"] - so["Sm"]) / 2, 0,
+               (so["Sp"] - so["Sm"]) / 2, r)
+        g2.add(c, so["Sz"], 0, so["Sz"], r)
+    u1, u2 = g1.to_umpo(), g2.to_umpo()
+    assert np.asarray(u1).dtype == np.float64
+    n = 5
+    d1 = _mpo_dense(umpo_finite(u1, n), n)
+    d2 = _mpo_dense(umpo_finite(u2, n), n)
+    assert np.max(np.abs(d1 - d2)) < 1e-12
+
+
+def test_add_gate_validation():
+    from contractn_tpu.models.autompo import InfiniteOpSum
+
+    with pytest.raises(ValueError):
+        OpSum().add_gate(1.0, np.eye(3), 0, 1)  # not d^2 x d^2
+    with pytest.raises(ValueError):
+        OpSum().add_gate(1.0, np.eye(4), 2, 2)  # same site
+    with pytest.raises(ValueError):
+        InfiniteOpSum().add_gate(1.0, np.eye(4), r=0)

@@ -141,3 +141,86 @@ def test_wii_rejects_non_automaton_boundaries():
     bad = MPO(hm.cores, hm.right, hm.left)
     with pytest.raises(ValueError):
         wii_mpo(bad, -0.1)
+
+
+# --------------------------------------------------------------------- #
+# Infinite chains: uniform W^II evolution
+# --------------------------------------------------------------------- #
+
+
+def _pfeuty_e(h, nk=4001):
+    k = np.linspace(-np.pi, np.pi, nk)
+    return -0.5 * np.trapezoid(
+        np.sqrt(1 + h * h - 2 * h * np.cos(k)), k) / (2 * np.pi) * 2
+
+
+def test_umps_wii_imag_time_pfeuty():
+    """Imaginary-time uniform W^II flow from a product state reaches
+    the infinite TFIM ground energy (Pfeuty exact) directly in the
+    thermodynamic limit — no finite chain anywhere."""
+    from contractn_tpu.models import umps
+    from contractn_tpu.models.mpo_evolution import umps_mpo_evolve
+
+    h = 1.4
+    hc = np.asarray(tfim_mpo(2, h=h).cores)[0]
+    v = np.array([np.cos(0.3), np.sin(0.3)])
+    core0 = jnp.asarray((v / np.linalg.norm(v))[:, None, None])
+    core = umps_mpo_evolve(core0, hc, 5.0, 50, bond_dim=12, imag=True)
+    ex = umps.expect_local(core, X)
+    ez = umps.expect_local(core, Z)
+    czz = umps.correlate(core, Z, Z, [1])[0]
+    e = -np.real(czz + ez * ez) - h * np.real(ex)
+    assert abs(e - _pfeuty_e(h)) < 2e-4
+
+
+def test_umps_wii_real_time_quench_second_order():
+    """Real-time infinite quench: bulk <X>(t) matches the center site
+    of a dense finite chain (light cone inside), and the order=2
+    conjugate-pair composition converges at dt^2."""
+    from contractn_tpu.models import umps
+    from contractn_tpu.models.mpo_evolution import umps_mpo_evolve
+
+    n, h, t = 10, 0.9, 0.5
+    hd = np.zeros((2 ** n, 2 ** n))
+    for i in range(n - 1):
+        hd -= _site_op(Z, i, n) @ _site_op(Z, i + 1, n)
+    for i in range(n):
+        hd -= h * _site_op(X, i, n)
+    v = np.array([np.cos(0.3), np.sin(0.3)])
+    v /= np.linalg.norm(v)
+    psi = v.copy()
+    for _ in range(n - 1):
+        psi = np.kron(psi, v)
+    psit = sla.expm(-1j * hd * t) @ psi
+    rho = psit.reshape(2 ** (n // 2), 2, -1)
+    x_ex = np.einsum("asb,st,atb->", rho.conj(), X, rho).real
+
+    hc = np.asarray(tfim_mpo(2, h=h).cores)[0]
+    core0 = jnp.asarray(v[:, None, None])
+    errs = []
+    for steps in (8, 16):
+        core = umps_mpo_evolve(core0, hc, t, steps, bond_dim=16)
+        xi = umps.expect_local(core, X)
+        assert abs(np.imag(xi)) < 1e-12
+        errs.append(abs(np.real(xi) - x_ex))
+    assert errs[1] < 2e-4
+    assert errs[0] / errs[1] > 3.0  # dt^2
+
+
+def test_umps_apply_truncation_error():
+    """umps_apply reports the discarded Schmidt weight: zero when the
+    bond is not truncated, positive and small when it is."""
+    from contractn_tpu.models.mpo_evolution import umps_apply, wii_core
+
+    hc = np.asarray(tfim_mpo(2, h=1.1).cores)[0]
+    prop = wii_core(hc, -0.05)
+    v = np.array([1.0, 0.4])
+    core = jnp.asarray((v / np.linalg.norm(v))[:, None, None],
+                       jnp.complex128)
+    big, err0 = umps_apply(core, jnp.asarray(prop), 8)
+    assert big.shape == (2, 2, 2)
+    assert abs(float(err0)) < 1e-12
+    big2, _ = umps_apply(big, jnp.asarray(prop), 8)
+    big3, err = umps_apply(big2, jnp.asarray(prop), 4)
+    assert big3.shape == (2, 4, 4)
+    assert 0.0 <= float(err) < 1e-4
