@@ -253,6 +253,80 @@ def thermal_free_energy(state):
 
 
 # ---------------------------------------------------------------------- #
+# Long-range Hamiltonians: purification by imaginary-time W^II
+# ---------------------------------------------------------------------- #
+
+
+def fold_umpo(core):
+    """Lift a triangular bulk MPO core to the purified ``d^2`` site.
+
+    Every automaton entry acts on the physical leg only; the ancilla
+    carries the identity (``out[(s a), (t b)] = w[s, t] delta_ab`` in
+    the same ``(s a)`` fusing as :func:`_fold_op`).  Triangularity and
+    the identity corners survive the lift, so the result is again a
+    valid W^II input."""
+    w = np.asarray(core)
+    d, wdim = w.shape[0], w.shape[2]
+    out = np.einsum("stij,ab->satbij", w, np.eye(d))
+    return out.reshape(d * d, d * d, wdim, w.shape[3])
+
+
+def thermal_wii(h_core, beta, bond_dim, dbeta=0.02, order=2,
+                callback=None):
+    """Thermal state of an infinite chain with an ARBITRARY bulk-MPO
+    Hamiltonian — exponential/power-law couplings included.
+
+    The gate route (:func:`thermal_itebd`) stops at nearest-neighbor
+    terms; here the purification ``exp(-beta H / 2) |I>`` is built by
+    imaginary-time uniform W^II application
+    (:func:`~contractn_tpu.models.mpo_evolution.umps_mpo_evolve` on the
+    :func:`fold_umpo`-lifted core), which handles any triangular bulk
+    core — :meth:`~contractn_tpu.models.autompo.InfiniteOpSum.to_umpo`
+    output, ``tfim_mpo(2).cores[0]``, Prony-fitted ``1/r^alpha``
+    channels...  ``order=2`` keeps the global ``O(dbeta^2)`` accuracy
+    for long-range terms (see :mod:`.mpo_evolution`).
+
+    Returns the folded ``(d^2, D, D)`` uniform purification core.
+    Measure with :func:`thermal_wii_expectation` /
+    :func:`thermal_wii_correlate` — fixed-point environments, never a
+    canonical-gauge assumption (the same Orus-Vidal reasoning as
+    :func:`thermal_cell_core`).  ``callback(k, core)`` runs after each
+    of the ``ceil(beta / 2 / dbeta)`` steps (e.g. to record the
+    energy trajectory for thermodynamic integration of ``ln Z``).
+    """
+    from .mpo_evolution import umps_mpo_evolve
+
+    w = np.asarray(h_core)
+    d = w.shape[0]
+    lifted = fold_umpo(w)
+    v = np.zeros(d * d)
+    v[np.arange(d) * d + np.arange(d)] = 1.0 / np.sqrt(d)
+    core0 = jnp.asarray(v[:, None, None])
+    n_steps = max(1, int(round(beta / 2.0 / dbeta)))
+    return umps_mpo_evolve(core0, lifted, beta / 2.0, n_steps,
+                           bond_dim, imag=True, order=order,
+                           callback=callback)
+
+
+def thermal_wii_expectation(core, op, iters=300):
+    """One-site ``Tr(rho op)`` on a :func:`thermal_wii` core (the
+    transfer fixed point divides out ``Tr rho``)."""
+    d = int(round(np.sqrt(core.shape[0])))
+    return expect_local(core, np.asarray(_fold_op(op, d)), iters=iters)
+
+
+def thermal_wii_correlate(core, op1, op2, distances, iters=300):
+    """Two-site thermal correlators ``Tr(rho op1_0 op2_r)`` on a
+    :func:`thermal_wii` core."""
+    from .umps import correlate
+
+    d = int(round(np.sqrt(core.shape[0])))
+    return correlate(core, np.asarray(_fold_op(op1, d)),
+                     np.asarray(_fold_op(op2, d)), distances,
+                     iters=iters)
+
+
+# ---------------------------------------------------------------------- #
 # Exact TFIM thermal oracle (fermionic spectrum integrals)
 # ---------------------------------------------------------------------- #
 

@@ -44,6 +44,43 @@ def main():
           f"{[round(float(c), 8) for c in zz]}")
 
 
+def long_range_dynamics():
+    """Uniform W^II: quench + thermal states with LONG-RANGE couplings
+    directly in the thermodynamic limit (run after main())."""
+    import jax.numpy as jnp
+
+    from contractn_tpu.models.autompo import InfiniteOpSum
+    from contractn_tpu.models.dmrg import tfim_mpo
+    from contractn_tpu.models.mpo_evolution import umps_mpo_evolve
+    from contractn_tpu.models.thermal import (
+        tfim_exact_thermal,
+        thermal_wii,
+        thermal_wii_expectation,
+    )
+
+    sx = np.array([[0.0, 1.0], [1.0, 0.0]])
+    sz = np.array([[1.0, 0.0], [0.0, -1.0]])
+
+    # Real-time quench under exponentially decaying Ising couplings:
+    # |++..> evolved by H = -sum lam^(r-1) Z_i Z_{i+r} - h sum X_i.
+    hc = np.asarray(
+        InfiniteOpSum().add(-0.9, sx, 0).add_exp(-1.0, sz, 0.5, sz)
+        .to_umpo())
+    v = np.array([1.0, 1.0]) / np.sqrt(2.0)
+    core = umps_mpo_evolve(jnp.asarray(v[:, None, None]), hc,
+                           t=1.0, n_steps=20, bond_dim=16)
+    print(f"long-range quench  <X>(t=1) = "
+          f"{np.real(expect_local(core, sx)):.6f}")
+
+    # Finite temperature from the bulk MPO core (W^II purification);
+    # the NN TFIM case is pinned by the exact fermionic integrals.
+    hc_nn = np.asarray(tfim_mpo(2, h=1.0).cores)[0]
+    core_b = thermal_wii(hc_nn, beta=1.0, bond_dim=16)
+    _, e_exact = tfim_exact_thermal(1.0)
+    ex = np.real(thermal_wii_expectation(core_b, sx))
+    print(f"TFIM beta=1  <X> = {ex:.6f}  (exact energy {e_exact:.6f})")
+
+
 if __name__ == "__main__":
     main()
 
