@@ -1,0 +1,180 @@
+"""Infinite boundary conditions: local quenches in the thermodynamic
+limit.
+
+A uniform ground state supplies EXACT semi-infinite surroundings for a
+finite window of sites: the norm environments of the ``...AL AL [window]
+AR AR...`` embedding are identities (AL/AR are isometries) and the
+Hamiltonian environments are the quasi-fixed points ``FL/FR`` of
+:func:`~contractn_tpu.models.vumps.mpo_environments` (corner-channel
+geometric series with the extensive energy subtracted — the leftover
+additive constant only dresses the global phase).  A local operator
+applied inside the window then propagates through a genuinely INFINITE
+chain: no finite-size boundary, no reflections, until the light cone
+reaches the window edge (the static environments are the t=0 ground
+halves, so pick ``n_sites > 2 v_max t`` — Phien/Vidal/McCulloch,
+PRB 86, 245107).
+
+The window evolves by the same two-site TDVP integrator as the finite
+chains (:mod:`contractn_tpu.models.tdvp`): symmetric second order,
+device-side Krylov exponentials, SVD bond growth up to ``max_bond`` —
+only the boundary environments differ (``(D, W, D)`` tensors instead of
+the finite chain's weight vectors).  Observables never assume a
+canonical gauge: :func:`window_expectations` contracts explicit norm
+environments from the identity edges.
+
+This regime — real-time response of an infinite system to a LOCAL
+perturbation — is unreachable by the uniform evolvers (iTEBD /
+:func:`~contractn_tpu.models.mpo_evolution.umps_mpo_evolve` are
+translation invariant by construction) and by finite chains (boundary
+reflections).  The reference has no time evolution of any kind
+(SURVEY.md section 2); additive capability.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.stabilize import peinsum
+from .dmrg import _split_theta, _update_left, _update_right
+from .tdvp import _evolve_one_site, _evolve_two_site
+from .vumps import mpo_environments
+
+
+def ibc_window(ground, w_cell, n_sites):
+    """Embed an ``n_sites`` window into a uniform ground state.
+
+    Args:
+        ground: a :func:`~contractn_tpu.models.vumps.vumps` result dict
+            (needs ``al, ar, c``).
+        w_cell: the triangular bulk MPO core ``(d, d, W, W)`` the ground
+            state was solved with (identity corners — ``tfim_mpo(2).
+            cores[0]``, :meth:`InfiniteOpSum.to_umpo` output, ...).
+        n_sites: window width (``> 2 v_max t`` for the planned horizon).
+
+    Returns:
+        A window dict: ``sites`` (ragged ``(d, Dl, Dr)`` tensors, window
+        gauge ``AC AR ... AR``), ``w`` (bulk core), ``env_left`` /
+        ``env_right`` (Hamiltonian boundary environments in the sweep
+        layout ``(bra D, W, ket D)``) and ``e_bulk`` (ground energy per
+        site, for bookkeeping).
+    """
+    if n_sites < 2:
+        raise ValueError("ibc_window needs n_sites >= 2")
+    al, ar, c = ground["al"], ground["ar"], ground["c"]
+    w = jnp.asarray(w_cell)
+    fl, fr, e = mpo_environments(al, ar, c, w)
+    ac = peinsum("dij,jk->dik", al, c)
+    return {
+        "sites": [ac] + [ar] * (int(n_sites) - 1),
+        "w": w,
+        # mpo_environments layout: FL (W, bra, ket), FR (W, ket, bra);
+        # the sweep environments (_update_left/right) are (bra, W, ket).
+        "env_left": jnp.transpose(fl, (1, 0, 2)),
+        "env_right": jnp.transpose(fr, (2, 0, 1)),
+        "e_bulk": float(e),
+    }
+
+
+def window_apply_local(window, op, site):
+    """Apply a one-site operator inside the window (a NEW window dict;
+    non-unitary operators are fine — the evolver renormalizes)."""
+    sites = list(window["sites"])
+    opj = jnp.asarray(op)
+    sites[site] = peinsum("st,tij->sij",
+                          opj.astype(sites[site].dtype), sites[site])
+    return {**window, "sites": sites}
+
+
+def window_expectations(window, op):
+    """One-site expectations on every window site (gauge-free: explicit
+    norm environments from the identity edges)."""
+    sites = window["sites"]
+    n = len(sites)
+    op = jnp.asarray(op, sites[0].dtype)
+    rs = [None] * (n + 1)
+    rs[n] = jnp.eye(sites[-1].shape[2], dtype=sites[0].dtype)
+    for i in range(n - 1, -1, -1):
+        t = peinsum("syq,pq->syp", sites[i], rs[i + 1])
+        rs[i] = peinsum("sxp,syp->xy", jnp.conj(sites[i]), t)
+    left = jnp.eye(sites[0].shape[1], dtype=sites[0].dtype)
+    vals = []
+    norm = None
+    for i in range(n):
+        t = peinsum("xy,tyq->txq", left, sites[i])
+        top = peinsum("st,txq->sxq", op, t)
+        num = peinsum("sxp,sxq->pq", jnp.conj(sites[i]), top)
+        vals.append(peinsum("pq,pq->", num, rs[i + 1]))
+        nxt = peinsum("sxp,sxq->pq", jnp.conj(sites[i]), t)
+        if norm is None:
+            norm = peinsum("pq,pq->", nxt, rs[1])
+        left = nxt
+    return jnp.stack(vals) / norm
+
+
+def window_evolve(window, dt, n_steps, max_bond=None, imaginary=False,
+                  iters=16, callback=None):
+    """Evolve the window ``n_steps`` symmetric two-site TDVP steps under
+    the infinite-chain effective Hamiltonian.
+
+    Same integrator contract as :func:`~contractn_tpu.models.tdvp.
+    tdvp_evolve` (``exp(-1j dt H)`` per step, or ``exp(-dt H)`` with
+    ``imaginary=True``); the interior bonds grow up to ``max_bond``
+    (default: keep the largest current bond), the two EDGE bonds are
+    pinned to the uniform ground bond dimension by construction.
+    ``callback(k, window)`` runs after each step.
+
+    Returns the evolved window dict.
+    """
+    out = window
+    for k in range(int(n_steps)):
+        out = _window_step(out, dt, max_bond=max_bond,
+                           imaginary=imaginary, iters=iters)
+        if callback is not None:
+            callback(k, out)
+    return out
+
+
+def _window_step(window, dt, max_bond=None, imaginary=False, iters=16):
+    sites = list(window["sites"])
+    n = len(sites)
+    w = window["w"]
+    if max_bond is None:
+        max_bond = max(max(s.shape[1], s.shape[2]) for s in sites)
+    fwd = -0.5 * dt if imaginary else -0.5j * dt
+    bwd = -fwd
+    if not imaginary:
+        sites = [s.astype(jnp.result_type(s.dtype, jnp.complex64))
+                 for s in sites]
+    dtype = sites[0].dtype
+    L = [None] * (n + 1)
+    R = [None] * (n + 1)
+    L[0] = window["env_left"].astype(dtype)
+    R[n] = window["env_right"].astype(dtype)
+    for i in range(n - 1, 0, -1):
+        R[i] = _update_right(R[i + 1], sites[i], w)
+
+    def sweep(order, left_to_right):
+        for idx, i in enumerate(order):
+            theta = peinsum("apj,bjq->abpq", sites[i], sites[i + 1])
+            theta = _evolve_two_site(L[i], w, w, R[i + 2], theta,
+                                     iters, fwd)
+            last_pair = idx == len(order) - 1
+            if left_to_right:
+                t1, t2 = _split_theta(theta, max_bond, to_left=True)
+                sites[i], sites[i + 1] = t1, t2
+                L[i + 1] = _update_left(L[i], sites[i], w)
+                if not last_pair:
+                    sites[i + 1] = _evolve_one_site(
+                        L[i + 1], w, R[i + 2], iters, sites[i + 1], bwd)
+            else:
+                t1, t2 = _split_theta(theta, max_bond, to_left=False)
+                sites[i], sites[i + 1] = t1, t2
+                R[i + 1] = _update_right(R[i + 2], sites[i + 1], w)
+                if not last_pair:
+                    sites[i] = _evolve_one_site(
+                        L[i], w, R[i + 1], iters, sites[i], bwd)
+
+    sweep(list(range(n - 1)), left_to_right=True)
+    sweep(list(range(n - 2, -1, -1)), left_to_right=False)
+    nrm = jnp.maximum(jnp.linalg.norm(sites[0]), 1e-300)
+    sites[0] = sites[0] / nrm
+    return {**window, "sites": sites}
