@@ -181,6 +181,56 @@ def ibc_dynamic_correlator(ground, w_cell, op_b, op_a, n_sites, site_b,
     return np.stack(rows, axis=1)
 
 
+def ibc_thermal_correlator(thermal_core, h_core, op_b, op_a, n_sites,
+                           site_b, dt, n_steps, max_bond=None, iters=16,
+                           gauge_iters=60):
+    """Finite-temperature real-time correlator in the thermodynamic
+    limit: ``C[j, k] = <A_j(t_k) B_{site_b}>_beta = Tr(rho A_j(t_k)
+    B_{site_b})``.
+
+    The thermal purification (a :func:`~contractn_tpu.models.thermal.
+    thermal_wii` core, folded ``d^2`` sites) plays the role the ground
+    state plays at T=0: it is an EXACT zero mode of the balanced
+    generator ``L = H (x) I - I (x) H^T`` (:func:`~contractn_tpu.
+    models.thermal.balanced_umpo` — ``[H, rho^{1/2}] = 0``), so it
+    supplies stationary semi-infinite environments for an
+    :func:`ibc_window` while ``B (x) I`` applied inside the window
+    propagates through the infinite thermal background.  The ancilla's
+    backward evolution also slows the entanglement growth (Karrasch/
+    Bardarson/Moore).  Identities used: ``<rho^{1/2}| (A (x) I)
+    e^{-iLt} (B (x) I) |rho^{1/2}> = Tr(rho A(t) B)`` since
+    ``rho^{1/2}`` commutes with ``e^{iHt}``.
+
+    ``C(j, -t) = C(j, t)^*`` still holds at finite T for Hermitian
+    ``A = B`` on a translation- plus inversion-invariant state
+    (``<X>^* = <X^+>`` under the thermal trace), so
+    :func:`ibc_spectral_function` applies to the returned array
+    unchanged; the resulting ``S(k, w)`` obeys detailed balance
+    ``S(k, -w) = e^{-beta w} S(k, w)`` to the broadening level.
+
+    Args:
+        thermal_core: folded ``(d^2, D, D)`` uniform purification core.
+        h_core: the PHYSICAL ``(d, d, W, W)`` triangular bulk core.
+        op_b / op_a: physical one-site operators (lifted internally).
+        n_sites, site_b, dt, n_steps, max_bond, iters: as in
+            :func:`ibc_dynamic_correlator`.
+
+    Returns a complex ``(n_sites, n_steps + 1)`` array; the t=0 row is
+    the STATIC thermal correlator (``thermal_wii_correlate`` oracle).
+    """
+    from .thermal import _fold_op, balanced_umpo
+    from .vumps import mixed_gauge
+
+    w = np.asarray(h_core)
+    d = w.shape[0]
+    al, ar, c = mixed_gauge(jnp.asarray(thermal_core), iters=gauge_iters)
+    ground = {"al": al, "ar": ar, "c": c}
+    return ibc_dynamic_correlator(
+        ground, jnp.asarray(balanced_umpo(w)),
+        np.asarray(_fold_op(op_b, d)), np.asarray(_fold_op(op_a, d)),
+        n_sites, site_b, dt, n_steps, max_bond=max_bond, iters=iters)
+
+
 def ibc_spectral_function(corr, site_b, dt, ks, omegas, eta=None):
     """``S(k, w)`` from an :func:`ibc_dynamic_correlator` signal.
 
@@ -205,13 +255,14 @@ def ibc_spectral_function(corr, site_b, dt, ks, omegas, eta=None):
     if eta is None:
         eta = 8.0 / max(t_max, 1e-30) ** 2
     js = np.arange(n) - int(site_b)
-    ck = np.exp(-1j * np.outer(np.asarray(ks), js)) @ corr  # (k, t)
+    ck = np.einsum("kj,jt->kt",
+                   np.exp(-1j * np.outer(np.asarray(ks), js)), corr)
     ts = dt * np.arange(nt)
     damp = np.exp(-eta * ts ** 2)
     damp[0] *= 0.5  # trapezoid endpoint; t=0 shared by both halves
     damp[-1] *= 0.5
     phase = np.exp(1j * np.outer(np.asarray(omegas), ts))  # (w, t)
-    half = phase @ (ck * damp[None, :]).T  # (w, k)
+    half = np.einsum("wt,kt->wk", phase, ck * damp[None, :])
     return 2.0 * np.real(half).T * dt
 
 

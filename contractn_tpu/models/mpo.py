@@ -263,3 +263,88 @@ def block_mpo(mpo, block=2):
 
     new_cores = jax.vmap(contract_block)(blocked)
     return MPO(new_cores, mpo.left, mpo.right)
+
+
+# --------------------------------------------------------------------- #
+# Infinite-chain bulk-core algebra (triangular, identity corners)
+# --------------------------------------------------------------------- #
+
+
+def _check_umpo(w, name):
+    w = jnp.asarray(w)
+    if w.ndim != 4 or w.shape[2] != w.shape[3] or w.shape[2] < 2:
+        raise ValueError(
+            f"{name} needs a (d, d, W, W) bulk core with W >= 2; "
+            f"got shape {w.shape}"
+        )
+    eye = jnp.eye(w.shape[0], dtype=w.dtype)
+    for idx in (0, w.shape[2] - 1):
+        if float(jnp.max(jnp.abs(w[:, :, idx, idx] - eye))) > 1e-12:
+            raise ValueError(
+                f"{name} needs identity corners at [0, 0] and "
+                f"[W-1, W-1] (the tfim_mpo / InfiniteOpSum.to_umpo "
+                f"convention); corner [{idx}, {idx}] is not identity"
+            )
+    return w
+
+
+def umpo_scale(core, c):
+    """``c * H`` for an infinite triangular bulk core.
+
+    Every automaton path of an upper-triangular core with identity
+    corners leaves the initial state 0 exactly once (state 0 is only
+    reachable from itself), so scaling row 0's outgoing entries
+    ``w[0, a > 0]`` scales every Hamiltonian term by ``c`` while the
+    identity corners — which the environment solvers of
+    :func:`~contractn_tpu.models.vumps.mpo_environments` key on —
+    stay untouched.  Interior diagonal channels (exponentially
+    decaying couplings) are covered by the same argument.
+    """
+    w = _check_umpo(core, "umpo_scale")
+    c = jnp.asarray(c)
+    w = w.astype(jnp.result_type(w.dtype, c.dtype))
+    return w.at[:, :, 0, 1:].multiply(c)
+
+
+def umpo_sum(core1, core2):
+    """``H1 + H2`` as ONE infinite triangular bulk core.
+
+    Direct sum of the interior automaton states with the identity
+    corners SHARED (``W' = W1 + W2 - 2``) and the one-site corner
+    blocks ``w[0, W-1]`` added — the uniform-chain analog of
+    :func:`mpo_sum`, preserving the upper-triangular identity-corner
+    structure that :func:`~contractn_tpu.models.vumps.
+    mpo_environments` / the W^II evolver require (a plain
+    block-diagonal sum would duplicate the corners and break both).
+    No reference counterpart (the reference has no operator layer,
+    SURVEY.md section 2).
+    """
+    w1 = _check_umpo(core1, "umpo_sum")
+    w2 = _check_umpo(core2, "umpo_sum")
+    if w1.shape[0] != w2.shape[0]:
+        raise ValueError(
+            f"umpo_sum needs matching physical dims; got "
+            f"{w1.shape[0]} vs {w2.shape[0]}"
+        )
+    d = w1.shape[0]
+    n1, n2 = w1.shape[2], w2.shape[2]
+    nw = n1 + n2 - 2
+    dt = jnp.result_type(w1.dtype, w2.dtype)
+    out = jnp.zeros((d, d, nw, nw), dt)
+    eye = jnp.eye(d, dtype=dt)
+    out = out.at[:, :, 0, 0].set(eye)
+    out = out.at[:, :, nw - 1, nw - 1].set(eye)
+    out = out.at[:, :, 0, nw - 1].set(
+        w1[:, :, 0, n1 - 1] + w2[:, :, 0, n2 - 1])
+    # interior state maps: w1 a in 1..n1-2 -> a; w2 b in 1..n2-2 ->
+    # n1 - 2 + b
+    out = out.at[:, :, 0, 1:n1 - 1].set(w1[:, :, 0, 1:n1 - 1])
+    out = out.at[:, :, 1:n1 - 1, nw - 1].set(w1[:, :, 1:n1 - 1, n1 - 1])
+    out = out.at[:, :, 1:n1 - 1, 1:n1 - 1].set(
+        w1[:, :, 1:n1 - 1, 1:n1 - 1])
+    out = out.at[:, :, 0, n1 - 1:nw - 1].set(w2[:, :, 0, 1:n2 - 1])
+    out = out.at[:, :, n1 - 1:nw - 1, nw - 1].set(
+        w2[:, :, 1:n2 - 1, n2 - 1])
+    out = out.at[:, :, n1 - 1:nw - 1, n1 - 1:nw - 1].set(
+        w2[:, :, 1:n2 - 1, 1:n2 - 1])
+    return out

@@ -271,6 +271,44 @@ def fold_umpo(core):
     return out.reshape(d * d, d * d, wdim, w.shape[3])
 
 
+def fold_umpo_anc(core):
+    """Lift a triangular bulk MPO core to act on the ANCILLA leg as
+    ``H^T``.
+
+    In the vectorization convention of :func:`_fold_op` (physical
+    index first, ``|X> = vec(X)`` row-major) right multiplication is
+    ``X B <-> (I (x) B^T) |X>``, so every automaton entry transposes
+    its physical legs and moves to the ancilla factor:
+    ``out[(s a), (t b)] = delta_st w[b, a]``.  Site-local — the
+    transpose of a chain MPO is the chain of per-site transposes with
+    UNCHANGED automaton indices.  Triangularity and identity corners
+    survive (``delta_st delta_ab`` at both corners)."""
+    w = np.asarray(core)
+    d = w.shape[0]
+    out = np.einsum("baij,st->satbij", w, np.eye(d))
+    return out.reshape(d * d, d * d, w.shape[2], w.shape[3])
+
+
+def balanced_umpo(core):
+    """The balanced purification generator ``L = H (x) I - I (x) H^T``
+    as ONE triangular bulk core on the folded ``d^2`` site.
+
+    ``e^{-i L t} |X> = |e^{-iHt} X e^{+iHt}>``: the ancilla is dragged
+    backwards in time (Karrasch/Bardarson/Moore, PRL 108, 227206), so
+    any purification of a thermal state is an EXACT zero mode
+    (``[H, rho^{1/2}] = 0`` gives ``L |rho^{1/2}> = 0``) — the folded
+    thermal background is stationary under the balanced evolution,
+    which is exactly the property the finite-temperature infinite-
+    boundary-condition windows (:func:`~contractn_tpu.models.ibc.
+    ibc_thermal_correlator`) rely on.  Bond ``W' = 2 W - 2``
+    (:func:`~contractn_tpu.models.mpo.umpo_sum` shares the identity
+    corners)."""
+    from .mpo import umpo_scale, umpo_sum
+
+    return umpo_sum(fold_umpo(core),
+                    umpo_scale(fold_umpo_anc(core), -1.0))
+
+
 def thermal_wii(h_core, beta, bond_dim, dbeta=0.02, order=2,
                 callback=None):
     """Thermal state of an infinite chain with an ARBITRARY bulk-MPO
