@@ -348,3 +348,19 @@ def umpo_sum(core1, core2):
     out = out.at[:, :, n1 - 1:nw - 1, n1 - 1:nw - 1].set(
         w2[:, :, 1:n2 - 1, 1:n2 - 1])
     return out
+
+
+def umpo_onsite(op):
+    """``sum_j op_j`` (one term per site) as a ``W = 2`` triangular
+    bulk core — the uniform-chain field/dissipator building block for
+    :func:`umpo_sum` compositions."""
+    op = jnp.asarray(op)
+    if op.ndim != 2 or op.shape[0] != op.shape[1]:
+        raise ValueError(f"umpo_onsite needs a square (d, d) operator; "
+                         f"got {op.shape}")
+    d = op.shape[0]
+    dt = jnp.result_type(op.dtype, jnp.float64)
+    eye = jnp.eye(d, dtype=dt)
+    out = jnp.zeros((d, d, 2, 2), dt)
+    out = out.at[:, :, 0, 0].set(eye).at[:, :, 1, 1].set(eye)
+    return out.at[:, :, 0, 1].set(op.astype(dt))
