@@ -84,6 +84,58 @@ def window_apply_local(window, op, site):
     return {**window, "sites": sites}
 
 
+def window_apply_bond(window, gate, site, max_bond=None):
+    """Apply a two-site operator ``gate (d^2, d^2)`` to window sites
+    ``(site, site + 1)`` — exact by default (``max_bond=None`` keeps
+    the full SVD rank).  The split's unit normalization is undone so
+    the window keeps the operator's amplitude (``_split_theta``
+    normalizes; the quench norm ``||B|psi>||`` must survive for the
+    correlators' explicit restore)."""
+    sites = list(window["sites"])
+    k1, k2 = sites[site], sites[site + 1]
+    d = k1.shape[0]
+    g = jnp.asarray(gate).reshape(d, d, d, d)
+    theta = peinsum("apj,bjq->abpq", k1, k2)
+    theta = peinsum("ABab,abpq->ABpq", g.astype(theta.dtype), theta)
+    nrm = jnp.linalg.norm(theta)
+    cap = theta.shape[0] * min(theta.shape[2], theta.shape[3])
+    t1, t2 = _split_theta(theta, cap if max_bond is None else max_bond,
+                          to_left=True)
+    sites[site], sites[site + 1] = t1, t2 * nrm
+    return {**window, "sites": sites}
+
+
+def window_overlaps_bond(bra_window, ket_window, gate):
+    """``<bra| G_{i, i+1} |ket>`` for every window bond ``i`` in one
+    pass (``n_sites - 1`` values) — the two-site analog of
+    :func:`window_overlaps_local`, same shared-embedding contract."""
+    bs = bra_window["sites"]
+    ks = ket_window["sites"]
+    n = len(bs)
+    d = bs[0].shape[0]
+    dt = jnp.result_type(bs[0].dtype, ks[0].dtype)
+    g = jnp.asarray(gate, dt).reshape(d, d, d, d)
+    ls = [jnp.eye(bs[0].shape[1], dtype=dt)]
+    for i in range(n - 1):
+        t = peinsum("xy,tyq->txq", ls[-1], ks[i].astype(dt))
+        ls.append(peinsum("sxp,sxq->pq", jnp.conj(bs[i]).astype(dt), t))
+    rs = [None] * (n + 1)
+    rs[n] = jnp.eye(bs[-1].shape[2], dtype=dt)
+    for i in range(n - 1, 0, -1):
+        t = peinsum("syq,pq->syp", ks[i].astype(dt), rs[i + 1])
+        rs[i] = peinsum("sxp,syp->xy", jnp.conj(bs[i]).astype(dt), t)
+    vals = []
+    for i in range(n - 1):
+        kt = peinsum("xy,ayj->axj", ls[i], ks[i].astype(dt))
+        kt = peinsum("axj,bjq->abxq", kt, ks[i + 1].astype(dt))
+        kt = peinsum("ABab,abxq->ABxq", g, kt)
+        bt = peinsum("Axm,Bmp->ABxp", jnp.conj(bs[i]).astype(dt),
+                     jnp.conj(bs[i + 1]).astype(dt))
+        num = peinsum("ABxp,ABxq->pq", bt, kt)
+        vals.append(peinsum("pq,pq->", num, rs[i + 2]))
+    return jnp.stack(vals)
+
+
 def window_expectations(window, op):
     """One-site expectations on every window site (gauge-free: explicit
     norm environments from the identity edges)."""
@@ -143,7 +195,8 @@ def window_overlaps_local(bra_window, ket_window, op=None):
 
 
 def ibc_dynamic_correlator(ground, w_cell, op_b, op_a, n_sites, site_b,
-                           dt, n_steps, max_bond=None, iters=16):
+                           dt, n_steps, max_bond=None, iters=16,
+                           bond_b=False, bond_a=False):
     """Real-time correlator ``C[j, k] = <gs| A_j(t_k) B_{site_b} |gs>``
     (``t_k = k dt``) in the thermodynamic limit — the space-time signal
     whose Fourier transform is the dynamic structure factor.
@@ -161,29 +214,43 @@ def ibc_dynamic_correlator(ground, w_cell, op_b, op_a, n_sites, site_b,
 
     Returns a complex ``(n_sites, n_steps + 1)`` array.  Valid while
     the light cone stays inside the window (``n_sites > 2 v_max t``).
+    ``bond_b`` / ``bond_a`` switch either operator to a TWO-site
+    ``(d^2, d^2)`` bond operator (B applied at ``(site_b, site_b+1)``
+    exactly via :func:`window_apply_bond`; a bond-operator A returns
+    ``n_sites - 1`` rows, one per window bond) — the transport regime:
+    current-current correlators and optical conductivities.
     Cross-check oracle: the tangent-space poles of
     :func:`~contractn_tpu.models.excitations.spectral_weights` (the
     frequency content of each row must live on the dispersion).
     """
     win = ibc_window(ground, w_cell, n_sites)
-    ket = window_apply_local(win, op_b, site_b)
+    if bond_b:
+        ket = window_apply_bond(win, op_b, site_b)
+    else:
+        ket = window_apply_local(win, op_b, site_b)
+
+    def measure(bra, kw):
+        if bond_a:
+            return window_overlaps_bond(bra, kw, op_a)
+        return window_overlaps_local(bra, kw, op_a)
+
     # the evolver renormalizes per step (exact for the unitary flow up
     # to truncation); restore the quench amplitude ||B|gs>|| explicitly
     nb = float(jnp.sqrt(jnp.real(window_overlaps_local(ket, ket))))
     ref = win
-    rows = [np.asarray(window_overlaps_local(win, ket, op_a))]
+    rows = [np.asarray(measure(win, ket))]
     for _ in range(int(n_steps)):
         ket = _window_step(ket, dt, max_bond=max_bond, iters=iters)
         ref = _window_step(ref, dt, max_bond=max_bond, iters=iters)
         phase = window_overlaps_local(win, ref)
-        rows.append(np.asarray(window_overlaps_local(win, ket, op_a))
+        rows.append(np.asarray(measure(win, ket))
                     * (nb / complex(phase)))
     return np.stack(rows, axis=1)
 
 
 def ibc_thermal_correlator(thermal_core, h_core, op_b, op_a, n_sites,
                            site_b, dt, n_steps, max_bond=None, iters=16,
-                           gauge_iters=60):
+                           gauge_iters=60, bond_b=False, bond_a=False):
     """Finite-temperature real-time correlator in the thermodynamic
     limit: ``C[j, k] = <A_j(t_k) B_{site_b}>_beta = Tr(rho A_j(t_k)
     B_{site_b})``.
@@ -218,17 +285,24 @@ def ibc_thermal_correlator(thermal_core, h_core, op_b, op_a, n_sites,
     Returns a complex ``(n_sites, n_steps + 1)`` array; the t=0 row is
     the STATIC thermal correlator (``thermal_wii_correlate`` oracle).
     """
-    from .thermal import _fold_op, balanced_umpo
+    from .thermal import _fold_gate, _fold_op, balanced_umpo
     from .vumps import mixed_gauge
 
     w = np.asarray(h_core)
     d = w.shape[0]
     al, ar, c = mixed_gauge(jnp.asarray(thermal_core), iters=gauge_iters)
     ground = {"al": al, "ar": ar, "c": c}
+
+    def lift(op, bond):
+        # physical bond operators lift through _fold_gate (identity on
+        # both ancillas); one-site through _fold_op
+        return np.asarray(_fold_gate(op, d) if bond else _fold_op(op, d))
+
     return ibc_dynamic_correlator(
         ground, jnp.asarray(balanced_umpo(w)),
-        np.asarray(_fold_op(op_b, d)), np.asarray(_fold_op(op_a, d)),
-        n_sites, site_b, dt, n_steps, max_bond=max_bond, iters=iters)
+        lift(op_b, bond_b), lift(op_a, bond_a),
+        n_sites, site_b, dt, n_steps, max_bond=max_bond, iters=iters,
+        bond_b=bond_b, bond_a=bond_a)
 
 
 def ibc_spectral_function(corr, site_b, dt, ks, omegas, eta=None):
