@@ -272,3 +272,46 @@ def umps_mpo_evolve(core0, h_core, t, n_steps, bond_dim, imag=False,
         if callback is not None:
             callback(k, core)
     return core
+
+
+def umps_mpo_evolve_driven(core0, h_core_fn, t, n_steps, bond_dim,
+                           order=2, callback=None):
+    """Time-DEPENDENT evolution of an infinite chain:
+    ``T exp(-i int H(s) ds)`` applied to a uniform MPS.
+
+    Midpoint rule: each step propagates with the W^II cores of
+    ``h_core_fn(t_k + dt/2)`` — globally second order for smooth
+    drives when combined with ``order=2``'s conjugate pair (the same
+    argument as :func:`~contractn_tpu.models.tdvp.tdvp_evolve_driven`,
+    where halving ``dt`` measured the expected 4x error collapse).
+    The W^II blocks are rebuilt per step on the host (small ``expm``
+    calls — negligible next to the device-side gauge/truncation), so
+    arbitrary ramp profiles, Floquet drives, and quench protocols cost
+    the same as the static evolver per step.
+
+    Args:
+        h_core_fn: ``t -> (d, d, W, W)`` triangular bulk core.  The
+            automaton SHAPE should stay fixed along the drive (the
+            per-(shape, k) jitted programs are reused); values may
+            change arbitrarily.
+
+    Returns the final ``(d, D, D)`` uniform core (same observable
+    contract as :func:`umps_mpo_evolve`).
+    """
+    dt_step = t / n_steps
+    core = jnp.asarray(core0, jnp.complex128)
+    for k in range(int(n_steps)):
+        delta = -1j * dt_step
+        h_mid = np.asarray(h_core_fn((k + 0.5) * dt_step))
+        if order == 2:
+            props = [wii_core(h_mid, delta * (1 + 1j) / 2),
+                     wii_core(h_mid, delta * (1 - 1j) / 2)]
+        elif order == 1:
+            props = [wii_core(h_mid, delta)]
+        else:
+            raise ValueError("order must be 1 or 2")
+        for p in props:
+            core, _ = umps_apply(core, jnp.asarray(p), bond_dim)
+        if callback is not None:
+            callback(k, core)
+    return core
