@@ -60,7 +60,28 @@ def dissipator_local(jumps, rates=None, d=None):
     return out
 
 
-def liouvillian_umpo(h_core, jumps=(), rates=None):
+def bond_dissipator_super(jump, d=None):
+    """The TWO-site dissipator superoperator of a bond jump operator
+    ``(d^2, d^2)``, as a dense ``(d^4, d^4)`` matrix on the fused
+    folded pair ``((s1 a1), (s2 a2))`` — ready for
+    :func:`~contractn_tpu.models.mpo.mpo_from_bond_term`'s generic
+    (non-Hermitian-safe) operator-Schmidt channel construction."""
+    from .lindblad import _superop_pair
+
+    el = np.asarray(jump, complex)
+    if d is None:
+        d = int(round(np.sqrt(el.shape[0])))
+    ldl = np.einsum("ji,jk->ik", np.conj(el), el)
+    eye = np.eye(d * d)
+    t = (_superop_pair(el, el.conj(), d)
+         - 0.5 * _superop_pair(ldl, eye, d)
+         - 0.5 * _superop_pair(eye, ldl.T, d))
+    dd = d * d
+    return t.reshape(dd * dd, dd * dd)
+
+
+def liouvillian_umpo(h_core, jumps=(), rates=None, bond_jumps=(),
+                     bond_rates=None):
     """The Lindblad generator as ONE triangular bulk core on the
     folded ``d^2`` site.
 
@@ -70,25 +91,46 @@ def liouvillian_umpo(h_core, jumps=(), rates=None):
         jumps: one-site jump operators ``(d, d)`` (each acts on every
             site of the uniform chain).
         rates: per-jump rates (default all 1).
+        bond_jumps: two-site jump operators ``(d^2, d^2)`` (one per
+            bond, uniform) — correlated loss, dissipative hopping...
+            Each enters as an operator-Schmidt channel block
+            (:func:`bond_dissipator_super` through the generic
+            ``mpo_from_bond_term`` construction, which never assumes
+            Hermiticity).
+        bond_rates: per-bond-jump rates (default all 1).
 
     Returns a complex ``(d^2, d^2, W', W')`` core; feed
     ``umpo_scale(core, -1)`` to the W^II evolver with ``imag=True``
     (i.e. ``exp(-t (-L)) = exp(t L)``) — :func:`lindblad_evolve_infinite`
     wraps exactly that.
     """
-    if h_core is None and not jumps:
+    from .mpo import mpo_from_bond_term
+
+    if h_core is None and not jumps and not bond_jumps:
         raise ValueError("liouvillian_umpo needs a Hamiltonian core "
                          "or at least one jump operator")
-    lham = None
     if h_core is not None:
-        h_core = np.asarray(h_core)
-        lham = umpo_scale(balanced_umpo(h_core), -1j)
-    if not jumps:
-        return lham
-    d = (np.asarray(jumps[0]).shape[0] if h_core is None
-         else h_core.shape[0])
-    dloc = umpo_onsite(dissipator_local(jumps, rates, d))
-    return dloc if lham is None else umpo_sum(lham, dloc)
+        d = np.asarray(h_core).shape[0]
+    elif jumps:
+        d = np.asarray(jumps[0]).shape[0]
+    else:
+        d = int(round(np.sqrt(np.asarray(bond_jumps[0]).shape[0])))
+    pieces = []
+    if h_core is not None:
+        pieces.append(umpo_scale(balanced_umpo(np.asarray(h_core)),
+                                 -1j))
+    if jumps:
+        pieces.append(umpo_onsite(dissipator_local(jumps, rates, d)))
+    if bond_rates is None:
+        bond_rates = [1.0] * len(bond_jumps)
+    for bj, g in zip(bond_jumps, bond_rates):
+        m = g * bond_dissipator_super(bj, d)
+        pieces.append(jnp.asarray(
+            np.asarray(mpo_from_bond_term(m, 2, d=d * d).cores)[0]))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = umpo_sum(out, p)
+    return out
 
 
 def vectorize_umps(core):
@@ -116,7 +158,8 @@ def product_density(rho1):
 
 def lindblad_evolve_infinite(rho_core, h_core, jumps=(), rates=None,
                              t=1.0, n_steps=10, bond_dim=16, order=2,
-                             callback=None):
+                             callback=None, bond_jumps=(),
+                             bond_rates=None):
     """Evolve a uniform vectorized density operator: ``exp(t L) rho``.
 
     Same contract as :func:`~contractn_tpu.models.mpo_evolution.
@@ -130,7 +173,7 @@ def lindblad_evolve_infinite(rho_core, h_core, jumps=(), rates=None,
     """
     from .mpo_evolution import umps_mpo_evolve
 
-    lv = liouvillian_umpo(h_core, jumps, rates)
+    lv = liouvillian_umpo(h_core, jumps, rates, bond_jumps, bond_rates)
     return umps_mpo_evolve(rho_core, umpo_scale(lv, -1.0), t, n_steps,
                            bond_dim, imag=True, order=order,
                            callback=callback)
@@ -186,6 +229,60 @@ def trace_correlate(rho_core, op1, op2, distances):
         val = np.einsum("i,ij,j->", cur, t2, r)
         out.append(val / lam ** 2)
     return np.asarray(out)
+
+
+def one_site_density(rho_core):
+    """The one-site reduced density matrix ``rho_1 (d, d)`` in the
+    thermodynamic limit (trace-normalized)."""
+    a = np.asarray(rho_core)
+    d = int(round(np.sqrt(a.shape[0])))
+    lam, lvec, rv = _dominant_triplet(_trace_transfer(rho_core))
+    a4 = a.reshape(d, d, a.shape[1], a.shape[2])
+    rho1 = np.einsum("i,saij,j->sa", lvec, a4, rv) / lam
+    return rho1 / np.trace(rho1)
+
+
+def ness_infinite(h_core, jumps=(), rates=None, bond_jumps=(),
+                  bond_rates=None, rho0=None, bond_dim=16,
+                  t_chunk=1.0, max_chunks=40, tol=1e-6,
+                  steps_per_unit=20):
+    """Nonequilibrium steady state of a uniform Lindbladian by
+    long-time evolution: evolve in ``t_chunk`` chunks until the
+    one-site reduced density matrix drifts less than ``tol`` per unit
+    time.
+
+    (A direct uniform eigensolver for ``L`` would need quadratic
+    corner-channel environments — the ``L^+ L`` product duplicates the
+    identity corners into diverging interior diagonal channels that
+    the linear geometric solves of ``mpo_environments`` cannot host;
+    evolution sidesteps that entirely, and the drift certificate is
+    the convergence statement.)
+
+    Returns a dict: ``core``, ``rho1``, ``drift`` (per unit time),
+    ``t_total``, ``converged``.
+    """
+    rho = maximally_mixed(
+        np.asarray(h_core).shape[0] if h_core is not None else
+        (np.asarray(jumps[0]).shape[0] if jumps else
+         int(round(np.sqrt(np.asarray(bond_jumps[0]).shape[0])))),
+    ) if rho0 is None else rho0
+    prev = one_site_density(rho)
+    t_total, drift, converged = 0.0, np.inf, False
+    for _ in range(int(max_chunks)):
+        rho = lindblad_evolve_infinite(
+            rho, h_core, jumps, rates, t=t_chunk,
+            n_steps=max(2, int(round(steps_per_unit * t_chunk))),
+            bond_dim=bond_dim, bond_jumps=bond_jumps,
+            bond_rates=bond_rates)
+        t_total += t_chunk
+        cur = one_site_density(rho)
+        drift = float(np.max(np.abs(cur - prev))) / t_chunk
+        prev = cur
+        if drift < tol:
+            converged = True
+            break
+    return {"core": rho, "rho1": prev, "drift": drift,
+            "t_total": t_total, "converged": converged}
 
 
 def steady_state_check(rho_core, h_core, jumps=(), rates=None,

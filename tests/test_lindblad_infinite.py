@@ -154,3 +154,91 @@ def test_long_time_matches_finite_mps_lindblad():
     xf = complex(density_expectation(rho_f, _SX, n // 2)
                  / density_trace(rho_f)).real
     assert abs(xi - xf) < 3e-3, (xi, xf)
+
+
+def test_bond_dissipator_matches_dense():
+    """Two-site (bond) dissipators: infinite TFIM with uniform
+    dissipative hopping S+ (x) S- from an X-polarized product state,
+    against a dense n=8 RK4 Lindblad oracle with per-bond jumps at
+    the center (the operator-Schmidt channel construction rides
+    mpo_from_bond_term, which never assumes Hermiticity)."""
+    h, gam, t = 1.2, 0.5, 0.3
+    sp = _SM.T
+    bj = np.kron(sp, _SM)
+    hc = np.asarray(tfim_mpo(2, h=h).cores)[0]
+    rho0 = product_density(0.5 * (np.eye(2) + _SX))
+    out = lindblad_evolve_infinite(rho0, hc, t=t, n_steps=12,
+                                   bond_dim=16, bond_jumps=[bj],
+                                   bond_rates=[gam])
+    xi = trace_expect(out, _SX).real
+    zi = trace_expect(out, _SZ).real
+
+    n, c = 8, 4
+    eye = np.eye(2)
+
+    def op(mat, i):
+        o = np.eye(1)
+        for j in range(n):
+            o = np.kron(o, mat if j == i else eye)
+        return o
+
+    def bop(mat4, i):
+        o = np.eye(2 ** i)
+        o = np.kron(o, mat4)
+        return np.kron(o, np.eye(2 ** (n - 2 - i)))
+
+    ham = np.zeros((2 ** n, 2 ** n))
+    for i in range(n - 1):
+        ham -= op(_SZ, i) @ op(_SZ, i + 1)
+    for i in range(n):
+        ham -= h * op(_SX, i)
+    ls = [bop(bj, i) for i in range(n - 1)]
+    ldl = [lj.conj().T @ lj for lj in ls]
+
+    def rhs(r):
+        o = -1j * (ham @ r - r @ ham)
+        for lj, k in zip(ls, ldl):
+            o += gam * (lj @ r @ lj.conj().T - 0.5 * (k @ r + r @ k))
+        return o
+
+    r = np.eye(1, dtype=complex)
+    v = np.array([1.0, 1.0]) / np.sqrt(2)
+    for _ in range(n):
+        r = np.kron(r, np.outer(v, v.conj()))
+    dt = 0.01
+    for _ in range(int(round(t / dt))):
+        k1 = rhs(r)
+        k2 = rhs(r + dt / 2 * k1)
+        k3 = rhs(r + dt / 2 * k2)
+        k4 = rhs(r + dt * k3)
+        r = r + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    assert abs(xi - np.trace(op(_SX, c) @ r).real) < 1e-3
+    assert abs(zi - np.trace(op(_SZ, c) @ r).real) < 1e-3
+
+
+def test_ness_infinite_exact_fixed_points():
+    """ness_infinite lands on analytically known steady states: pure
+    loss -> the all-down projector (drift-certified), and unital
+    TFIM + dephasing -> the maximally mixed state, from a polarized
+    start in both cases."""
+    from contractn_tpu.models.lindblad_infinite import (
+        ness_infinite,
+        one_site_density,
+    )
+
+    out = ness_infinite(None, jumps=[_SM], rates=[0.8], bond_dim=4,
+                        t_chunk=2.0, tol=1e-8)
+    assert out["converged"]
+    assert np.max(np.abs(out["rho1"] - np.diag([0.0, 1.0]))) < 1e-7
+
+    hc = np.asarray(tfim_mpo(2, h=1.2).cores)[0]
+    rho0 = product_density(0.5 * (np.eye(2) + _SX))
+    out2 = ness_infinite(hc, jumps=[_SZ], rates=[0.7], rho0=rho0,
+                         bond_dim=12, t_chunk=2.0, tol=1e-5,
+                         max_chunks=12)
+    assert out2["converged"]
+    assert np.max(np.abs(out2["rho1"] - 0.5 * np.eye(2))) < 1e-4
+    # one_site_density on the initial product state is the projector
+    r1 = one_site_density(rho0)
+    assert np.max(np.abs(r1 - 0.5 * (np.eye(2) + _SX))) < 1e-12
