@@ -101,3 +101,29 @@ def test_constant_drive_equals_static_evolver():
     x1 = complex(expect_local(c1, _SX, iters=200))
     x2 = complex(expect_local(c2, _SX, iters=200))
     assert abs(x1 - x2) < 1e-12
+
+
+def test_floquet_drive_matches_exact_bdg():
+    """Sinusoidal (Floquet) drive h(t) = 1.6 + 0.4 sin(4 pi t / 0.5)
+    over three periods: the stroboscopic and intra-period <X>(t) both
+    track the exact per-k dynamics (measured 5.2e-4 at ~10 steps per
+    period — accumulation over an oscillating drive, not just a
+    monotone ramp)."""
+    h0, amp, om, t_final = 1.6, 0.4, 2 * np.pi / 0.5, 1.5
+
+    def h_of_t(t):
+        return h0 + amp * np.sin(om * t)
+
+    g = vumps(tfim_mpo(2, h=h0), 12, iters=100)
+    exact = _x_exact_ramp(h_of_t, h0, t_final, 30)
+    xs = {}
+
+    def cb(k, core):
+        xs[k] = float(np.real(expect_local(core, _SX, iters=200)))
+
+    umps_mpo_evolve_driven(
+        np.asarray(g["al"]),
+        lambda t: np.asarray(tfim_mpo(2, h=h_of_t(t)).cores)[0],
+        t_final, 30, 24, order=2, callback=cb)
+    errs = [abs(xs[k] - exact[k]) for k in xs]
+    assert max(errs) < 2e-3, max(errs)
