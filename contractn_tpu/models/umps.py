@@ -248,3 +248,84 @@ def static_structure_factor(core, op, ks, max_distance=60, iters=300):
     ks = np.atleast_1d(np.asarray(ks, float))
     out = c0 + 2.0 * np.matmul(np.cos(np.outer(ks, xs)), cx)
     return float(out[0]) if scalar_in else out
+
+
+# --------------------------------------------------------------------- #
+# Perfect (Born-rule) sampling of a window of the infinite state
+# --------------------------------------------------------------------- #
+
+
+def _sample_env(core, gauge_iters):
+    from .vumps import mixed_gauge
+
+    _, ar, c = mixed_gauge(jnp.asarray(core), iters=gauge_iters)
+    prec = dot_precision(ar.dtype)
+    rho0 = jnp.einsum("ji,jk->ik", jnp.conj(c), c, precision=prec)
+    return ar, rho0 / jnp.trace(rho0)
+
+
+def umps_sample(core, n_sites, n_samples, key, gauge_iters=60):
+    """Perfect Born-rule samples of an ``n_sites`` window of the
+    INFINITE state (Ferris/Vidal, PRB 85, 165146).
+
+    Mixed gauge puts the window right of the center bond: everything
+    left of it contracts to the center density ``rho_0 = C^H C`` and
+    everything right to the identity (AR is a right isometry), so the
+    chain rule is exact — ``p(s | prefix) = tr(AR^s{}^H rho AR^s)``
+    with ``rho <- AR^s{}^H rho AR^s / p`` — no Metropolis, no
+    autocorrelation, every draw independent.  The whole sampler is ONE
+    jitted program: ``vmap`` over samples of a ``lax.scan`` over sites
+    with ``jax.random.categorical`` draws (TPU shape: static
+    ``(n_samples, n_sites)``, zero host syncs).
+
+    Returns an ``(n_samples, n_sites)`` int array of local outcomes.
+    Deterministic oracle: :func:`umps_window_distribution`.
+    """
+    ar, rho0 = _sample_env(core, gauge_iters)
+    return np.asarray(_sample_jit(ar, rho0, int(n_sites),
+                                  int(n_samples), key))
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _sample_jit(ar, rho0, n_sites, n_samples, key):
+    prec = dot_precision(ar.dtype)
+    keys = jax.random.split(key, n_samples)
+
+    def one(k):
+        def step(rho, kk):
+            t = jnp.einsum("sji,jk,skl->sil", jnp.conj(ar), rho, ar,
+                           precision=prec)
+            p = jnp.real(jnp.trace(t, axis1=1, axis2=2))
+            p = jnp.maximum(p, 0.0)
+            s = jax.random.categorical(kk, jnp.log(p + 1e-300))
+            rho_new = t[s] / jnp.maximum(p[s], 1e-300)
+            return rho_new, s
+
+        ks = jax.random.split(k, n_sites)
+        _, ss = jax.lax.scan(step, rho0, ks)
+        return ss
+
+    return jax.vmap(one)(keys)
+
+
+def umps_window_distribution(core, n_sites, gauge_iters=60):
+    """The EXACT joint distribution ``p(s_1 .. s_n)`` of an
+    ``n_sites`` window (small ``n`` — ``d^n`` outcomes enumerated
+    through the same chain rule :func:`umps_sample` draws from).
+    Returns a ``(d,) * n_sites`` array summing to 1."""
+    ar, rho0 = _sample_env(core, gauge_iters)
+    ar = np.asarray(ar)
+    d = ar.shape[0]
+    mats = [np.conj(ar[s]).T for s in range(d)]
+    out = np.zeros((d,) * int(n_sites))
+
+    def rec(rho, prefix):
+        if len(prefix) == n_sites:
+            out[prefix] = np.real(np.trace(rho))
+            return
+        for s in range(d):
+            rec(np.einsum("ij,jk,lk->il", mats[s], rho,
+                          np.conj(mats[s])), prefix + (s,))
+
+    rec(np.asarray(rho0), ())
+    return out
