@@ -113,7 +113,29 @@ def ttn_tdvp_demo():
           " ".join(f"{z:+.4f}" for _, z in vals[::2]))
 
 
+def infinite_sampling_demo():
+    """Perfect Born-rule draws from an INFINITE state: no Metropolis,
+    no autocorrelation — the generative counterpart of the
+    thermodynamic-limit solvers."""
+    import numpy as np
+
+    from contractn_tpu.models import umps_sample, vumps
+    from contractn_tpu.models.dmrg import tfim_mpo
+    from contractn_tpu.models.umps import correlate
+
+    g = vumps(tfim_mpo(2, h=1.3), 10, iters=100)
+    al = np.asarray(g["al"])
+    s = umps_sample(al, 8, 4096, jax.random.PRNGKey(3))
+    z = 1.0 - 2.0 * s.astype(float)
+    zz_est = float(np.mean(z[:, 0] * z[:, 2]))
+    zz = float(np.real(correlate(al, SZ, SZ, [2])[0]))
+    print(f"infinite-TFIM perfect sampling: <Z0 Z2> estimate "
+          f"{zz_est:+.4f} vs exact {zz:+.4f} "
+          f"(4096 draws, sigma ~ {1 / np.sqrt(4096):.4f})")
+
+
 if __name__ == "__main__":
     born_machine_demo()
     bp_graph_demo()
     ttn_tdvp_demo()
+    infinite_sampling_demo()
