@@ -1,0 +1,515 @@
+"""Quantum-chemistry DMRG: ab initio Hamiltonians on spin-orbital chains.
+
+The marquee DMRG application the spin/Hubbard model families don't cover:
+second-quantized molecular Hamiltonians
+
+    ``H = sum_pq h_pq a+_ps a_qs
+          + 1/2 sum_pqrs (pq|rs) a+_ps a+_rt a_st a_qs  +  E_nuc``
+
+compiled to an MPO through the framework's own fermionic AutoMPO (the
+Jordan-Wigner strings and anticommutation bookkeeping of
+:mod:`~contractn_tpu.models.autompo` apply verbatim — chemistry is "just"
+a dense long-range fermion OpSum) and solved with the stock two-site
+:func:`~contractn_tpu.models.dmrg.dmrg`.
+
+Pipeline (all host-side numpy setup; the solve is the jitted DMRG):
+
+1. **Integral engine** — s-type contracted Gaussians (STO-3G for H/He)
+   with the textbook closed forms: Gaussian product theorem + Boys
+   ``F0`` for nuclear attraction and (ss|ss) repulsion.  Validated in
+   tests against the published Szabo-Ostlund H2/STO-3G values
+   (S12=0.6593, E_RHF=-1.1167 Ha at R=1.4 a0).
+2. **RHF** — closed-shell SCF via Lowdin ``S^(-1/2)``; supplies the MO
+   basis (DMRG converges far faster in MOs) and the mean-field anchor.
+3. **OpSum compilation** — spin orbitals interleaved on the chain
+   (site ``2p + sigma``), chemists'-notation two-body terms in the
+   operator order ``a+_ps a+_rt a_st a_qs``; compiled in CHUNKS summed
+   with :func:`~contractn_tpu.models.mpo.mpo_sum` + exact-rank
+   :func:`~contractn_tpu.models.canonical.compress_mpo` so the
+   intermediate finite-state bond never materializes the full
+   O(M^4)-term automaton (the direct FSM is O(#terms) wide; chunking
+   keeps peak memory at O(chunk^2) while reaching the same compressed
+   operator — standard practice for quantum-chemistry MPOs).
+4. **FCI oracle** — an INDEPENDENT determinant-basis exact
+   diagonalization (bit-string occupation numbers, explicit fermionic
+   sign bookkeeping; no OpSum/MPO code shared) used by the tests to pin
+   the whole second-quantization plumbing at machine precision.
+
+Parity note: the reference has no operator or model layer of any kind
+(SURVEY.md §2 — operands enter as raw tensors); this mirrors the
+quantum-chemistry DMRG surface of ITensor/ChemMPS-style stacks, the
+standard heavy-duty application of MPS methods.
+
+Conventions: occupied = index 1 (matches ``autompo.OP_TABLE``); ERIs are
+chemists' ``(pq|rs)``; energies returned by :func:`chemistry_dmrg` and
+:func:`fci_ground` are ELECTRONIC — add ``E_nuc`` from
+:func:`molecular_integrals` for totals.
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .autompo import OpSum, op_sum_mpo
+from .canonical import compress_mpo
+from .dmrg import dmrg
+from .mpo import mpo_sum
+from .mps import MPS
+
+__all__ = [
+    "sto3g_basis",
+    "h_chain_geometry",
+    "molecular_integrals",
+    "restricted_hartree_fock",
+    "lowdin_orthogonal",
+    "mo_transform",
+    "chemistry_terms",
+    "chemistry_op_sum",
+    "chemistry_mpo",
+    "determinant_mps",
+    "chemistry_dmrg",
+    "fci_ground",
+]
+
+
+# --------------------------------------------------------------------- #
+# STO-3G basis (s functions only: H, He)                                 #
+# --------------------------------------------------------------------- #
+
+# Least-squares 3-Gaussian fit to a zeta=1 Slater 1s (Hehre-Stewart-
+# Pople); scale exponents by zeta^2 for other effective charges.
+_STO3G_ALPHA = np.array([2.227660584, 0.405771156, 0.109818])
+_STO3G_COEF = np.array([0.154328967, 0.535328142, 0.444634542])
+
+#: element symbol -> (nuclear charge, standard STO-3G 1s zeta)
+_ELEMENTS = {"H": (1.0, 1.24), "He": (2.0, 2.0925)}
+
+
+def sto3g_basis(symbols, centers):
+    """Contracted s-type STO-3G functions for H/He geometries.
+
+    Args:
+        symbols: element symbols, e.g. ``["H", "H"]``.
+        centers: ``(n_atoms, 3)`` positions in bohr.
+
+    Returns:
+        ``(basis, charges)`` where ``basis`` is a list of
+        ``(center(3,), alphas(k,), coeffs(k,))`` with coefficients
+        including primitive norms and an overall contraction
+        renormalization (so each function has unit self-overlap), and
+        ``charges`` is the ``(n_atoms,)`` array of nuclear charges.
+    """
+    centers = np.asarray(centers, float).reshape(len(symbols), 3)
+    basis, charges = [], []
+    for sym, c in zip(symbols, centers):
+        if sym not in _ELEMENTS:
+            raise ValueError(
+                f"sto3g_basis covers s-only elements {sorted(_ELEMENTS)}; "
+                f"got {sym!r}"
+            )
+        z, zeta = _ELEMENTS[sym]
+        alphas = _STO3G_ALPHA * zeta**2
+        coeffs = _STO3G_COEF * (2.0 * alphas / np.pi) ** 0.75
+        # renormalize the contraction to unit self-overlap
+        s = 0.0
+        for a, ca in zip(alphas, coeffs):
+            for b, cb in zip(alphas, coeffs):
+                s += ca * cb * (np.pi / (a + b)) ** 1.5
+        basis.append((c, alphas, coeffs / math.sqrt(s)))
+        charges.append(z)
+    return basis, np.asarray(charges)
+
+
+def h_chain_geometry(n, r):
+    """Linear H_n chain with uniform spacing ``r`` (bohr)."""
+    centers = np.zeros((n, 3))
+    centers[:, 2] = r * np.arange(n)
+    return ["H"] * n, centers
+
+
+# --------------------------------------------------------------------- #
+# Primitive integrals (s-type closed forms)                              #
+# --------------------------------------------------------------------- #
+
+def _boys0(t):
+    """Boys function ``F0(t) = (1/2) sqrt(pi/t) erf(sqrt(t))``."""
+    if t < 1e-12:
+        return 1.0 - t / 3.0
+    st = math.sqrt(t)
+    return 0.5 * math.sqrt(math.pi / t) * math.erf(st)
+
+
+def molecular_integrals(basis, charges, centers):
+    """AO integrals over contracted s functions.
+
+    Returns ``(S, hcore, eri, e_nuc)``: overlap, one-electron core
+    Hamiltonian (kinetic + nuclear attraction), chemists'-notation
+    ``(pq|rs)`` two-electron integrals, and the nuclear repulsion.
+    """
+    centers = np.asarray(centers, float).reshape(-1, 3)
+    m = len(basis)
+    S = np.zeros((m, m))
+    T = np.zeros((m, m))
+    V = np.zeros((m, m))
+    for i, (ci, ai, di) in enumerate(basis):
+        for j, (cj, aj, dj) in enumerate(basis):
+            r2 = float(np.dot(ci - cj, ci - cj))
+            for a, da in zip(ai, di):
+                for b, db in zip(aj, dj):
+                    p = a + b
+                    mu = a * b / p
+                    k = math.exp(-mu * r2) * (np.pi / p) ** 1.5
+                    S[i, j] += da * db * k
+                    T[i, j] += da * db * mu * (3.0 - 2.0 * mu * r2) * k
+                    pc = (a * ci + b * cj) / p
+                    for z, cn in zip(charges, centers):
+                        t = p * float(np.dot(pc - cn, pc - cn))
+                        V[i, j] -= (
+                            da * db * z * (2.0 * np.pi / p)
+                            * math.exp(-mu * r2) * _boys0(t)
+                        )
+    eri = np.zeros((m, m, m, m))
+    for i, (ci, ai, di) in enumerate(basis):
+        for j, (cj, aj, dj) in enumerate(basis):
+            rij = float(np.dot(ci - cj, ci - cj))
+            for k2, (ck, ak, dk) in enumerate(basis):
+                for l2, (cl, al, dl) in enumerate(basis):
+                    if (i, j, k2, l2) > (j, i, l2, k2):
+                        continue  # fill (ij|kl)=(ji|lk) by symmetry below
+                    rkl = float(np.dot(ck - cl, ck - cl))
+                    val = 0.0
+                    for a, da in zip(ai, di):
+                        for b, db in zip(aj, dj):
+                            p = a + b
+                            kab = math.exp(-a * b / p * rij)
+                            pab = (a * ci + b * cj) / p
+                            for c, dc in zip(ak, dk):
+                                for d, dd in zip(al, dl):
+                                    q = c + d
+                                    kcd = math.exp(-c * d / q * rkl)
+                                    pcd = (c * ck + d * cl) / q
+                                    t = (p * q / (p + q)) * float(
+                                        np.dot(pab - pcd, pab - pcd)
+                                    )
+                                    val += (
+                                        da * db * dc * dd
+                                        * 2.0 * np.pi**2.5
+                                        / (p * q * math.sqrt(p + q))
+                                        * kab * kcd * _boys0(t)
+                                    )
+                    eri[i, j, k2, l2] = val
+                    eri[j, i, l2, k2] = val
+    # remaining 8-fold symmetry: (ij|kl) = (kl|ij) etc.
+    eri = 0.5 * (eri + eri.transpose(2, 3, 0, 1))
+    eri = 0.5 * (eri + eri.transpose(1, 0, 3, 2))
+    e_nuc = 0.0
+    for i in range(len(charges)):
+        for j in range(i + 1, len(charges)):
+            e_nuc += charges[i] * charges[j] / float(
+                np.linalg.norm(centers[i] - centers[j])
+            )
+    return S, T + V, eri, e_nuc
+
+
+# --------------------------------------------------------------------- #
+# Mean field + basis transforms                                          #
+# --------------------------------------------------------------------- #
+
+def lowdin_orthogonal(S):
+    """Symmetric orthogonalization ``X = S^(-1/2)``."""
+    w, u = np.linalg.eigh(S)
+    if np.min(w) < 1e-10:
+        raise ValueError("overlap matrix is numerically singular")
+    return np.einsum("pi,i,qi->pq", u, 1.0 / np.sqrt(w), u)
+
+
+def restricted_hartree_fock(S, hcore, eri, n_elec, iters=200, tol=1e-12):
+    """Closed-shell SCF.  Returns ``(e_elec, C, eps)`` — the electronic
+    RHF energy, MO coefficients (AO x MO), and orbital energies."""
+    if n_elec % 2:
+        raise ValueError("restricted_hartree_fock needs an even n_elec")
+    nocc = n_elec // 2
+    x = lowdin_orthogonal(S)
+    f = hcore.copy()
+    e_old = np.inf
+    c = None
+    for _ in range(iters):
+        fp = np.einsum("pq,pr,rs->qs", x, f, x)
+        _, cp = np.linalg.eigh(fp)
+        c = np.einsum("pq,qr->pr", x, cp)
+        occ = c[:, :nocc]
+        dens = 2.0 * np.einsum("pi,qi->pq", occ, occ)
+        g = np.einsum("rs,pqrs->pq", dens, eri) - 0.5 * np.einsum(
+            "rs,prqs->pq", dens, eri
+        )
+        f = hcore + g
+        e = 0.5 * np.einsum("pq,pq->", dens, hcore + f)
+        if abs(e - e_old) < tol:
+            break
+        e_old = e
+    fp = np.einsum("pq,pr,rs->qs", x, f, x)
+    eps, cp = np.linalg.eigh(fp)
+    c = np.einsum("pq,qr->pr", x, cp)
+    return float(e), c, eps
+
+
+def mo_transform(hcore, eri, c):
+    """Rotate AO integrals into the (orthonormal) column basis of ``c``."""
+    h1 = np.einsum("pq,pi,qj->ij", hcore, c, c)
+    g = np.einsum("pqrs,pi->iqrs", eri, c)
+    g = np.einsum("iqrs,qj->ijrs", g, c)
+    g = np.einsum("ijrs,rk->ijks", g, c)
+    g = np.einsum("ijks,sl->ijkl", g, c)
+    return h1, g
+
+
+# --------------------------------------------------------------------- #
+# Second quantization -> OpSum -> MPO                                    #
+# --------------------------------------------------------------------- #
+
+def chemistry_terms(h1, eri, cutoff=1e-12):
+    """Spin-orbital term list ``[(coef, (op, site, ...)), ...]``.
+
+    Spin orbitals interleave on the chain: site ``2p + sigma`` with
+    ``sigma in (0, 1)`` = (up, down).  Two-body terms carry the operator
+    order ``a+_ps a+_rt a_st a_qs`` (chemists' ``(pq|rs)`` with the
+    exchange-safe 1/2 prefactor); terms with a repeated creation or a
+    repeated annihilation mode vanish identically and are skipped.
+    """
+    h1 = np.asarray(h1)
+    eri = np.asarray(eri)
+    m = h1.shape[0]
+    terms = []
+    for p in range(m):
+        for q in range(m):
+            if abs(h1[p, q]) <= cutoff:
+                continue
+            for sg in (0, 1):
+                terms.append(
+                    (h1[p, q],
+                     ("Cdag", 2 * p + sg, "C", 2 * q + sg))
+                )
+    for p in range(m):
+        for q in range(m):
+            for r in range(m):
+                for s in range(m):
+                    g = eri[p, q, r, s]
+                    if abs(g) <= 2.0 * cutoff:
+                        continue
+                    for sg in (0, 1):
+                        for tu in (0, 1):
+                            i1, i2 = 2 * p + sg, 2 * r + tu
+                            i3, i4 = 2 * s + tu, 2 * q + sg
+                            if i1 == i2 or i3 == i4:
+                                continue
+                            terms.append(
+                                (0.5 * g,
+                                 ("Cdag", i1, "Cdag", i2,
+                                  "C", i3, "C", i4))
+                            )
+    return terms
+
+
+def chemistry_op_sum(h1, eri, cutoff=1e-12):
+    """The full electronic Hamiltonian as one :class:`OpSum`."""
+    out = OpSum()
+    for coef, ops in chemistry_terms(h1, eri, cutoff):
+        out.add(coef, *ops)
+    return out
+
+
+def chemistry_mpo(h1, eri, cutoff=1e-12, chunk=300, max_bond=None,
+                  compress_cutoff=1e-12):
+    """Compile the electronic Hamiltonian to a compressed :class:`MPO`.
+
+    Terms are compiled ``chunk`` at a time (each chunk's exact
+    finite-state machine is O(chunk) wide) and folded with
+    ``mpo_sum`` + ``compress_mpo``, so peak memory never sees the full
+    O(M^4)-term automaton.  ``max_bond`` optionally caps the operator
+    bond (default: exact to ``compress_cutoff``).
+    """
+    terms = chemistry_terms(h1, eri, cutoff)
+    if not terms:
+        raise ValueError("no terms above cutoff")
+    n_sites = 2 * np.asarray(h1).shape[0]
+
+    def compile_chunk(chunk_terms):
+        acc = OpSum()
+        for coef, ops in chunk_terms:
+            acc.add(coef, *ops)
+        return op_sum_mpo(acc, n_sites, cutoff=compress_cutoff)
+
+    mpo = None
+    for lo in range(0, len(terms), chunk):
+        part = compile_chunk(terms[lo:lo + chunk])
+        if mpo is None:
+            mpo = part
+        else:
+            comp, log_norm, _ = compress_mpo(
+                mpo_sum(mpo, part), max_bond=max_bond,
+                cutoff=compress_cutoff,
+            )
+            mpo = type(comp)(
+                comp.cores, comp.left * jnp.exp(log_norm), comp.right
+            )
+    return mpo
+
+
+# --------------------------------------------------------------------- #
+# DMRG driver                                                            #
+# --------------------------------------------------------------------- #
+
+def determinant_mps(occupations, bond_dim, dtype=jnp.float64):
+    """Product-state MPS for an occupation bit pattern (padded bonds).
+
+    Starting DMRG from a determinant keeps the whole sweep inside its
+    particle-number sector: H conserves N and the two-site Lanczos
+    Krylov spaces are built from in-sector vectors.
+    """
+    occ = np.asarray(occupations, int)
+    n = occ.shape[0]
+    cores = np.zeros((n, 2, bond_dim, bond_dim))
+    cores[np.arange(n), occ, 0, 0] = 1.0
+    e0 = np.zeros(bond_dim)
+    e0[0] = 1.0
+    return MPS(jnp.asarray(cores, dtype), jnp.asarray(e0, dtype),
+               jnp.asarray(e0, dtype))
+
+
+def chemistry_dmrg(h1, eri, n_elec, max_bond=32, sweeps=8, mpo=None,
+                   cutoff=1e-12, chunk=300, lam=10.0):
+    """Ground-state DMRG for the electronic Hamiltonian ``(h1, eri)``.
+
+    The electron count is pinned energetically: H conserves N but the
+    requested sector need not hold the Fock-space global minimum (any
+    cation: extra electrons LOWER the electronic energy), so eps-level
+    sector leakage in the two-site updates would run away.  With
+    occupied = index 1, ``N = n_sites/2 - Sz_total``, so the stock
+    :func:`~contractn_tpu.models.dmrg.dmrg_sector` magnetization
+    penalty pins N exactly; the reported energy is the TRUE Rayleigh
+    quotient of H (penalty excluded).
+
+    Args:
+        h1, eri: orthonormal-basis integrals (e.g. from
+            :func:`mo_transform` with RHF orbitals — MOs converge much
+            faster than raw AOs).
+        n_elec: electron count; sets the penalty target and the initial
+            determinant (lowest ``n_elec`` spin orbitals in site order).
+        mpo: optionally a precompiled operator (skips
+            :func:`chemistry_mpo`).
+        lam: sector-penalty weight in hartree — keep above the largest
+            ionization/attachment energy scale (``0`` disables).
+
+    Returns:
+        ``(e_elec, mps, mpo)`` — electronic energy (add the nuclear
+        repulsion for totals), the optimized state, the operator.
+    """
+    from .dmrg import dmrg_sector
+
+    m = np.asarray(h1).shape[0]
+    n_sites = 2 * m
+    if n_elec > n_sites:
+        raise ValueError("more electrons than spin orbitals")
+    if mpo is None:
+        mpo = chemistry_mpo(h1, eri, cutoff=cutoff, chunk=chunk,
+                            max_bond=None)
+    occ = np.zeros(n_sites, int)
+    occ[:n_elec] = 1
+    mps0 = determinant_mps(occ, max_bond)
+    if lam:
+        q = 0.5 * n_sites - n_elec  # Sz target <-> N target
+        ground, energy, _ = dmrg_sector(
+            mpo, mps0, q, lam=lam, max_bond=max_bond, sweeps=sweeps
+        )
+        return float(energy), ground, mpo
+    ground, energy, _ = dmrg(mpo, mps0, max_bond=max_bond, sweeps=sweeps)
+    return float(energy), ground, mpo
+
+
+# --------------------------------------------------------------------- #
+# Independent FCI oracle                                                 #
+# --------------------------------------------------------------------- #
+
+def _apply_ops(ops, det):
+    """Apply ``[(kind, mode), ...]`` RIGHT-TO-LEFT to a determinant
+    bitstring.  Returns ``(sign, det')`` or ``None``.  Sign = parity of
+    occupied modes below the acted mode (modes ordered by site index,
+    occupied = bit set)."""
+    sign = 1
+    for kind, k in reversed(ops):
+        occ = (det >> k) & 1
+        if kind == "c":
+            if not occ:
+                return None
+        else:
+            if occ:
+                return None
+        if (det & ((1 << k) - 1)).bit_count() & 1:
+            sign = -sign
+        det ^= 1 << k
+    return sign, det
+
+
+def fci_ground(h1, eri, n_elec=None, k=1):
+    """Exact diagonalization in the determinant basis.
+
+    A deliberately independent arbiter for the OpSum/MPO pipeline: bare
+    bit-string determinants with explicit fermionic sign bookkeeping —
+    no shared code with the compiler.  ``n_elec=None`` diagonalizes the
+    full Fock space (checks which sector holds the global minimum).
+
+    Returns the electronic ground energy (or the ``k`` lowest, sorted,
+    if ``k > 1``).  Practical up to ~5 spatial orbitals.
+    """
+    h1 = np.asarray(h1)
+    eri = np.asarray(eri)
+    m = h1.shape[0]
+    n_so = 2 * m
+    if n_so > 14:
+        raise ValueError("fci_ground is a small-system oracle (2M <= 14)")
+    dets = [
+        b for b in range(1 << n_so)
+        if n_elec is None or b.bit_count() == n_elec
+    ]
+    index = {b: i for i, b in enumerate(dets)}
+    ham = np.zeros((len(dets), len(dets)))
+
+    one_body = [
+        (h1[p, q], [("cdag", 2 * p + sg), ("c", 2 * q + sg)])
+        for p in range(m) for q in range(m) for sg in (0, 1)
+        if abs(h1[p, q]) > 1e-14
+    ]
+    two_body = []
+    for p in range(m):
+        for q in range(m):
+            for r in range(m):
+                for s in range(m):
+                    g = eri[p, q, r, s]
+                    if abs(g) <= 1e-14:
+                        continue
+                    for sg in (0, 1):
+                        for tu in (0, 1):
+                            i1, i2 = 2 * p + sg, 2 * r + tu
+                            i3, i4 = 2 * s + tu, 2 * q + sg
+                            if i1 == i2 or i3 == i4:
+                                continue
+                            two_body.append(
+                                (0.5 * g,
+                                 [("cdag", i1), ("cdag", i2),
+                                  ("c", i3), ("c", i4)])
+                            )
+
+    for det in dets:
+        col = index[det]
+        for coef, ops in one_body + two_body:
+            hit = _apply_ops(ops, det)
+            if hit is None:
+                continue
+            sign, out = hit
+            row = index.get(out)
+            if row is not None:
+                ham[row, col] += sign * coef
+    evals = np.linalg.eigvalsh(ham)
+    return float(evals[0]) if k == 1 else evals[:k]

@@ -1,0 +1,100 @@
+"""Quantum-chemistry stack vs published values + an independent FCI.
+
+Three layers of arbitration, none sharing code with the pipeline under
+test:
+
+* the integral engine against the PUBLISHED Szabo-Ostlund H2/STO-3G
+  numbers (overlap, RHF energy) — pins the closed-form Gaussians;
+* the OpSum/MPO/DMRG chain against :func:`fci_ground`, a bit-string
+  determinant diagonalizer with its own fermionic sign bookkeeping;
+* basis invariance: the electronic ground energy must agree between the
+  Lowdin-orthogonalized AO basis and the RHF MO basis (completely
+  different integral tensors, same physics).
+"""
+
+import numpy as np
+import pytest
+
+from contractn_tpu.models import chemistry as chem
+
+
+def _h2(r=1.4011):
+    syms, xyz = chem.h_chain_geometry(2, r)
+    basis, charges = chem.sto3g_basis(syms, xyz)
+    S, hcore, eri, e_nuc = chem.molecular_integrals(basis, charges, xyz)
+    return S, hcore, eri, e_nuc
+
+
+def test_h2_published_szabo_ostlund_values():
+    S, hcore, eri, e_nuc = _h2()
+    # Szabo & Ostlund (STO-3G, R = 1.4 a0): S12 = 0.6593,
+    # E_RHF(total) = -1.1167 Ha, E_FCI(total) = -1.1373 Ha.
+    assert abs(S[0, 1] - 0.6593) < 2e-3
+    e_hf, C, _ = chem.restricted_hartree_fock(S, hcore, eri, 2)
+    assert abs(e_hf + e_nuc - (-1.1167)) < 2e-3
+    h1, g = chem.mo_transform(hcore, eri, C)
+    e_fci = chem.fci_ground(h1, g, n_elec=2)
+    assert abs(e_fci + e_nuc - (-1.1373)) < 2e-3
+    # correlation energy is negative (variational FCI below HF)
+    assert e_fci < e_hf - 1e-3
+
+
+def test_h2_dmrg_equals_fci_machine_precision():
+    S, hcore, eri, e_nuc = _h2()
+    e_hf, C, _ = chem.restricted_hartree_fock(S, hcore, eri, 2)
+    h1, g = chem.mo_transform(hcore, eri, C)
+    e_fci = chem.fci_ground(h1, g, n_elec=2)
+    e_dmrg, mps, _ = chem.chemistry_dmrg(h1, g, 2, max_bond=8, sweeps=4)
+    assert abs(e_dmrg - e_fci) < 1e-10
+    # the neutral sector holds the global Fock-space minimum, so the
+    # unconstrained DMRG ground state is the physical one
+    assert abs(chem.fci_ground(h1, g, n_elec=None) - e_fci) < 1e-10
+
+
+def test_h2_basis_invariance_lowdin_vs_mo():
+    S, hcore, eri, e_nuc = _h2()
+    x = chem.lowdin_orthogonal(S)
+    h1_ao, g_ao = chem.mo_transform(hcore, eri, x)
+    e_ao = chem.fci_ground(h1_ao, g_ao, n_elec=2)
+    e_hf, C, _ = chem.restricted_hartree_fock(S, hcore, eri, 2)
+    h1_mo, g_mo = chem.mo_transform(hcore, eri, C)
+    e_mo = chem.fci_ground(h1_mo, g_mo, n_elec=2)
+    assert abs(e_ao - e_mo) < 1e-10
+    # DMRG in the (worse-conditioned) Lowdin basis reaches the same
+    # energy — the compiled operator is basis-correct, not just lucky
+    e_dmrg, _, _ = chem.chemistry_dmrg(h1_ao, g_ao, 2, max_bond=8,
+                                       sweeps=6)
+    assert abs(e_dmrg - e_mo) < 1e-9
+
+
+def test_h3_cation_chunked_mpo_and_excited_states():
+    # H3+ (2 electrons, 3 orbitals): small enough for a fast exact
+    # oracle, big enough to force the chunked MPO assembly path.
+    syms, xyz = chem.h_chain_geometry(3, 1.65)
+    basis, charges = chem.sto3g_basis(syms, xyz)
+    S, hcore, eri, e_nuc = chem.molecular_integrals(basis, charges, xyz)
+    e_hf, C, _ = chem.restricted_hartree_fock(S, hcore, eri, 2)
+    h1, g = chem.mo_transform(hcore, eri, C)
+
+    terms = chem.chemistry_terms(h1, g)
+    mpo = chem.chemistry_mpo(h1, g, chunk=40)  # force >3 chunks
+    assert len(terms) > 3 * 40
+
+    e_fci = chem.fci_ground(h1, g, n_elec=2)
+    e_dmrg, mps, _ = chem.chemistry_dmrg(h1, g, 2, max_bond=16,
+                                         sweeps=6, mpo=mpo)
+    assert abs(e_dmrg - e_fci) < 1e-8
+    assert e_fci < e_hf  # correlation is variational
+
+
+def test_determinant_mps_is_exact_product_state():
+    occ = np.array([1, 0, 1, 1])
+    mps = chem.determinant_mps(occ, bond_dim=4)
+    cores = np.asarray(mps.cores)
+    vec = np.asarray(mps.left)
+    for i in range(4):
+        vec = np.einsum("...j,pjq->...pq", vec, cores[i])
+    vec = np.einsum("...q,q->...", vec, np.asarray(mps.right)).ravel()
+    dense = np.zeros(16)
+    dense[int("".join(map(str, occ)), 2)] = 1.0
+    assert np.allclose(vec, dense)
