@@ -71,6 +71,11 @@ __all__ = [
     "determinant_mps",
     "chemistry_dmrg",
     "fci_ground",
+    "fci_rdms",
+    "one_rdm",
+    "two_rdm",
+    "rdm_energy",
+    "natural_occupations",
 ]
 
 
@@ -429,6 +434,87 @@ def chemistry_dmrg(h1, eri, n_elec, max_bond=32, sweeps=8, mpo=None,
 
 
 # --------------------------------------------------------------------- #
+# Reduced density matrices / natural orbitals                            #
+# --------------------------------------------------------------------- #
+
+def _opsum_expectation(mps, terms, n_sites):
+    """Normalized ``<mps| sum_t terms |mps>`` via one small MPO."""
+    acc = OpSum()
+    for coef, ops in terms:
+        acc.add(coef, *ops)
+    mpo = op_sum_mpo(acc, n_sites)
+    num_v, num_l = mpo.expectation(mps)
+    den_v, den_l = mps.norm_squared()
+    return float(num_v) / float(den_v) * float(np.exp(num_l - den_l))
+
+
+def one_rdm(mps):
+    """Spin-traced one-electron RDM ``gamma_pq = sum_s <a+_ps a_qs>``.
+
+    Jordan-Wigner strings between the endpoints are inserted by the
+    OpSum compiler; each matrix element is one tiny MPO expectation.
+    """
+    n_sites = int(mps.cores.shape[0])
+    m = n_sites // 2
+    gamma = np.zeros((m, m))
+    for p in range(m):
+        for q in range(p, m):
+            terms = [
+                (1.0, ("Cdag", 2 * p + sg, "C", 2 * q + sg))
+                for sg in (0, 1)
+            ]
+            gamma[p, q] = _opsum_expectation(mps, terms, n_sites)
+            gamma[q, p] = gamma[p, q]  # real wavefunctions
+    return gamma
+
+
+def two_rdm(mps):
+    """Spin-traced two-electron RDM in the Hamiltonian's operator order:
+    ``Gamma_pqrs = sum_st <a+_ps a+_rt a_st a_qs>`` — contracts against
+    chemists' ``(pq|rs)`` with the 1/2 prefactor (see
+    :func:`rdm_energy`).  O(M^4) small MPO expectations; oracle-scale.
+    """
+    n_sites = int(mps.cores.shape[0])
+    m = n_sites // 2
+    gam2 = np.zeros((m, m, m, m))
+    for p in range(m):
+        for q in range(m):
+            for r in range(m):
+                for s in range(m):
+                    terms = []
+                    for sg in (0, 1):
+                        for tu in (0, 1):
+                            i1, i2 = 2 * p + sg, 2 * r + tu
+                            i3, i4 = 2 * s + tu, 2 * q + sg
+                            if i1 == i2 or i3 == i4:
+                                continue
+                            terms.append(
+                                (1.0, ("Cdag", i1, "Cdag", i2,
+                                       "C", i3, "C", i4))
+                            )
+                    if terms:
+                        gam2[p, q, r, s] = _opsum_expectation(
+                            mps, terms, n_sites
+                        )
+    return gam2
+
+
+def rdm_energy(h1, eri, gamma, gam2):
+    """Electronic energy from the RDMs:
+    ``E = sum h_pq gamma_pq + 1/2 sum (pq|rs) Gamma_pqrs``."""
+    return float(
+        np.einsum("pq,pq->", np.asarray(h1), gamma)
+        + 0.5 * np.einsum("pqrs,pqrs->", np.asarray(eri), gam2)
+    )
+
+
+def natural_occupations(mps):
+    """Eigenvalues of the spin-traced 1-RDM, descending (sum = N)."""
+    w = np.linalg.eigvalsh(one_rdm(mps))
+    return w[::-1]
+
+
+# --------------------------------------------------------------------- #
 # Independent FCI oracle                                                 #
 # --------------------------------------------------------------------- #
 
@@ -513,3 +599,86 @@ def fci_ground(h1, eri, n_elec=None, k=1):
                 ham[row, col] += sign * coef
     evals = np.linalg.eigvalsh(ham)
     return float(evals[0]) if k == 1 else evals[:k]
+
+
+def fci_rdms(h1, eri, n_elec):
+    """Spin-traced 1- and 2-RDMs of the FCI ground state — the
+    independent arbiter for :func:`one_rdm` / :func:`two_rdm` (same
+    determinant-basis sign bookkeeping as :func:`fci_ground`, no MPS
+    code involved)."""
+    h1 = np.asarray(h1)
+    eri = np.asarray(eri)
+    m = h1.shape[0]
+    n_so = 2 * m
+    dets = [b for b in range(1 << n_so) if b.bit_count() == n_elec]
+    index = {b: i for i, b in enumerate(dets)}
+    ham = np.zeros((len(dets), len(dets)))
+    ops_list = []
+    for p in range(m):
+        for q in range(m):
+            for sg in (0, 1):
+                if abs(h1[p, q]) > 1e-14:
+                    ops_list.append(
+                        (h1[p, q],
+                         [("cdag", 2 * p + sg), ("c", 2 * q + sg)])
+                    )
+    for p in range(m):
+        for q in range(m):
+            for r in range(m):
+                for s in range(m):
+                    g = eri[p, q, r, s]
+                    if abs(g) <= 1e-14:
+                        continue
+                    for sg in (0, 1):
+                        for tu in (0, 1):
+                            i1, i2 = 2 * p + sg, 2 * r + tu
+                            i3, i4 = 2 * s + tu, 2 * q + sg
+                            if i1 == i2 or i3 == i4:
+                                continue
+                            ops_list.append(
+                                (0.5 * g,
+                                 [("cdag", i1), ("cdag", i2),
+                                  ("c", i3), ("c", i4)])
+                            )
+    for det in dets:
+        col = index[det]
+        for coef, ops in ops_list:
+            hit = _apply_ops(ops, det)
+            if hit is not None and hit[1] in index:
+                ham[index[hit[1]], col] += hit[0] * coef
+    _, vecs = np.linalg.eigh(ham)
+    psi = vecs[:, 0]
+
+    def expect(ops):
+        out = 0.0
+        for det in dets:
+            hit = _apply_ops(ops, det)
+            if hit is not None and hit[1] in index:
+                out += psi[index[hit[1]]] * hit[0] * psi[index[det]]
+        return out
+
+    gamma = np.zeros((m, m))
+    for p in range(m):
+        for q in range(m):
+            gamma[p, q] = sum(
+                expect([("cdag", 2 * p + sg), ("c", 2 * q + sg)])
+                for sg in (0, 1)
+            )
+    gam2 = np.zeros((m, m, m, m))
+    for p in range(m):
+        for q in range(m):
+            for r in range(m):
+                for s in range(m):
+                    tot = 0.0
+                    for sg in (0, 1):
+                        for tu in (0, 1):
+                            i1, i2 = 2 * p + sg, 2 * r + tu
+                            i3, i4 = 2 * s + tu, 2 * q + sg
+                            if i1 == i2 or i3 == i4:
+                                continue
+                            tot += expect(
+                                [("cdag", i1), ("cdag", i2),
+                                 ("c", i3), ("c", i4)]
+                            )
+                    gam2[p, q, r, s] = tot
+    return gamma, gam2

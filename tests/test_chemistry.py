@@ -87,6 +87,25 @@ def test_h3_cation_chunked_mpo_and_excited_states():
     assert e_fci < e_hf  # correlation is variational
 
 
+def test_rdms_match_independent_fci_rdms():
+    S, hcore, eri, e_nuc = _h2()
+    e_hf, C, _ = chem.restricted_hartree_fock(S, hcore, eri, 2)
+    h1, g = chem.mo_transform(hcore, eri, C)
+    e, mps, _ = chem.chemistry_dmrg(h1, g, 2, max_bond=8, sweeps=4)
+
+    gam = chem.one_rdm(mps)
+    gam2 = chem.two_rdm(mps)
+    # energy reconstructed from the RDMs == the DMRG Rayleigh quotient
+    assert abs(chem.rdm_energy(h1, g, gam, gam2) - e) < 1e-10
+    # independent determinant-basis arbiter
+    gam_fci, gam2_fci = chem.fci_rdms(h1, g, 2)
+    assert np.max(np.abs(gam - gam_fci)) < 1e-8
+    assert np.max(np.abs(gam2 - gam2_fci)) < 1e-8
+    occ = chem.natural_occupations(mps)
+    assert abs(np.sum(occ) - 2.0) < 1e-9
+    assert occ[0] > 1.9  # H2 at equilibrium is single-reference
+
+
 def test_determinant_mps_is_exact_product_state():
     occ = np.array([1, 0, 1, 1])
     mps = chem.determinant_mps(occ, bond_dim=4)
