@@ -29,13 +29,23 @@ sum_n |<n|B|0>|^2 * eta/pi / ((w + E0 - E_n)^2 + eta^2) on exact chains.
 The reference has no solver or model layer (SURVEY.md section 2).
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
 from ..ops.stabilize import peinsum
 from .boundary import apply_mpo_to_mps
 from .canonical import compress_mpo
-from .linsolve import mps_linear_solve
+from .dmrg import (
+    _ovl_left_update,
+    _ovl_right_update,
+    _penalty_vector,
+    _ragged_sites,
+    _split_theta,
+    _update_left,
+    _update_right,
+)
+from .linsolve import _local_cg, mps_linear_solve
 from .mpo import MPO, mpo_multiply, mpo_sum
 from .mps import MPS
 
@@ -43,7 +53,9 @@ __all__ = [
     "apply_site_operator",
     "correction_vector",
     "cv_greens_function",
+    "cv_greens_function_batched",
     "cv_spectral_function",
+    "cv_spectral_function_batched",
     "scale_mpo",
     "shifted_normal_mpo",
 ]
@@ -136,4 +148,139 @@ def cv_spectral_function(h_mpo, ground, e0, op, site, omegas, eta,
     spectral function (see :func:`cv_greens_function` for kwargs)."""
     g = cv_greens_function(h_mpo, ground, e0, op, site, omegas, eta,
                            **kwargs)
+    return -g.imag / np.pi
+
+
+# --------------------------------------------------------------------- #
+# The whole frequency grid as ONE jit(vmap) program                      #
+# --------------------------------------------------------------------- #
+#
+# The TPU-first observation: A(w) = ((w+E0) - H)^2 + eta^2 has
+# FREQUENCY-INDEPENDENT cores.  The shift enters mpo_sum(I, -H) only
+# through the left boundary vector, mpo_multiply Kroneckers boundary
+# vectors, and the eta^2 identity concatenates one more entry — so the
+# whole frequency family is one static operator with a (n_w, W)-batched
+# left vector, and the full ALS solve vmaps over it: every frequency of
+# the spectrum runs in ONE compiled program, batched onto the MXU.
+
+def _freq_family(h_mpo, eta):
+    """Static ``(K, A)`` cores + the per-shift boundary-vector maps."""
+    n, d = int(h_mpo.cores.shape[0]), int(h_mpo.cores.shape[1])
+    dt = jnp.asarray(h_mpo.cores).dtype
+    ident = MPO.identity(n, d, dtype=dt)
+    k_t = mpo_sum(ident, scale_mpo(h_mpo, -1.0))  # shift = 1 template
+    a_t = mpo_sum(mpo_multiply(k_t, k_t), scale_mpo(ident, eta * eta))
+    h_left = np.asarray(h_mpo.left)
+
+    def k_left(shift):
+        return np.concatenate([[shift], -h_left])
+
+    def a_left(shift):
+        kl = k_left(shift)
+        return np.concatenate([np.kron(kl, kl), [eta * eta]])
+
+    return k_t, a_t, k_left, a_left
+
+
+def _solve_pure(a_cores, a_left, a_right, bs, sweeps, max_bond,
+                cg_iters):
+    """Trace-pure two-site ALS (the :func:`mps_linear_solve` sweeps
+    without host conversions) — vmappable over the boundary vector."""
+    n = len(bs)
+    sites = list(bs)
+    L = [None] * (n + 1)
+    R = [None] * (n + 1)
+    L[0] = a_left[None, :, None]
+    R[n] = a_right[None, :, None]
+    lb = [None] * (n + 1)
+    rb = [None] * (n + 1)
+    one = jnp.ones((1, 1), bs[0].dtype)
+    lb[0] = one
+    rb[n] = one
+    for i in range(n - 1, 0, -1):
+        R[i] = _update_right(R[i + 1], sites[i], a_cores[i])
+        rb[i] = _ovl_right_update(rb[i + 1], bs[i], sites[i])
+    for _ in range(sweeps):
+        for i in range(n - 1):
+            theta0 = peinsum("apj,bjq->abpq", sites[i], sites[i + 1])
+            rhs = _penalty_vector(lb[i], bs[i], bs[i + 1], rb[i + 2])
+            theta, _ = _local_cg(L[i], a_cores[i], a_cores[i + 1],
+                                 R[i + 2], rhs, theta0, int(cg_iters))
+            t1, t2 = _split_theta(theta, max_bond, to_left=True)
+            scale = jnp.linalg.norm(theta.reshape(-1))
+            sites[i], sites[i + 1] = t1, scale * t2
+            L[i + 1] = _update_left(L[i], sites[i], a_cores[i])
+            lb[i + 1] = _ovl_left_update(lb[i], bs[i], sites[i])
+        for i in range(n - 2, -1, -1):
+            theta0 = peinsum("apj,bjq->abpq", sites[i], sites[i + 1])
+            rhs = _penalty_vector(lb[i], bs[i], bs[i + 1], rb[i + 2])
+            theta, _ = _local_cg(L[i], a_cores[i], a_cores[i + 1],
+                                 R[i + 2], rhs, theta0, int(cg_iters))
+            t1, t2 = _split_theta(theta, max_bond, to_left=False)
+            scale = jnp.linalg.norm(theta.reshape(-1))
+            sites[i], sites[i + 1] = scale * t1, t2
+            R[i + 1] = _update_right(R[i + 2], sites[i + 1],
+                                     a_cores[i + 1])
+            rb[i + 1] = _ovl_right_update(rb[i + 2], bs[i + 1],
+                                          sites[i + 1])
+    return sites
+
+
+def _overlap_pure(bs, ys):
+    t = jnp.ones((1, 1), bs[0].dtype)
+    for bi, yi in zip(bs, ys):
+        t = peinsum("xy,dxp,dyq->pq", t, jnp.conj(bi), yi)
+    return t[0, 0]
+
+
+def _sandwich_pure(bs, k_cores, k_left, k_right, ys):
+    t = k_left[None, :, None].astype(bs[0].dtype)  # (bra, W, ket)
+    for bi, ki, yi in zip(bs, k_cores, ys):
+        t = peinsum("iwp,bpq->iwbq", t, yi)
+        t = peinsum("abwv,iwbq->iavq", ki, t)
+        t = peinsum("aij,iavq->jvq", jnp.conj(bi), t)
+    return peinsum("jvq,v->jq", t, k_right)[0, 0]
+
+
+def cv_greens_function_batched(h_mpo, ground, e0, op, site, omegas,
+                               eta, max_bond=None, sweeps=6,
+                               cg_iters=64):
+    """The full frequency grid of ``G(w)`` as ONE jit(vmap) program.
+
+    Same contract as :func:`cv_greens_function`; instead of one solve
+    per frequency with warm starts, every frequency solves from
+    ``x0 = b`` concurrently, batched over the (tiny) frequency-
+    dependent boundary vector.  No operator compression (the squared
+    bond ``(W+1)^2 + 1`` is static) — on accelerators the batch pays
+    for the few extra channels many times over.
+    """
+    b_mps = apply_site_operator(ground, op, site)
+    bs = _ragged_sites(b_mps)
+    norm = _inner(ground, ground).real
+    k_t, a_t, k_left_fn, a_left_fn = _freq_family(h_mpo, eta)
+    n = len(bs)
+    max_bond = max_bond or b_mps.bond_dim
+    shifts = np.atleast_1d(np.asarray(omegas, float)) + e0
+    k_lefts = jnp.asarray(np.stack([k_left_fn(s) for s in shifts]))
+    a_lefts = jnp.asarray(np.stack([a_left_fn(s) for s in shifts]))
+    a_cores = [a_t.cores[i] for i in range(n)]
+    k_cores = [k_t.cores[i] for i in range(n)]
+
+    def one(a_left, k_left):
+        ys = _solve_pure(a_cores, a_left, jnp.asarray(a_t.right), bs,
+                         int(sweeps), int(max_bond), int(cg_iters))
+        by = _overlap_pure(bs, ys)
+        bky = _sandwich_pure(bs, k_cores, k_left,
+                             jnp.asarray(k_t.right), ys)
+        return bky, by
+
+    bky, by = jax.jit(jax.vmap(one))(a_lefts, k_lefts)
+    return (np.asarray(bky) - 1j * eta * np.asarray(by)) / norm
+
+
+def cv_spectral_function_batched(h_mpo, ground, e0, op, site, omegas,
+                                 eta, **kwargs):
+    """``-(1/pi) Im G`` over the grid — one compiled program."""
+    g = cv_greens_function_batched(h_mpo, ground, e0, op, site, omegas,
+                                   eta, **kwargs)
     return -g.imag / np.pi

@@ -75,6 +75,26 @@ def test_correction_vector_warm_start_reuses_solution(tfim_setup):
     assert abs(g1 - g2) < 1e-9
 
 
+def test_batched_grid_matches_sequential_and_lehmann(tfim_setup):
+    n, mpo, gs, e0, evals, evecs = tfim_setup
+    site, eta = 2, 0.35
+    omegas = np.array([0.5, 2.0, 3.5])
+    b_full = np.eye(1)
+    for j in range(n):
+        b_full = np.kron(b_full, _Z if j == site else np.eye(2))
+    b = np.dot(b_full, evecs[:, 0])
+    amp = np.dot(evecs.T, b)
+    g_exact = np.array([
+        np.sum(amp**2 / (w + evals[0] - evals + 1j * eta))
+        for w in omegas
+    ])
+    g_bat = dyn.cv_greens_function_batched(
+        mpo, gs, e0, _Z, site, omegas, eta, max_bond=16, sweeps=7,
+        cg_iters=48,
+    )
+    assert np.max(np.abs(g_bat - g_exact)) < 1e-7
+
+
 def test_apply_site_operator_is_exact():
     mps = MPS.random(jax.random.PRNGKey(1), 4, 2, 3, dtype=np.float64)
     out = dyn.apply_site_operator(mps, _Z, 2)
