@@ -213,7 +213,8 @@ def _site_factors(coef, resolved, sites, d):
     return coef, factors
 
 
-def op_sum_mpo(opsum, n_sites, d=2, ops=None, cutoff=1e-12, dtype=None):
+def op_sum_mpo(opsum, n_sites, d=2, ops=None, cutoff=1e-12, dtype=None,
+               phys_charges=None):
     """Compile an :class:`OpSum` to a compressed :class:`MPO`.
 
     Args:
@@ -228,6 +229,14 @@ def op_sum_mpo(opsum, n_sites, d=2, ops=None, cutoff=1e-12, dtype=None):
             truncated — keep it well under the smallest meaningful
             coefficient ratio.
         dtype: result dtype (default: inferred, f64/c128).
+        phys_charges: optional per-state U(1) charges (flat, or one
+            sequence per site).  When given, compression is CHARGE-
+            BLOCKED (:func:`~contractn_tpu.models.u1.compress_mpo_u1`)
+            so the result stays channel-charge-definite for the masked
+            solvers — a plain SVD mixes charge channels and the
+            operator then fails :func:`~contractn_tpu.models.u1.
+            mpo_channel_charges`.  The finite-state machine itself is
+            definite by construction (one channel per crossing term).
 
     Returns:
         An :class:`MPO` with uniform (padded) bond dimension equal to
@@ -307,6 +316,17 @@ def op_sum_mpo(opsum, n_sites, d=2, ops=None, cutoff=1e-12, dtype=None):
     right[1] = 1.0
     naive = MPO(jnp.asarray(stacked), jnp.asarray(left),
                 jnp.asarray(right))
+
+    if phys_charges is not None:
+        from .u1 import compress_mpo_u1
+
+        comp, _ = compress_mpo_u1(naive, phys_charges, cutoff=cutoff)
+        out_cores = comp.cores
+        if dtype is not None:
+            return MPO(out_cores.astype(dtype),
+                       comp.left.astype(dtype),
+                       comp.right.astype(dtype))
+        return comp
 
     comp, log_norm, _ = compress_mpo(naive, cutoff=cutoff)
     # compress_mpo Frobenius-normalizes; restore the operator scale

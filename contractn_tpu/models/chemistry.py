@@ -326,7 +326,7 @@ def chemistry_op_sum(h1, eri, cutoff=1e-12):
 
 
 def chemistry_mpo(h1, eri, cutoff=1e-12, chunk=300, max_bond=None,
-                  compress_cutoff=1e-12):
+                  compress_cutoff=1e-12, symmetric=False):
     """Compile the electronic Hamiltonian to a compressed :class:`MPO`.
 
     Terms are compiled ``chunk`` at a time (each chunk's exact
@@ -334,23 +334,36 @@ def chemistry_mpo(h1, eri, cutoff=1e-12, chunk=300, max_bond=None,
     ``mpo_sum`` + ``compress_mpo``, so peak memory never sees the full
     O(M^4)-term automaton.  ``max_bond`` optionally caps the operator
     bond (default: exact to ``compress_cutoff``).
+
+    ``symmetric=True`` compresses charge-blocked
+    (:func:`~contractn_tpu.models.u1.compress_mpo_u1` with occupation
+    charges ``(0, 1)``): the result is channel-charge-definite, the
+    form the exactly-conserving :func:`chemistry_dmrg_u1` requires.
     """
     terms = chemistry_terms(h1, eri, cutoff)
     if not terms:
         raise ValueError("no terms above cutoff")
     n_sites = 2 * np.asarray(h1).shape[0]
+    charges = (0, 1) if symmetric else None
 
     def compile_chunk(chunk_terms):
         acc = OpSum()
         for coef, ops in chunk_terms:
             acc.add(coef, *ops)
-        return op_sum_mpo(acc, n_sites, cutoff=compress_cutoff)
+        return op_sum_mpo(acc, n_sites, cutoff=compress_cutoff,
+                          phys_charges=charges)
 
     mpo = None
     for lo in range(0, len(terms), chunk):
         part = compile_chunk(terms[lo:lo + chunk])
         if mpo is None:
             mpo = part
+        elif symmetric:
+            from .u1 import compress_mpo_u1
+
+            mpo, _ = compress_mpo_u1(mpo_sum(mpo, part), charges,
+                                     cutoff=compress_cutoff,
+                                     max_bond=max_bond)
         else:
             comp, log_norm, _ = compress_mpo(
                 mpo_sum(mpo, part), max_bond=max_bond,
@@ -360,6 +373,39 @@ def chemistry_mpo(h1, eri, cutoff=1e-12, chunk=300, max_bond=None,
                 comp.cores, comp.left * jnp.exp(log_norm), comp.right
             )
     return mpo
+
+
+def chemistry_dmrg_u1(h1, eri, n_elec, bond_dim=32, sweeps=8, mpo=None,
+                      cutoff=1e-12, chunk=300, noise=1e-2, key=None):
+    """STRUCTURALLY particle-conserving chemistry DMRG.
+
+    The charge-masked route: the operator compiles charge-blocked
+    (channel-definite), the state lives on ``N = n_elec`` masks
+    (``cores * (1 - masks) == 0`` identically along the whole
+    optimization — no penalty, no leakage), and the sweeps warm-start
+    from the Hartree-Fock determinant's charge walk (random masked
+    seeds can stick on in-sector excited states; the determinant basin
+    fixes the observed triplet trap).
+
+    Returns ``(e_elec, mps, mpo, masks)``.
+    """
+    from .u1 import determinant_mps_u1, dmrg_u1, u1_bond_charges
+
+    m = np.asarray(h1).shape[0]
+    n_sites = 2 * m
+    if mpo is None:
+        mpo = chemistry_mpo(h1, eri, cutoff=cutoff, chunk=chunk,
+                            symmetric=True)
+    occ = np.zeros(n_sites, int)
+    occ[:n_elec] = 1
+    bond_charges = u1_bond_charges(n_sites, (0, 1), n_elec, bond_dim)
+    mps0 = determinant_mps_u1(occ, bond_charges, (0, 1), key=key,
+                              noise=noise)
+    mps, energy, _, masks = dmrg_u1(
+        mpo, n_elec, bond_dim, phys_charges=(0, 1), sweeps=sweeps,
+        mps0=mps0,
+    )
+    return float(energy), mps, mpo, masks
 
 
 # --------------------------------------------------------------------- #

@@ -242,6 +242,143 @@ def mpo_channel_charges(mpo, phys_charges):
     return out
 
 
+def compress_mpo_u1(mpo, phys_charges, cutoff=1e-12, max_bond=None):
+    """Charge-blocked MPO compression: SVD WITHIN charge classes.
+
+    A plain :func:`~contractn_tpu.models.canonical.compress_mpo` SVD
+    mixes virtual channels of different U(1) charge transfer, silently
+    destroying the channel-charge definiteness the masked solvers
+    require (observed: every compressed AutoMPO chemistry operator
+    failed :func:`mpo_channel_charges`).  Here the channel labels of
+    the input (definite by construction for finite-state machines) make
+    every bond matrix block-diagonal in charge — rows ``(w, a, b)``
+    carry ``c[w] - (q[a] - q[b])``, columns ``v`` carry ``c[v]``, and
+    only equal charges connect — so per-class SVDs compress exactly as
+    far with NO mixing.  Two passes (left QR-like rank pass, right
+    truncating pass, per-bond cutoff relative to the bond's global
+    largest singular value), host-side numpy like all MPO setup.
+
+    Returns ``(mpo, bond_charges)`` — the compressed operator (padded
+    uniform width; dead padded channels are all-zero and ignored by
+    :func:`mpo_channel_charges`) and the live per-bond charge labels
+    (list of ``(w_b,)`` int arrays, boundaries included).
+    """
+    c = mpo_channel_charges(mpo, phys_charges)
+    cores_in = np.asarray(mpo.cores)
+    n, do, di = cores_in.shape[0], cores_in.shape[1], cores_in.shape[2]
+    phys = _per_site(phys_charges, n)
+    dq = [np.subtract.outer(np.asarray(p), np.asarray(p))
+          for p in phys]  # dq[i][a, b] = q[a] - q[b]
+
+    sites = [cores_in[i] for i in range(n)]
+    sites[0] = np.einsum("w,abwv->abv", np.asarray(mpo.left),
+                         sites[0])[:, :, None, :]
+    sites[-1] = np.einsum("abwv,v->abw", sites[-1],
+                          np.asarray(mpo.right))[:, :, :, None]
+    charges = (
+        [np.zeros(1, np.int64)]
+        + [np.asarray(c[b], np.int64) for b in range(1, n)]
+        + [np.zeros(1, np.int64)]
+    )
+
+    def blocked_split(a, cl, cr, dqi, trunc):
+        """Factor ``a (do, di, L, R) = Q R`` per class; returns
+        ``(q_core, r_blocks, new_charges)`` with ``q_core`` left-
+        isometric per class.  ``trunc``: (cutoff, max_bond) or None."""
+        row_q = cl[None, None, :] - dqi[:, :, None]  # (do, di, L)
+        out_cols, out_charges, r_entries = [], [], []
+        svals_all = []
+        blocks = []
+        for q in np.unique(np.concatenate([row_q.ravel(), cr])):
+            rmask = row_q == q
+            cidx = np.nonzero(cr == q)[0]
+            if cidx.size == 0 or not rmask.any():
+                continue
+            mat = a[:, :, :, cidx][rmask, :]
+            u, s, vh = np.linalg.svd(mat, full_matrices=False)
+            blocks.append((q, rmask, cidx, u, s, vh))
+            svals_all.append(s)
+        if not blocks:
+            return None
+        smax = max((s[0] for _, _, _, _, s, _ in blocks if s.size),
+                   default=0.0)
+        keep = []
+        for q, rmask, cidx, u, s, vh in blocks:
+            k = s.size
+            if trunc is not None:
+                co, mb = trunc
+                k = int(np.sum(s > co * max(smax, 1e-300)))
+            k = max(k, 0)
+            keep.append((q, rmask, cidx, u[:, :k], s[:k], vh[:k]))
+        if trunc is not None and trunc[1] is not None:
+            # global top-max_bond across classes
+            allpairs = sorted(
+                [(s_val, bi, j) for bi, (_, _, _, _, s, _)
+                 in enumerate(keep) for j, s_val in enumerate(s)],
+                reverse=True,
+            )[:trunc[1]]
+            counts = {}
+            for _, bi, _ in allpairs:
+                counts[bi] = counts.get(bi, 0) + 1
+            keep = [
+                (q, rmask, cidx, u[:, :counts.get(bi, 0)],
+                 s[:counts.get(bi, 0)], vh[:counts.get(bi, 0)])
+                for bi, (q, rmask, cidx, u, s, vh) in enumerate(keep)
+            ]
+        keep = [blk for blk in keep if blk[4].size > 0]
+        width = sum(blk[4].size for blk in keep)
+        if width == 0:
+            return None
+        q_core = np.zeros(a.shape[:3] + (width,), a.dtype)
+        r_mat = np.zeros((width, a.shape[3]), a.dtype)
+        new_c = np.zeros(width, np.int64)
+        off = 0
+        for q, rmask, cidx, u, s, vh in keep:
+            k = s.size
+            q_core[:, :, :, off:off + k][rmask, :] = u
+            r_mat[off:off + k][:, cidx] = s[:, None] * vh
+            new_c[off:off + k] = q
+            off += k
+        return q_core, r_mat, new_c
+
+    # pass 1: left -> right, rank-revealing (no truncation)
+    for i in range(n - 1):
+        a = sites[i]
+        got = blocked_split(a, charges[i], charges[i + 1], dq[i], None)
+        if got is None:
+            raise ValueError("operator is identically zero")
+        q_core, r_mat, new_c = got
+        sites[i] = q_core
+        sites[i + 1] = np.einsum("kv,abvr->abkr", r_mat, sites[i + 1])
+        charges[i + 1] = new_c
+
+    # pass 2: right -> left, truncating (mirror via leg transposes)
+    for i in range(n - 1, 0, -1):
+        a = sites[i].transpose(0, 1, 3, 2)  # (do, di, R, L)
+        got = blocked_split(a, charges[i + 1], charges[i],
+                            -dq[i], (cutoff, max_bond))
+        if got is None:
+            raise ValueError("operator is identically zero")
+        q_core, r_mat, new_c = got
+        sites[i] = q_core.transpose(0, 1, 3, 2)
+        sites[i - 1] = np.einsum("ablv,kv->ablk", sites[i - 1], r_mat)
+        charges[i] = new_c
+
+    widths = [s.shape[2] for s in sites] + [1]
+    wmax = max(max(widths), 1)
+    out = np.zeros((n, do, di, wmax, wmax), cores_in.dtype)
+    for i in range(n):
+        out[i, :, :, :sites[i].shape[2], :sites[i].shape[3]] = sites[i]
+    left = np.zeros(wmax, cores_in.dtype)
+    left[0] = 1.0
+    right = np.zeros(wmax, cores_in.dtype)
+    right[0] = 1.0
+    return (
+        MPO(jnp.asarray(out), jnp.asarray(left), jnp.asarray(right)),
+        charges,
+    )
+
+
 def xxz_mpo_u1(n_sites, jx=1.0, jz=1.0, dtype=jnp.float64):
     """XXZ chain ``H = sum Jx (XX + YY) + Jz ZZ`` in S+/S- channels.
 
@@ -276,6 +413,47 @@ def random_masked_mps(key, masks, dtype=jnp.float64):
     cores = cores * masks.astype(dtype)
     e0 = jnp.zeros((bond,), dtype).at[0].set(1.0)
     return MPS(cores, e0, e0)
+
+
+def determinant_mps_u1(occupations, bond_charges, phys_charges,
+                       key=None, noise=1e-2, dtype=jnp.float64):
+    """Masked MPS seeded on a product determinant's charge walk.
+
+    Random masked inits can stick on in-sector excited states when the
+    two-site masked updates lack a connecting path (observed: the H2
+    chemistry sector ground reached from only 1 of 4 random seeds, the
+    other 3 converging to the degenerate triplet).  Seeding the
+    amplitude 1 walk of a physical determinant — each site's occupied
+    state bridging the accumulated-charge slots — puts the optimizer
+    in the right basin; ``noise`` (masked, so the sector stays exact)
+    keeps the local Lanczos solves from starting rank-deficient.
+    """
+    occ = np.asarray(occupations, int)
+    n = occ.shape[0]
+    phys = _per_site(phys_charges, n)
+    masks = u1_masks(bond_charges, phys_charges, dtype=dtype)
+    bond = masks.shape[-1]
+    cores = np.zeros((n, masks.shape[1], bond, bond))
+    q = 0
+    slot_prev = int(np.nonzero(np.asarray(bond_charges[0]) == 0)[0][0])
+    for i in range(n):
+        q_next = q + int(phys[i][occ[i]])
+        nxt = np.nonzero(np.asarray(bond_charges[i + 1]) == q_next)[0]
+        if nxt.size == 0:
+            raise ValueError(
+                f"determinant leaves the sector ladder at bond {i + 1} "
+                f"(charge {q_next} unallocated — raise bond_dim)"
+            )
+        slot = int(nxt[0])
+        cores[i, occ[i], slot_prev, slot] = 1.0
+        q, slot_prev = q_next, slot
+    key = key if key is not None else jax.random.PRNGKey(0)
+    out = jnp.asarray(cores, dtype)
+    if noise:
+        out = out + noise * jax.random.normal(
+            key, out.shape, dtype) * masks
+    e0 = jnp.zeros((bond,), dtype).at[0].set(1.0)
+    return MPS(out, e0, e0)
 
 
 def _split_masks(bond_charges, phys_charges):
@@ -372,7 +550,8 @@ def _dmrg_u1_jit(mpo, mps0, masks, split_masks, sweeps, iters,
 
 
 def dmrg_u1(mpo, total_charge, bond_dim, phys_charges=(1, -1),
-            sweeps=6, lanczos_iters=40, key=None, dtype=jnp.float64):
+            sweeps=6, lanczos_iters=40, key=None, dtype=jnp.float64,
+            mps0=None):
     """Exact-sector ground state by charge-masked uniform DMRG.
 
     Args:
@@ -396,7 +575,19 @@ def dmrg_u1(mpo, total_charge, bond_dim, phys_charges=(1, -1),
         n_sites, phys_charges, total_charge, bond_dim)
     masks = u1_masks(bond_charges, phys_charges, dtype=dtype)
     key = key if key is not None else jax.random.PRNGKey(0)
-    mps0 = random_masked_mps(key, masks, dtype=dtype)
+    if mps0 is None:
+        mps0 = random_masked_mps(key, masks, dtype=dtype)
+    else:
+        # user inits (e.g. determinant warm starts) must respect the
+        # sector masks — silently masking would hide caller bugs
+        cores = jnp.asarray(mps0.cores, dtype)
+        if float(jnp.max(jnp.abs(cores * (1.0 - masks)))) > 0.0:
+            raise ValueError(
+                "mps0 has support outside the sector masks; build it "
+                "on u1_bond_charges/u1_masks (see determinant_mps_u1)"
+            )
+        mps0 = MPS(cores, jnp.asarray(mps0.left, dtype),
+                   jnp.asarray(mps0.right, dtype))
     split_masks = _split_masks(bond_charges, phys_charges)
     mps, energy, energies = _dmrg_u1_jit(
         mpo, mps0, masks, split_masks, int(sweeps), int(lanczos_iters),

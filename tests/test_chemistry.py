@@ -106,6 +106,61 @@ def test_rdms_match_independent_fci_rdms():
     assert occ[0] > 1.9  # H2 at equilibrium is single-reference
 
 
+def test_charge_blocked_mpo_is_definite_and_dense_exact():
+    from contractn_tpu.models.autompo import op_sum_mpo
+    from contractn_tpu.models.u1 import mpo_channel_charges
+
+    S, hcore, eri, e_nuc = _h2()
+    _, C, _ = chem.restricted_hartree_fock(S, hcore, eri, 2)
+    h1, g = chem.mo_transform(hcore, eri, C)
+    ops = chem.chemistry_op_sum(h1, g)
+    blocked = op_sum_mpo(ops, 4, phys_charges=(0, 1))
+    mpo_channel_charges(blocked, (0, 1))  # raises if SVD mixed charges
+    plain = op_sum_mpo(ops, 4)
+    with pytest.raises(ValueError):
+        mpo_channel_charges(plain, (0, 1))  # the plain SVD DOES mix
+    assert np.max(np.abs(_mpo_dense(blocked, 4)
+                         - _mpo_dense(plain, 4))) < 1e-12
+
+
+def test_chemistry_dmrg_u1_is_structurally_conserving():
+    S, hcore, eri, e_nuc = _h2()
+    _, C, _ = chem.restricted_hartree_fock(S, hcore, eri, 2)
+    h1, g = chem.mo_transform(hcore, eri, C)
+    e, mps, _, masks = chem.chemistry_dmrg_u1(h1, g, 2, bond_dim=8,
+                                              sweeps=8)
+    assert abs(e - chem.fci_ground(h1, g, 2)) < 1e-10
+    leak = np.max(np.abs(np.asarray(mps.cores)
+                         * (1 - np.asarray(masks))))
+    assert leak == 0.0  # exact zeros, not epsilon
+
+
+def test_chemistry_dmrg_u1_holds_cation_sector_without_penalty():
+    # H3+: the requested 2-electron sector is NOT the Fock-space
+    # minimum; the masks hold it structurally where the plain DMRG
+    # needed the Sz penalty.
+    syms, xyz = chem.h_chain_geometry(3, 1.65)
+    basis, charges = chem.sto3g_basis(syms, xyz)
+    S, hcore, eri, e_nuc = chem.molecular_integrals(basis, charges, xyz)
+    _, C, _ = chem.restricted_hartree_fock(S, hcore, eri, 2)
+    h1, g = chem.mo_transform(hcore, eri, C)
+    e, mps, _, masks = chem.chemistry_dmrg_u1(h1, g, 2, bond_dim=16,
+                                              sweeps=8)
+    assert abs(e - chem.fci_ground(h1, g, 2)) < 1e-9
+    assert np.max(np.abs(np.asarray(mps.cores)
+                         * (1 - np.asarray(masks)))) == 0.0
+
+
+def _mpo_dense(mpo, n):
+    w = np.asarray(mpo.cores)
+    cur = np.einsum("w,abwv->abv", np.asarray(mpo.left), w[0])
+    for i in range(1, n):
+        dd = cur.shape[0]
+        cur = np.einsum("ABw,abwv->AaBbv", cur, w[i]).reshape(
+            2 * dd, 2 * dd, -1)
+    return np.einsum("ABv,v->AB", cur, np.asarray(mpo.right))
+
+
 def test_determinant_mps_is_exact_product_state():
     occ = np.array([1, 0, 1, 1])
     mps = chem.determinant_mps(occ, bond_dim=4)
