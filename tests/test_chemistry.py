@@ -151,6 +151,31 @@ def test_chemistry_dmrg_u1_holds_cation_sector_without_penalty():
                          * (1 - np.asarray(masks)))) == 0.0
 
 
+def test_excited_states_match_fci_sector_spectrum():
+    S, hcore, eri, e_nuc = _h2()
+    _, C, _ = chem.restricted_hartree_fock(S, hcore, eri, 2)
+    h1, g = chem.mo_transform(hcore, eri, C)
+    es, states = chem.chemistry_excited(h1, g, 2, 4, max_bond=8,
+                                        sweeps=6)
+    want = chem.fci_ground(h1, g, 2, k=4)
+    # singlet ground + threefold-degenerate triplet
+    assert np.max(np.abs(np.sort(es) - want)) < 1e-7
+    assert np.std(es[1:]) < 1e-7
+
+
+def test_orbital_ordering_is_spectrum_invariant():
+    syms, xyz = chem.h_chain_geometry(3, 1.65)
+    basis, charges = chem.sto3g_basis(syms, xyz)
+    S, hcore, eri, e_nuc = chem.molecular_integrals(basis, charges, xyz)
+    _, C, _ = chem.restricted_hartree_fock(S, hcore, eri, 2)
+    h1, g = chem.mo_transform(hcore, eri, C)
+    perm = chem.orbital_ordering(h1, g)
+    assert sorted(perm.tolist()) == [0, 1, 2]
+    h1p, gp = chem.permute_orbitals(h1, g, perm)
+    assert abs(chem.fci_ground(h1p, gp, 2)
+               - chem.fci_ground(h1, g, 2)) < 1e-10
+
+
 def _mpo_dense(mpo, n):
     w = np.asarray(mpo.cores)
     cur = np.einsum("w,abwv->abv", np.asarray(mpo.left), w[0])
