@@ -6,6 +6,10 @@ from .rs_dmrg import dmrg_realspace
 from .tp_dmrg import dmrg_uniform_tp, heff_matvec_tp
 from .pipeline import make_pipeline_train_step, pipeline_mps_forward
 from .sharded import sharded_mps_forward, segment_mps_forward
+from .spectra import (
+    cv_greens_function_sharded,
+    cv_spectral_function_sharded,
+)
 from .tp import make_tp_train_step, segment_mps_forward_3d
 from .training import (
     make_optax_train_step,
@@ -18,6 +22,8 @@ __all__ = [
     "make_mesh",
     "dmrg_ensemble_sharded",
     "ipeps_cell_scan_sharded",
+    "cv_greens_function_sharded",
+    "cv_spectral_function_sharded",
     "dmrg_realspace",
     "dmrg_uniform_tp",
     "heff_matvec_tp",

@@ -160,3 +160,34 @@ def test_ipeps_cell_scan_sharded_matches_vmap():
         np.testing.assert_allclose(np.asarray(got[k]),
                                    np.asarray(ref[k]),
                                    rtol=1e-8, atol=1e-10)
+
+
+def test_cv_spectra_sharded_matches_vmap():
+    import numpy as np
+    import jax
+    from contractn_tpu.models import dynamical as dyn
+    from contractn_tpu.models.dmrg import dmrg, tfim_mpo
+    from contractn_tpu.models.mps import MPS
+    from contractn_tpu.parallel import cv_greens_function_sharded
+    from contractn_tpu.parallel.mesh import make_mesh
+
+    n = 6
+    mpo = tfim_mpo(n, h=1.2)
+    gs, e0, _ = dmrg(
+        mpo, MPS.random(jax.random.PRNGKey(0), n, 2, 8,
+                        dtype=np.float64),
+        max_bond=8, sweeps=3,
+    )
+    z = np.diag([1.0, -1.0])
+    omegas = np.linspace(0.0, 4.0, 8)
+    kw = dict(max_bond=10, sweeps=4, cg_iters=32)
+    g_bat = dyn.cv_greens_function_batched(mpo, gs, e0, z, 2, omegas,
+                                           0.4, **kw)
+    mesh = make_mesh({"dp": 8})
+    g_sh = cv_greens_function_sharded(mesh, mpo, gs, e0, z, 2, omegas,
+                                      0.4, **kw)
+    assert np.max(np.abs(g_sh - g_bat)) < 1e-10
+
+    with __import__("pytest").raises(ValueError):
+        cv_greens_function_sharded(mesh, mpo, gs, e0, z, 2,
+                                   omegas[:5], 0.4, **kw)
