@@ -107,9 +107,25 @@ def snake_index(r, c, lx):
     return r * lx + (c if r % 2 == 0 else lx - 1 - c)
 
 
-def fermion2d_mpo(lx, ly, t=1.0, mu=0.0, delta=0.0, dtype=jnp.float64):
-    """Snake-JW MPO of 2D spinless fermions on the open ``lx x ly``
-    lattice:
+def _neighbors_2d(r, c, lx, ly, periodic_x):
+    """Forward neighbor pairs of ``(r, c)`` incl. the optional x-wrap.
+
+    The wrap bond ``(r, lx-1) - (r, 0)`` makes the lattice a CYLINDER
+    (periodic around x, open along y) — the geometry 2D DMRG actually
+    runs on.  ``lx >= 3`` required when periodic (lx = 2 would double
+    the same bond)."""
+    out = [(r, c + 1), (r + 1, c)]
+    if periodic_x and c == lx - 1:
+        out[0] = (r, 0)
+    elif not periodic_x and c + 1 >= lx:
+        out = out[1:]
+    return [(r2, c2) for (r2, c2) in out if r2 < ly and c2 < lx]
+
+
+def fermion2d_mpo(lx, ly, t=1.0, mu=0.0, delta=0.0, dtype=jnp.float64,
+                  periodic_x=False):
+    """Snake-JW MPO of 2D spinless fermions on the ``lx x ly`` lattice
+    (open, or a CYLINDER with ``periodic_x=True``):
 
         ``H = -t sum_<ij> (c^d_i c_j + h.c.)
               + delta sum_<ij> (c^d_i c^d_j + h.c.)  - mu sum_i n_i``
@@ -117,16 +133,18 @@ def fermion2d_mpo(lx, ly, t=1.0, mu=0.0, delta=0.0, dtype=jnp.float64):
     ``delta = 0`` is free tight-binding; ``delta != 0`` the 2D
     (s-wave-signed p-wave-like) BdG model — both quadratic, so
     :func:`free_fermion_energy_2d` gives the exact ground energy.
+    The wrap bonds are ordinary string terms (any ``m < n`` pair rides
+    the same JW construction as the multi-site vertical bonds).
     """
+    if periodic_x and lx < 3:
+        raise ValueError("periodic_x needs lx >= 3")
     terms = []
     onsite = []
     for r in range(ly):
         for c in range(lx):
             i = snake_index(r, c, lx)
             onsite.append((i, -mu * 0.5 * (_I2 + _Z)))
-            for (r2, c2) in ((r, c + 1), (r + 1, c)):
-                if r2 >= ly or c2 >= lx:
-                    continue
+            for (r2, c2) in _neighbors_2d(r, c, lx, ly, periodic_x):
                 j = snake_index(r2, c2, lx)
                 m, n = (i, j) if i < j else (j, i)
                 # c^d_m c_n + c^d_n c_m = -(S+ Z.. S- + S- Z.. S+)
@@ -142,7 +160,8 @@ def fermion2d_mpo(lx, ly, t=1.0, mu=0.0, delta=0.0, dtype=jnp.float64):
     return string_mpo(lx * ly, terms, onsite=onsite, dtype=dtype)
 
 
-def free_fermion_energy_2d(lx, ly, t=1.0, mu=0.0, delta=0.0):
+def free_fermion_energy_2d(lx, ly, t=1.0, mu=0.0, delta=0.0,
+                           periodic_x=False):
     """Exact ground energy of :func:`fermion2d_mpo`'s Hamiltonian.
 
     Free case: fill the negative single-particle modes of the hopping
@@ -156,9 +175,7 @@ def free_fermion_energy_2d(lx, ly, t=1.0, mu=0.0, delta=0.0):
         for c in range(lx):
             i = snake_index(r, c, lx)
             h[i, i] += -mu
-            for (r2, c2) in ((r, c + 1), (r + 1, c)):
-                if r2 >= ly or c2 >= lx:
-                    continue
+            for (r2, c2) in _neighbors_2d(r, c, lx, ly, periodic_x):
                 j = snake_index(r2, c2, lx)
                 h[i, j] += -t
                 h[j, i] += -t

@@ -33,7 +33,7 @@ def _mpo_dense(mpo, n):
     return np.einsum("ABv,v->AB", cur, np.asarray(mpo.right))
 
 
-def _fock_oracle(lx, ly, t, mu, delta):
+def _fock_oracle(lx, ly, t, mu, delta, periodic_x=False):
     n = lx * ly
     sm = np.array([[0.0, 0.0], [1.0, 0.0]])
     z = np.diag([1.0, -1.0])
@@ -50,9 +50,8 @@ def _fock_oracle(lx, ly, t, mu, delta):
         for c in range(lx):
             i = snake_index(r, c, lx)
             h += -mu * (cs[i].T @ cs[i])
-            for (r2, c2) in ((r, c + 1), (r + 1, c)):
-                if r2 >= ly or c2 >= lx:
-                    continue
+            from contractn_tpu.models.fermions2d import _neighbors_2d
+            for (r2, c2) in _neighbors_2d(r, c, lx, ly, periodic_x):
                 j = snake_index(r2, c2, lx)
                 h += -t * (cs[i].T @ cs[j] + cs[j].T @ cs[i])
                 h += delta * (cs[i].T @ cs[j].T + cs[j] @ cs[i])
@@ -105,3 +104,33 @@ def test_fermion2d_dmrg_bdg_matches_bogoliubov():
                       dtype=jnp.float64)
     _, e, _ = dmrg_uniform(mpo, mps0, sweeps=8, lanczos_iters=30)
     assert abs(float(e) - e_exact) < 1e-6, (float(e), e_exact)
+
+
+def test_fermion2d_cylinder_mpo_equals_fock_oracle():
+    """x-periodic wrap bonds: the JW string construction stays exact
+    (the wrap is just another m < n string term)."""
+    for (lx, ly, t, mu, delta) in [(3, 2, 1.0, 0.7, 0.0),
+                                   (3, 2, 1.0, 0.5, 0.6),
+                                   (3, 3, 1.0, 0.3, 0.4)]:
+        hf = _fock_oracle(lx, ly, t, mu, delta, periodic_x=True)
+        hm = _mpo_dense(
+            fermion2d_mpo(lx, ly, t, mu, delta, periodic_x=True),
+            lx * ly)
+        assert np.abs(hf - hm).max() < 1e-13, (lx, ly, delta)
+        e_ed = float(np.linalg.eigvalsh(hf)[0])
+        e_q = free_fermion_energy_2d(lx, ly, t, mu, delta,
+                                     periodic_x=True)
+        assert abs(e_ed - e_q) < 1e-12
+
+
+def test_fermion2d_cylinder_dmrg_matches_band_filling():
+    """4x3 CYLINDER free fermions: DMRG == negative-mode filling —
+    the quasi-2D geometry DMRG is actually used for."""
+    lx, ly, mu = 4, 3, 0.8
+    mpo = fermion2d_mpo(lx, ly, 1.0, mu, 0.0, periodic_x=True)
+    e_exact = free_fermion_energy_2d(lx, ly, 1.0, mu, 0.0,
+                                     periodic_x=True)
+    mps0 = MPS.random(jax.random.PRNGKey(0), lx * ly, 2, 32,
+                      dtype=jnp.float64)
+    _, e, _ = dmrg_uniform(mpo, mps0, sweeps=7, lanczos_iters=30)
+    assert abs(float(e) - e_exact) < 1e-4, (float(e), e_exact)
