@@ -214,7 +214,7 @@ def _site_factors(coef, resolved, sites, d):
 
 
 def op_sum_mpo(opsum, n_sites, d=2, ops=None, cutoff=1e-12, dtype=None,
-               phys_charges=None):
+               phys_charges=None, compress=True):
     """Compile an :class:`OpSum` to a compressed :class:`MPO`.
 
     Args:
@@ -316,6 +316,22 @@ def op_sum_mpo(opsum, n_sites, d=2, ops=None, cutoff=1e-12, dtype=None,
     right[1] = 1.0
     naive = MPO(jnp.asarray(stacked), jnp.asarray(left),
                 jnp.asarray(right))
+
+    if not compress:
+        # Triangular automaton form (done channel LAST, boundary
+        # vectors e_0 / e_last) — what the W^II propagator builder
+        # requires; any SVD compression would destroy triangularity.
+        perm = np.concatenate([[0], np.arange(2, wmax), [1]])
+        tri = stacked[:, :, :, perm][:, :, :, :, perm]
+        el = np.zeros((wmax,), np_dt)
+        el[0] = 1.0
+        er = np.zeros((wmax,), np_dt)
+        er[-1] = 1.0
+        out = MPO(jnp.asarray(tri), jnp.asarray(el), jnp.asarray(er))
+        if dtype is not None:
+            return MPO(out.cores.astype(dtype), out.left.astype(dtype),
+                       out.right.astype(dtype))
+        return out
 
     if phys_charges is not None:
         from .u1 import compress_mpo_u1

@@ -55,7 +55,7 @@ import jax.numpy as jnp
 from .autompo import OpSum, op_sum_mpo
 from .canonical import compress_mpo
 from .dmrg import dmrg
-from .mpo import mpo_sum
+from .mpo import MPO, mpo_sum
 from .mps import MPS
 
 __all__ = [
@@ -70,6 +70,13 @@ __all__ = [
     "chemistry_mpo",
     "determinant_mps",
     "chemistry_dmrg",
+    "chemistry_dmrg_u1",
+    "chemistry_excited",
+    "chemistry_thermal",
+    "ancilla_lift_mpo",
+    "infinite_temperature_purification",
+    "orbital_ordering",
+    "permute_orbitals",
     "fci_ground",
     "fci_rdms",
     "one_rdm",
@@ -614,6 +621,92 @@ def natural_occupations(mps):
     """Eigenvalues of the spin-traced 1-RDM, descending (sum = N)."""
     w = np.linalg.eigvalsh(one_rdm(mps))
     return w[::-1]
+
+
+# --------------------------------------------------------------------- #
+# Finite temperature (grand-canonical purification)                      #
+# --------------------------------------------------------------------- #
+
+def ancilla_lift_mpo(mpo):
+    """Lift a system MPO onto the interleaved purification chain.
+
+    System site ``k`` maps to position ``2k``; position ``2k + 1`` is
+    its ancilla, which gets an identity core in EVERY virtual channel.
+    That single rule also settles the fermionic bookkeeping: a JW
+    string channel crossing an ancilla carries identity there instead
+    of its ``Z`` fill — i.e. the string runs over SYSTEM modes only,
+    which is exactly the algebra of operators that do not act on the
+    ancilla register.
+    """
+    cores = jnp.asarray(mpo.cores)
+    n, d, _, w, _ = cores.shape
+    eye = jnp.broadcast_to(
+        jnp.eye(d, dtype=cores.dtype)[None, :, :, None, None]
+        * jnp.eye(w, dtype=cores.dtype)[None, None, None, :, :],
+        (n, d, d, w, w),
+    )
+    lifted = jnp.stack([cores, eye], axis=1).reshape(2 * n, d, d, w, w)
+    return MPO(lifted, mpo.left, mpo.right)
+
+
+def infinite_temperature_purification(n_sites, d=2,
+                                      dtype=jnp.float64):
+    """``(sum_s |s>|s> / sqrt(d))^n`` on the interleaved chain — the
+    identity density matrix's purification, the beta = 0 state."""
+    bond = d
+    cores = np.zeros((2 * n_sites, d, bond, bond))
+    for k in range(n_sites):
+        for s in range(d):
+            cores[2 * k, s, 0, s] = 1.0 / np.sqrt(d)
+            cores[2 * k + 1, s, s, 0] = 1.0
+    e0 = np.zeros(bond)
+    e0[0] = 1.0
+    return MPS(jnp.asarray(cores, dtype), jnp.asarray(e0, dtype),
+               jnp.asarray(e0, dtype))
+
+
+def chemistry_thermal(h1, eri, beta, mu=0.0, max_bond=32, n_steps=40,
+                      mpo=None, cutoff=1e-12, chunk=300):
+    """Grand-canonical thermal state ``rho ~ exp(-beta (H - mu N))``.
+
+    Purification route: the interleaved ancilla chain starts at the
+    beta = 0 maximally entangled product and evolves by
+    ``exp(-beta K / 2)`` with the W^II propagator of the LIFTED
+    grand-canonical operator (one MPO — chemistry's long-range terms
+    rule out TEBD).  Expectations of system observables are Rayleigh
+    quotients of their lifted MPOs.
+
+    Returns ``(energy, n_elec, psi, h_lifted)`` — ``<H>_beta`` (bare
+    H, no mu term), ``<N>_beta``, the purification MPS, and the lifted
+    Hamiltonian for further measurements.
+    """
+    from .mpo_evolution import mpo_evolve
+
+    h1 = np.asarray(h1)
+    m = h1.shape[0]
+    if mpo is None:
+        mpo = chemistry_mpo(h1, eri, cutoff=cutoff, chunk=chunk)
+    h_lift = ancilla_lift_mpo(mpo)
+    # grand-canonical generator: K = H - mu N.  The W^II builder needs
+    # the TRIANGULAR automaton (compress=False) — compression destroys
+    # the upper-triangular channel structure it decomposes.  Fine up
+    # to ~4 orbitals (naive FSM width ~ #terms); larger systems need a
+    # triangularity-preserving deparallelisation pass.
+    k_op = chemistry_op_sum(h1 - mu * np.eye(m), eri, cutoff=cutoff)
+    k_mpo = op_sum_mpo(k_op, 2 * m, compress=False)
+    k_lift = ancilla_lift_mpo(k_mpo)
+
+    n_ops = OpSum()
+    for p in range(2 * m):
+        n_ops.add(1.0, "N", p)
+    n_lift = ancilla_lift_mpo(op_sum_mpo(n_ops, 2 * m))
+
+    psi = infinite_temperature_purification(2 * m)
+    psi = mpo_evolve(psi, k_lift, beta / 2.0, n_steps, imag=True,
+                     max_bond=max_bond)
+    from .mpo import rayleigh
+
+    return (rayleigh(h_lift, psi), rayleigh(n_lift, psi), psi, h_lift)
 
 
 # --------------------------------------------------------------------- #

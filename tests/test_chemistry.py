@@ -176,6 +176,74 @@ def test_orbital_ordering_is_spectrum_invariant():
                - chem.fci_ground(h1, g, 2)) < 1e-10
 
 
+def test_thermal_chemistry_matches_dense_grand_canonical():
+    S, hcore, eri, e_nuc = _h2()
+    _, C, _ = chem.restricted_hartree_fock(S, hcore, eri, 2)
+    h1, g = chem.mo_transform(hcore, eri, C)
+
+    def dense_thermal(beta, mu):
+        m = 2
+        ham = np.zeros((16, 16))
+        nop = np.zeros((16, 16))
+        terms = [
+            (h1[p, q], [("cdag", 2 * p + s), ("c", 2 * q + s)])
+            for p in range(m) for q in range(m) for s in (0, 1)
+        ]
+        for p in range(m):
+            for q in range(m):
+                for r in range(m):
+                    for s_ in range(m):
+                        gv = g[p, q, r, s_]
+                        if abs(gv) < 1e-14:
+                            continue
+                        for sg in (0, 1):
+                            for tu in (0, 1):
+                                i1, i2 = 2 * p + sg, 2 * r + tu
+                                i3, i4 = 2 * s_ + tu, 2 * q + sg
+                                if i1 == i2 or i3 == i4:
+                                    continue
+                                terms.append(
+                                    (0.5 * gv,
+                                     [("cdag", i1), ("cdag", i2),
+                                      ("c", i3), ("c", i4)])
+                                )
+        for det in range(16):
+            for coef, ops in terms:
+                hit = chem._apply_ops(ops, det)
+                if hit:
+                    ham[hit[1], det] += hit[0] * coef
+            nop[det, det] = det.bit_count()
+        kmat = ham - mu * nop
+        w, v = np.linalg.eigh(kmat)
+        rho = np.einsum("ik,k,jk->ij", v, np.exp(-beta * (w - w.min())),
+                        v)
+        rho /= np.trace(rho)
+        return (np.einsum("ij,ji->", ham, rho),
+                np.einsum("ij,ji->", nop, rho))
+
+    for beta, mu, tol in ((0.5, 0.0, 5e-5), (1.0, -2.0, 5e-5)):
+        e, n, psi, _ = chem.chemistry_thermal(h1, g, beta, mu=mu,
+                                              max_bond=16, n_steps=20)
+        ed, nd = dense_thermal(beta, mu)
+        assert abs(e - ed) < tol, (beta, mu, e, ed)
+        assert abs(n - nd) < tol, (beta, mu, n, nd)
+
+
+def test_op_sum_mpo_triangular_form_is_dense_exact():
+    from contractn_tpu.models.autompo import op_sum_mpo
+
+    S, hcore, eri, e_nuc = _h2()
+    _, C, _ = chem.restricted_hartree_fock(S, hcore, eri, 2)
+    h1, g = chem.mo_transform(hcore, eri, C)
+    ops = chem.chemistry_op_sum(h1, g)
+    tri = op_sum_mpo(ops, 4, compress=False)
+    ref = op_sum_mpo(ops, 4)
+    assert np.max(np.abs(_mpo_dense(tri, 4) - _mpo_dense(ref, 4))) \
+        < 1e-12
+    # triangular contract: boundary vectors are e_0 / e_last
+    assert float(tri.left[0]) == 1.0 and float(tri.right[-1]) == 1.0
+
+
 def _mpo_dense(mpo, n):
     w = np.asarray(mpo.cores)
     cur = np.einsum("w,abwv->abv", np.asarray(mpo.left), w[0])
