@@ -688,12 +688,14 @@ def chemistry_thermal(h1, eri, beta, mu=0.0, max_bond=32, n_steps=40,
         mpo = chemistry_mpo(h1, eri, cutoff=cutoff, chunk=chunk)
     h_lift = ancilla_lift_mpo(mpo)
     # grand-canonical generator: K = H - mu N.  The W^II builder needs
-    # the TRIANGULAR automaton (compress=False) — compression destroys
-    # the upper-triangular channel structure it decomposes.  Fine up
-    # to ~4 orbitals (naive FSM width ~ #terms); larger systems need a
-    # triangularity-preserving deparallelisation pass.
+    # the TRIANGULAR automaton (compress=False) — SVD compression
+    # destroys the channel structure it decomposes — so the naive FSM
+    # is reduced by EXACT deparallelisation instead (triangularity-
+    # preserving; H2's 22-channel FSM lands at W = 8).
+    from .mpo import deparallelize_mpo
+
     k_op = chemistry_op_sum(h1 - mu * np.eye(m), eri, cutoff=cutoff)
-    k_mpo = op_sum_mpo(k_op, 2 * m, compress=False)
+    k_mpo = deparallelize_mpo(op_sum_mpo(k_op, 2 * m, compress=False))
     k_lift = ancilla_lift_mpo(k_mpo)
 
     n_ops = OpSum()

@@ -185,6 +185,131 @@ def mpo_sum(m1, m2):
     return MPO(cores, left, right)
 
 
+def deparallelize_mpo(mpo, tol=1e-12, max_passes=8):
+    """EXACT bond reduction that preserves the triangular automaton.
+
+    SVD compression reaches smaller bonds but destroys the
+    ``[I C D; 0 A B; 0 0 I]`` channel structure the W^II propagator
+    builder requires; deparallelisation (Hubig-McCulloch-Schollwoeck)
+    merges PARALLEL virtual channels instead — drop zero columns,
+    fold ``col_j = c * col_k`` into ``col_k`` by adding ``c x row_j``
+    into the next core's ``row_k`` — which is exact and keeps the
+    form.  The first/last identity channels are always kept, and
+    nothing merges INTO the last column (forward) or the first row
+    (backward): that would write term content into the closed
+    identity channels.
+
+    Alternating forward/backward passes until stable.  The naive
+    one-channel-per-term finite-state machines of ``op_sum_mpo(...,
+    compress=False)`` reduce to their minimal automata (the
+    Heisenberg chain's 23-channel FSM lands on the textbook W = 5).
+    """
+    cores_in = np.asarray(mpo.cores)
+    n, do, di, wmax, _ = cores_in.shape
+    left = np.asarray(mpo.left)
+    right = np.asarray(mpo.right)
+    if abs(left[0] - 1.0) > 1e-12 or np.any(left[1:] != 0):
+        raise ValueError("deparallelize_mpo expects left boundary e_0")
+    if abs(right[-1] - 1.0) > 1e-12 or np.any(right[:-1] != 0):
+        raise ValueError(
+            "deparallelize_mpo expects right boundary e_last")
+    sites = [cores_in[i] for i in range(n)]
+    # fold the boundary vectors into width-1 edges: bond 0 carries only
+    # the start channel, bond n only the done channel — dead edge
+    # rows/columns would otherwise keep interior channels alive
+    sites[0] = sites[0][:, :, :1, :]
+    sites[-1] = sites[-1][:, :, :, -1:]
+
+    def fwd_bond(a, b):
+        """Dedup columns of ``a``; returns (a', b') or None."""
+        wr = a.shape[3]
+        cols = a.reshape(-1, wr)
+        kept = [0]
+        trans = {0: (0, 1.0)}  # old index -> (kept position, coeff)
+        for v in range(1, wr - 1):
+            c = cols[:, v]
+            nc = np.linalg.norm(c)
+            if nc <= tol:
+                trans[v] = None
+                continue
+            hit = None
+            for pos, k in enumerate(kept):
+                if k == wr - 1:
+                    continue  # never merge into the done channel
+                kc = cols[:, k]
+                coef = np.vdot(kc, c) / np.vdot(kc, kc)
+                if np.linalg.norm(c - coef * kc) <= tol * nc:
+                    hit = (pos, coef)
+                    break
+            if hit is None:
+                trans[v] = (len(kept), 1.0)
+                kept.append(v)
+            else:
+                trans[v] = hit
+        trans[wr - 1] = (len(kept), 1.0)
+        kept.append(wr - 1)
+        if len(kept) == wr:
+            return None
+        a2 = a[:, :, :, kept]
+        b2 = np.zeros((b.shape[0], b.shape[1], len(kept), b.shape[3]),
+                      b.dtype)
+        for v, hit in trans.items():
+            if hit is None:
+                continue
+            pos, coef = hit
+            b2[:, :, pos, :] += coef * b[:, :, v, :]
+        return a2, b2
+
+    def transpose_site(a):
+        return a.transpose(0, 1, 3, 2)
+
+    for _ in range(max_passes):
+        changed = False
+        for i in range(n - 1):
+            got = fwd_bond(sites[i], sites[i + 1])
+            if got is not None:
+                sites[i], sites[i + 1] = got
+                changed = True
+        for i in range(n - 1, 0, -1):
+            # backward = forward on the leg-transposed pair, which
+            # swaps the roles: rows of site i dedup into the columns
+            # of site i-1; the "done" guard then protects row 0, so
+            # reverse the channel order first (0 <-> last)
+            a = transpose_site(sites[i])[:, :, :, ::-1]
+            b = transpose_site(sites[i - 1])[:, :, ::-1, :]
+            got = fwd_bond(a, b)
+            if got is not None:
+                a2, b2 = got
+                sites[i] = transpose_site(a2[:, :, :, ::-1])
+                sites[i - 1] = transpose_site(b2[:, :, ::-1, :])
+                changed = True
+        if not changed:
+            break
+
+    widths = [sites[0].shape[2]] + [s.shape[3] for s in sites]
+    w2 = max(max(widths), 2)
+
+    def pos_map(bond, k):
+        # bond 0 = [start]; bond n = [done]; internal = [start,
+        # interiors.., done] with done pinned at the LAST padded slot
+        if bond == 0:
+            return np.array([0])
+        if bond == n:
+            return np.array([w2 - 1])
+        return np.concatenate([np.arange(k - 1), [w2 - 1]])
+
+    out = np.zeros((n, do, di, w2, w2), cores_in.dtype)
+    for i, s in enumerate(sites):
+        pl = pos_map(i, s.shape[2])
+        pr = pos_map(i + 1, s.shape[3])
+        out[i][:, :, pl[:, None], pr[None, :]] = s
+    el = np.zeros(w2, cores_in.dtype)
+    el[0] = 1.0
+    er = np.zeros(w2, cores_in.dtype)
+    er[-1] = 1.0
+    return MPO(jnp.asarray(out), jnp.asarray(el), jnp.asarray(er))
+
+
 def mpo_dagger(mpo):
     """Hermitian adjoint ``O^+``: conjugate cores, swap the physical
     legs.  Virtual bonds keep their orientation, so the adjoint of a

@@ -265,3 +265,33 @@ def test_determinant_mps_is_exact_product_state():
     dense = np.zeros(16)
     dense[int("".join(map(str, occ)), 2)] = 1.0
     assert np.allclose(vec, dense)
+
+
+def test_deparallelize_mpo_preserves_triangular_form():
+    from contractn_tpu.models.autompo import op_sum_mpo
+    from contractn_tpu.models.mpo import deparallelize_mpo
+    from contractn_tpu.models.mpo_evolution import wii_mpo
+
+    S, hcore, eri, e_nuc = _h2()
+    _, C, _ = chem.restricted_hartree_fock(S, hcore, eri, 2)
+    h1, g = chem.mo_transform(hcore, eri, C)
+    fsm = op_sum_mpo(chem.chemistry_op_sum(h1, g), 4, compress=False)
+    dep = deparallelize_mpo(fsm)
+    # exact, much thinner, and still the triangular automaton W^II needs
+    assert dep.cores.shape[-1] < fsm.cores.shape[-1] // 2
+    assert np.max(np.abs(_mpo_dense(dep, 4) - _mpo_dense(fsm, 4))) \
+        < 1e-12
+    wii_mpo(dep, -0.05)  # raises if the form is broken
+
+    # NN FSMs are already minimal: deparallelisation is a no-op there
+    ops = chem.OpSum() if hasattr(chem, "OpSum") else None
+    from contractn_tpu.models.autompo import OpSum
+
+    ops = OpSum()
+    for i in range(5):
+        ops.add(1.0, "Sz", i, "Sz", i + 1)
+    nn = op_sum_mpo(ops, 6, compress=False)
+    dep2 = deparallelize_mpo(nn)
+    assert dep2.cores.shape[-1] == nn.cores.shape[-1]
+    assert np.max(np.abs(_mpo_dense(dep2, 6) - _mpo_dense(nn, 6))) \
+        < 1e-13
