@@ -162,6 +162,12 @@ class Node:
 
         Raises if the mode is already bonded to a core node.
         """
+        n_modes = len(self.edge_names)
+        if not -n_modes <= idx < n_modes:
+            raise TNError(
+                f"Mode index {idx} out of range for node "
+                f"'{self.name}' with {n_modes} modes"
+            )
         edge_id = self.edge_names[idx]
         other = edge_id[1] if edge_id[0] == self.name else edge_id[0]
         if not self.tn._nodes[other].dangler:

@@ -236,6 +236,11 @@ def test_connect_rejects_bonded_mode_and_dim_mismatch():
         tn.connect_nodes(a, c, 1, 1)  # mode 1 of a already bonded
     with pytest.raises(TNError):
         tn.connect_nodes(b, c, 1, 1)  # 4 vs 2
+    # out-of-range mode index is a typed error too (a raw IndexError
+    # used to leak from the dangler lookup); negative indices stay legal
+    with pytest.raises(TNError):
+        tn.connect_nodes(a, c, 99, 0)
+    tn.connect_nodes(b, c, -1, 0)  # -1 == mode 1 of b (dim 4)
 
 
 def test_bond_dim_resolution_with_variable_modes():
