@@ -77,6 +77,9 @@ __all__ = [
     "infinite_temperature_purification",
     "orbital_ordering",
     "permute_orbitals",
+    "one_body_mpo",
+    "transition_element",
+    "oscillator_strengths",
     "fci_ground",
     "fci_rdms",
     "one_rdm",
@@ -540,6 +543,72 @@ def chemistry_excited(h1, eri, n_elec, n_states, max_bond=32, sweeps=8,
                              sweeps=sweeps, key=key)
     energies = [rayleigh(h_mpo, s) for s in states]
     return np.asarray(energies), states
+
+
+# --------------------------------------------------------------------- #
+# Transition properties                                                  #
+# --------------------------------------------------------------------- #
+
+def one_body_mpo(h1, cutoff=1e-12):
+    """Spin-summed one-body operator ``sum_pq,s h_pq a+_ps a_qs`` as an
+    MPO on the interleaved spin-orbital chain (e.g. a dipole component
+    in the MO basis — the operator behind UV transition moments)."""
+    h1 = np.asarray(h1)
+    m = h1.shape[0]
+    acc = OpSum()
+    for p in range(m):
+        for q in range(m):
+            if abs(h1[p, q]) <= cutoff:
+                continue
+            for sg in (0, 1):
+                acc.add(h1[p, q], "Cdag", 2 * p + sg, "C", 2 * q + sg)
+    return op_sum_mpo(acc, 2 * m)
+
+
+def transition_element(mpo, bra, ket):
+    """Normalized cross-state sandwich ``<bra|O|ket> / (|bra| |ket|)``.
+
+    The MPO is applied exactly (bond ``W * D``) and paired against the
+    bra with the stabilized overlap — combining the split-format log
+    registers before exponentiating, as everywhere else.
+    """
+    from .boundary import apply_mpo_to_mps
+
+    phi = apply_mpo_to_mps(mpo, ket)
+    num_v, num_l = bra.inner(phi)
+    nb_v, nb_l = bra.norm_squared()
+    nk_v, nk_l = ket.norm_squared()
+    scale = float(jnp.exp(num_l - 0.5 * (nb_l + nk_l)))
+    return float(jnp.real(num_v / jnp.sqrt(nb_v * nk_v))) * scale
+
+
+def oscillator_strengths(energies, states, d_mo):
+    """Length-gauge oscillator strengths from the ground state.
+
+    ``f_n = (2/3) (E_n - E_0) sum_c |<0| r_c |n>|^2`` with the MO-basis
+    dipole matrices ``d_mo (3, M, M)`` (from
+    :func:`~contractn_tpu.models.gaussians.dipole_integrals` rotated
+    with the MO coefficients).  The overall sign/phase of each MPS is a
+    gauge; only ``|t|^2`` enters.  Spin selection comes out
+    structurally: the spin-summed dipole operator cannot connect the
+    singlet ground state to Sz=0 triplets, so those strengths vanish.
+
+    Returns ``(f, tdip)``: strengths ``(n_states,)`` (``f[0] = 0``) and
+    transition moments ``tdip (n_states, 3)``.
+    """
+    d_mo = np.asarray(d_mo)
+    # identically-zero components (molecular symmetry axes) contribute
+    # nothing — and have no operator to compile
+    live = [c for c in range(3) if np.abs(d_mo[c]).max() > 1e-12]
+    mpos = {c: one_body_mpo(d_mo[c]) for c in live}
+    ground = states[0]
+    tdip = np.zeros((len(states), 3))
+    for n, state in enumerate(states[1:], start=1):
+        for c in live:
+            tdip[n, c] = transition_element(mpos[c], ground, state)
+    de = np.asarray(energies) - energies[0]
+    f = (2.0 / 3.0) * de * np.sum(tdip**2, axis=1)
+    return f, tdip
 
 
 # --------------------------------------------------------------------- #

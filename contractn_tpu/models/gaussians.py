@@ -384,9 +384,19 @@ def sto3g_shell_basis(symbols, centers):
 # Contracted molecular integrals                                         #
 # --------------------------------------------------------------------- #
 
+def _as_shell(entry):
+    """Accept both basis layouts: the s-only 3-tuples of
+    :func:`chemistry.sto3g_basis` (implicit ``lmn = (0,0,0)``) and this
+    module's 4-tuples."""
+    if len(entry) == 3:
+        cen, alphas, coeffs = entry
+        return np.asarray(cen, float), (0, 0, 0), alphas, coeffs
+    return entry
+
+
 def _pair_sum(f, b1, b2):
-    c1, l1, a1, d1 = b1
-    c2, l2, a2, d2 = b2
+    c1, l1, a1, d1 = _as_shell(b1)
+    c2, l2, a2, d2 = _as_shell(b2)
     val = 0.0
     for a, da in zip(a1, d1):
         for b, db in zip(a2, d2):
@@ -430,10 +440,10 @@ def molecular_integrals_general(basis, charges, centers):
                 for l2 in range(k + 1):
                     if done[i, j, k, l2]:
                         continue
-                    ci, li, ai, di = basis[i]
-                    cj, lj, aj, dj = basis[j]
-                    ck, lk, ak, dk = basis[k]
-                    cl, ll, al, dl = basis[l2]
+                    ci, li, ai, di = _as_shell(basis[i])
+                    cj, lj, aj, dj = _as_shell(basis[j])
+                    ck, lk, ak, dk = _as_shell(basis[k])
+                    cl, ll, al, dl = _as_shell(basis[l2])
                     val = 0.0
                     for a, da in zip(ai, di):
                         for b, db in zip(aj, dj):
@@ -485,8 +495,8 @@ def dipole_integrals(basis, origin=(0.0, 0.0, 0.0)):
     out = np.zeros((3, m, m))
     for i in range(m):
         for j in range(i, m):
-            ci, li, ai, di = basis[i]
-            cj, lj, aj, dj = basis[j]
+            ci, li, ai, di = _as_shell(basis[i])
+            cj, lj, aj, dj = _as_shell(basis[j])
             acc = np.zeros(3)
             for a, da in zip(ai, di):
                 for b, db in zip(aj, dj):

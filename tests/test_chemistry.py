@@ -295,3 +295,82 @@ def test_deparallelize_mpo_preserves_triangular_form():
     assert dep2.cores.shape[-1] == nn.cores.shape[-1]
     assert np.max(np.abs(_mpo_dense(dep2, 6) - _mpo_dense(nn, 6))) \
         < 1e-13
+
+
+def test_oscillator_strengths_match_fci():
+    """UV spectroscopy end to end: the sector spectrum, transition
+    dipoles, and length-gauge oscillator strengths of H2/STO-3G against
+    a determinant-basis oracle (same sign bookkeeping as
+    :func:`fci_ground`, independent of the MPS/MPO pipeline).  Spin
+    selection is structural: the spin-summed dipole cannot connect the
+    singlet ground state to any triplet component."""
+    from contractn_tpu.models import gaussians as gau
+
+    syms, xyz = chem.h_chain_geometry(2, 1.4011)
+    basis, charges = chem.sto3g_basis(syms, xyz)
+    s_mat, hcore, eri, _ = chem.molecular_integrals(basis, charges, xyz)
+    _, c, _ = chem.restricted_hartree_fock(s_mat, hcore, eri, 2)
+    h1, g2 = chem.mo_transform(hcore, eri, c)
+    d_mo = np.einsum(
+        "cpq,pi,qj->cij", gau.dipole_integrals(basis), c, c
+    )
+
+    energies, states = chem.chemistry_excited(h1, g2, 2, 6, max_bond=8,
+                                              sweeps=5)
+    f, tdip = chem.oscillator_strengths(energies, states, d_mo)
+
+    # --- determinant-basis oracle (N = 2 sector, 4 spin orbitals) ---
+    dets = [b for b in range(1 << 4) if bin(b).count("1") == 2]
+    idx = {b: i for i, b in enumerate(dets)}
+
+    def op_matrix(terms):
+        mat = np.zeros((len(dets), len(dets)))
+        for det in dets:
+            for coef, ops in terms:
+                hit = chem._apply_ops(ops, det)
+                if hit is not None and hit[1] in idx:
+                    mat[idx[hit[1]], idx[det]] += hit[0] * coef
+        return mat
+
+    terms = []
+    for p in range(2):
+        for q in range(2):
+            for sg in (0, 1):
+                terms.append(
+                    (h1[p, q], [("cdag", 2 * p + sg), ("c", 2 * q + sg)])
+                )
+            for r in range(2):
+                for s2 in range(2):
+                    for sg in (0, 1):
+                        for tu in (0, 1):
+                            i1, i2 = 2 * p + sg, 2 * r + tu
+                            i3, i4 = 2 * s2 + tu, 2 * q + sg
+                            if i1 == i2 or i3 == i4:
+                                continue
+                            terms.append(
+                                (0.5 * g2[p, q, r, s2],
+                                 [("cdag", i1), ("cdag", i2),
+                                  ("c", i3), ("c", i4)])
+                            )
+    w, v = np.linalg.eigh(op_matrix(terms))
+    np.testing.assert_allclose(energies, w, atol=1e-8)
+
+    zterms = [
+        (d_mo[2][p, q], [("cdag", 2 * p + sg), ("c", 2 * q + sg)])
+        for p in range(2) for q in range(2) for sg in (0, 1)
+    ]
+    dmat = op_matrix(zterms)
+    td_fci = v[:, 0] @ dmat @ v
+    f_fci = (2.0 / 3.0) * (w - w[0]) * td_fci**2
+
+    # the bright sigma_g -> sigma_u singlet (state 4) and the dark rest
+    np.testing.assert_allclose(f, f_fci, atol=1e-8)
+    assert f[4] > 0.5  # the one allowed transition carries the weight
+    assert np.all(f[1:4] < 1e-12)  # triplets: spin-forbidden exactly
+    assert np.abs(tdip[:, :2]).max() < 1e-12  # off-axis: zero by C-inf-v
+    # transition_element also handles diagonal (permanent) moments:
+    # <0| z |0> == the FCI value (electrons sit mid-bond, geometry
+    # starts at the origin)
+    z_mpo = chem.one_body_mpo(d_mo[2])
+    perm = chem.transition_element(z_mpo, states[0], states[0])
+    assert abs(perm - td_fci[0]) < 1e-8
