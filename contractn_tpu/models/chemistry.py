@@ -63,6 +63,8 @@ __all__ = [
     "h_chain_geometry",
     "molecular_integrals",
     "restricted_hartree_fock",
+    "unrestricted_hartree_fock",
+    "uhf_natural_orbitals",
     "lowdin_orthogonal",
     "mo_transform",
     "chemistry_terms",
@@ -268,6 +270,90 @@ def restricted_hartree_fock(S, hcore, eri, n_elec, iters=200, tol=1e-12):
     eps, cp = np.linalg.eigh(fp)
     c = np.einsum("pq,qr->pr", x, cp)
     return float(e), c, eps
+
+
+def unrestricted_hartree_fock(S, hcore, eri, n_alpha, n_beta,
+                              iters=400, tol=1e-12, mix=0.25 * np.pi):
+    """Open-shell SCF with independent alpha/beta orbital sets.
+
+    The initial guess mixes the core-Hamiltonian HOMO/LUMO by ``mix``
+    with OPPOSITE rotations for the two spins — the standard
+    deterministic symmetry breaking that lets stretched closed-shell
+    systems find the broken (Coulson-Fischer) solution where it exists:
+    at dissociation UHF sits near the correct fragment limit while RHF
+    is ~0.2 Ha high on H2.  Where the restricted solution is the true
+    minimum (equilibrium geometries) the iteration heals back to it.
+
+    Returns ``(e_elec, (ca, cb), (eps_a, eps_b))``.  For DMRG
+    downstream use :func:`uhf_natural_orbitals` — the spin-orbital
+    compilation assumes ONE spatial basis for both spins.
+    """
+    x = lowdin_orthogonal(S)
+
+    def diag(f):
+        fp = np.einsum("pq,pr,rs->qs", x, f, x)
+        eps, cp = np.linalg.eigh(fp)
+        return eps, np.einsum("pq,qr->pr", x, cp)
+
+    def rotate(c, nocc, angle):
+        if not (0 < nocc < c.shape[1]) or angle == 0.0:
+            return c
+        out = c.copy()
+        h_col, l_col = c[:, nocc - 1], c[:, nocc]
+        out[:, nocc - 1] = np.cos(angle) * h_col + np.sin(angle) * l_col
+        out[:, nocc] = -np.sin(angle) * h_col + np.cos(angle) * l_col
+        return out
+
+    _, c0 = diag(hcore)
+    ca = rotate(c0, n_alpha, mix)
+    cb = rotate(c0, n_beta, -mix)
+    da = np.einsum("pi,qi->pq", ca[:, :n_alpha], ca[:, :n_alpha])
+    db = np.einsum("pi,qi->pq", cb[:, :n_beta], cb[:, :n_beta])
+    e_old = np.inf
+    fa = fb = hcore
+    for _ in range(iters):
+        j = np.einsum("rs,pqrs->pq", da + db, eri)
+        ka = np.einsum("rs,prqs->pq", da, eri)
+        kb = np.einsum("rs,prqs->pq", db, eri)
+        fa = hcore + j - ka
+        fb = hcore + j - kb
+        e = 0.5 * (
+            np.einsum("pq,pq->", da, hcore + fa)
+            + np.einsum("pq,pq->", db, hcore + fb)
+        )
+        if abs(e - e_old) < tol:
+            break
+        e_old = e
+        _, ca = diag(fa)
+        _, cb = diag(fb)
+        da = np.einsum("pi,qi->pq", ca[:, :n_alpha], ca[:, :n_alpha])
+        db = np.einsum("pi,qi->pq", cb[:, :n_beta], cb[:, :n_beta])
+    eps_a, ca = diag(fa)
+    eps_b, cb = diag(fb)
+    return float(e), (ca, cb), (eps_a, eps_b)
+
+
+def uhf_natural_orbitals(S, ca, cb, n_alpha, n_beta):
+    """One spatial basis from the UHF total density (UNO).
+
+    Diagonalizes the spin-summed density in the orthogonal basis;
+    columns are ordered by DESCENDING occupation, so the leading
+    ``n_elec/2``-ish orbitals are the natural active space.  Returns
+    ``(c_no, occs)`` — feed ``c_no`` to :func:`mo_transform` and run
+    the stock (single-basis) DMRG/FCI machinery.
+    """
+    x = lowdin_orthogonal(S)
+    d_tot = (
+        np.einsum("pi,qi->pq", ca[:, :n_alpha], ca[:, :n_alpha])
+        + np.einsum("pi,qi->pq", cb[:, :n_beta], cb[:, :n_beta])
+    )
+    # into the Lowdin (orthonormal) frame: D_ortho = X^-1 D X^-T with
+    # X = S^(-1/2), i.e. conjugate by S X = S^(1/2)
+    sx = np.linalg.inv(x)
+    d_o = np.einsum("pi,pq,qj->ij", sx.T, d_tot, sx.T)
+    occs, u = np.linalg.eigh(d_o)
+    occs, u = occs[::-1], u[:, ::-1]
+    return np.einsum("pq,qr->pr", x, u), occs
 
 
 def mo_transform(hcore, eri, c):

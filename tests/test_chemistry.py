@@ -374,3 +374,47 @@ def test_oscillator_strengths_match_fci():
     z_mpo = chem.one_body_mpo(d_mo[2])
     perm = chem.transition_element(z_mpo, states[0], states[0])
     assert abs(perm - td_fci[0]) < 1e-8
+
+
+def test_uhf_symmetry_breaking_and_radical_dmrg():
+    """Open-shell mean field: UHF heals to RHF at equilibrium, breaks
+    to the Coulson-Fischer solution at dissociation (RHF's 0.2 Ha
+    static-correlation failure), pins the Li doublet at the published
+    energy, and feeds a UNO basis whose odd-electron DMRG matches the
+    determinant FCI."""
+    from contractn_tpu.models import gaussians as gau
+
+    # equilibrium H2: the restricted solution IS the UHF minimum
+    syms, xyz = chem.h_chain_geometry(2, 1.4011)
+    basis, ch = chem.sto3g_basis(syms, xyz)
+    s, h, eri, en = chem.molecular_integrals(basis, ch, xyz)
+    e_r, _, _ = chem.restricted_hartree_fock(s, h, eri, 2)
+    e_u, _, _ = chem.unrestricted_hartree_fock(s, h, eri, 1, 1)
+    assert abs(e_u - e_r) < 1e-8
+
+    # stretched H2: UHF dissociates to ~2 E(H), RHF is ~0.29 Ha high
+    syms, xyz = chem.h_chain_geometry(2, 6.0)
+    basis, ch = chem.sto3g_basis(syms, xyz)
+    s, h, eri, en = chem.molecular_integrals(basis, ch, xyz)
+    e_r, _, _ = chem.restricted_hartree_fock(s, h, eri, 2)
+    e_u, _, _ = chem.unrestricted_hartree_fock(s, h, eri, 1, 1)
+    assert abs(e_u + en - 2 * (-0.46658185)) < 2e-3
+    assert e_u < e_r - 0.2
+
+    # Li doublet: published STO-3G energy, then UNO-basis DMRG == FCI
+    xyz = np.zeros((1, 3))
+    basis, ch = gau.sto3g_shell_basis(["Li"], xyz)
+    s, h, eri, _ = gau.molecular_integrals_general(basis, ch, xyz)
+    e_u, (ca, cb), _ = chem.unrestricted_hartree_fock(s, h, eri, 2, 1)
+    assert abs(e_u - (-7.315526)) < 1e-4
+    c_no, occs = chem.uhf_natural_orbitals(s, ca, cb, 2, 1)
+    # natural occupations of a single determinant are integers
+    np.testing.assert_allclose(occs, [2, 1, 0, 0, 0], atol=1e-8)
+    # the UNO basis is S-orthonormal
+    ortho = np.einsum("pi,pq,qj->ij", c_no, s, c_no)
+    assert np.abs(ortho - np.eye(5)).max() < 1e-10
+    h1, g2 = chem.mo_transform(h, eri, c_no)
+    e_fci = chem.fci_ground(h1, g2, n_elec=3)
+    assert e_fci < e_u  # correlation is variational
+    e_d, _, _ = chem.chemistry_dmrg(h1, g2, 3, max_bond=12, sweeps=4)
+    assert abs(e_d - e_fci) < 1e-8
