@@ -79,6 +79,24 @@ def water():
           f"(|DMRG - FCI| = {abs(e_dmrg - e_fci):.2e})")
 
 
+def lithium_radical():
+    print("\nLi atom (doublet) / STO-3G — open-shell pipeline")
+    xyz = np.zeros((1, 3))
+    basis, charges = g.sto3g_shell_basis(["Li"], xyz)
+    s, hcore, eri, _ = g.molecular_integrals_general(basis, charges, xyz)
+    e_u, (ca, cb), _ = chem.unrestricted_hartree_fock(s, hcore, eri, 2, 1)
+    print(f"  UHF        {e_u:12.6f}  (published -7.315526)")
+    c_no, occs = chem.uhf_natural_orbitals(s, ca, cb, 2, 1)
+    print(f"  UNO occupations {np.round(occs, 6)}")
+    h1, g2 = chem.mo_transform(hcore, eri, c_no)
+    e_fci = chem.fci_ground(h1, g2, n_elec=3)
+    e_dmrg, _, _ = chem.chemistry_dmrg(h1, g2, 3, max_bond=12, sweeps=4)
+    print(f"  FCI        {e_fci:12.6f}")
+    print(f"  DMRG       {e_dmrg:12.6f}  "
+          f"(|DMRG - FCI| = {abs(e_dmrg - e_fci):.2e})")
+
+
 if __name__ == "__main__":
     lih()
     water()
+    lithium_radical()
