@@ -95,9 +95,11 @@ def contract(*operands, **kwargs):
         # every path (engine._asarray), computation still runs through the
         # ONE XLA engine, and results convert back to the requested array
         # library.  The reference dispatched its interpreted loop into each
-        # library natively (einsum.py:24-28); here "backend" selects the
-        # result container only — autograd flows through JAX, not torch/tf
-        # (foreign tensors are detached on entry).
+        # library natively (einsum.py:24-28); here computation stays in XLA
+        # but native autograd is preserved through the interop bridge
+        # (compiler/interop.py): torch operands with requires_grad route
+        # through a torch.autograd.Function backed by the jitted JAX VJP,
+        # and tf operands through tf.custom_gradient.
         wrap = _result_wrapper(backend)
     elif backend not in ("auto", "jax", "numpy"):
         raise TNError(f"Unknown backend '{backend}'")
@@ -105,6 +107,21 @@ def contract(*operands, **kwargs):
     einstr = einstr.replace(" ", "")
     shapes = tuple(tuple(int(d) for d in t.shape) for t in tensors)
     _validate(einstr, shapes)
+
+    if backend == "torch" and _torch_needs_grad(tensors):
+        from .interop import torch_contract
+
+        return torch_contract(
+            einstr, tensors, dtype, _freeze(optimize), memory_limit,
+            split_format, wrap,
+        )
+    if backend == "tensorflow" and _tf_present(tensors):
+        from .interop import tf_contract
+
+        return tf_contract(
+            einstr, tensors, dtype, _freeze(optimize), memory_limit,
+            split_format, wrap,
+        )
 
     if backend == "numpy":
         tensors = [np.asarray(t, dtype=dtype) for t in tensors]
@@ -126,6 +143,28 @@ def contract(*operands, **kwargs):
             return tuple(wrap(r) for r in result)
         return wrap(result)
     return result
+
+
+def _torch_needs_grad(tensors):
+    """True if any operand is a torch tensor recording gradients."""
+    try:
+        import torch
+    except ImportError:
+        return False
+    return torch.is_grad_enabled() and any(
+        isinstance(t, torch.Tensor) and t.requires_grad for t in tensors
+    )
+
+
+def _tf_present(tensors):
+    """True if any operand is a TF tensor (tape may be watching it)."""
+    import sys
+
+    tf = sys.modules.get("tensorflow")
+    if tf is None:
+        return False
+    # tf.is_tensor also covers Variables, which are not tf.Tensor instances
+    return any(tf.is_tensor(t) for t in tensors)
 
 
 def _result_wrapper(backend):

@@ -656,7 +656,10 @@ def transition_element(mpo, bra, ket):
 
     The MPO is applied exactly (bond ``W * D``) and paired against the
     bra with the stabilized overlap — combining the split-format log
-    registers before exponentiating, as everywhere else.
+    registers before exponentiating, as everywhere else.  Returns a
+    Python ``complex``: for complex states (complex Hamiltonians are
+    supported elsewhere) the imaginary part is physical — consumers
+    that only need the magnitude should take ``abs()``.
     """
     from .boundary import apply_mpo_to_mps
 
@@ -665,7 +668,7 @@ def transition_element(mpo, bra, ket):
     nb_v, nb_l = bra.norm_squared()
     nk_v, nk_l = ket.norm_squared()
     scale = float(jnp.exp(num_l - 0.5 * (nb_l + nk_l)))
-    return float(jnp.real(num_v / jnp.sqrt(nb_v * nk_v))) * scale
+    return complex(num_v / jnp.sqrt(nb_v * nk_v)) * scale
 
 
 def oscillator_strengths(energies, states, d_mo):
@@ -688,12 +691,13 @@ def oscillator_strengths(energies, states, d_mo):
     live = [c for c in range(3) if np.abs(d_mo[c]).max() > 1e-12]
     mpos = {c: one_body_mpo(d_mo[c]) for c in live}
     ground = states[0]
-    tdip = np.zeros((len(states), 3))
+    tdip = np.zeros((len(states), 3), complex)
     for n, state in enumerate(states[1:], start=1):
         for c in live:
             tdip[n, c] = transition_element(mpos[c], ground, state)
     de = np.asarray(energies) - energies[0]
-    f = (2.0 / 3.0) * de * np.sum(tdip**2, axis=1)
+    # only |t|^2 enters — the per-state phase is a gauge
+    f = (2.0 / 3.0) * de * np.sum(np.abs(tdip) ** 2, axis=1)
     return f, tdip
 
 

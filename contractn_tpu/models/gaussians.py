@@ -82,10 +82,16 @@ def boys(m_max, t):
             out[m] = 1.0 / (2 * m + 1) - t / (2 * m + 3)
         return out
     if t > 35.0:
-        # asymptotic: the e^-t corrections are < 1e-15 here
+        # asymptotic F0 (erf(sqrt t) = 1 to < 1e-16 here), but carry
+        # the exact e^-t term through the upward recursion
+        # F_m = ((2m-1) F_{m-1} - e^-t) / (2t): the relative weight of
+        # the dropped term grows with m, which would degrade d/f-shell
+        # integrals near t ~ 35 if neglected.  Upward is stable at
+        # large t (division by 2t damps any F0 error).
+        et = math.exp(-t)
         out[0] = 0.5 * math.sqrt(math.pi / t)
         for m in range(1, m_max + 1):
-            out[m] = out[m - 1] * (2 * m - 1) / (2.0 * t)
+            out[m] = ((2 * m - 1) * out[m - 1] - et) / (2.0 * t)
         return out
     # F_m(t) = e^-t sum_k (2t)^k (2m-1)!! / (2m+2k+1)!!
     term = 1.0 / (2 * m_max + 1)

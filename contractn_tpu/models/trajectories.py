@@ -111,6 +111,13 @@ def mcwf_trajectory(mps0, h2, jumps, t, n_steps, max_bond=16, key=None,
     The jump decision uses the DISCRETE-step rule: survival probability
     = the squared norm after one non-Hermitian Trotter step, exact to
     the same order as the splitting itself.
+
+    TRUNCATION HAZARD: with a binding ``max_bond`` the SVD truncation
+    loss also lands in the norm, where it is indistinguishable from
+    physical decay — it inflates the jump probability ``1 - q``.  Keep
+    ``max_bond`` generous enough that truncation error is far below
+    ``dt * <L^+ L>`` (check convergence in ``max_bond``), exactly as
+    :meth:`CircuitState.apply_gate2` warns for fidelity.
     """
     n_sites = mps0.n_sites
     d = mps0.phys_dim

@@ -131,6 +131,20 @@ class Node:
     def is_copy(self):
         return self._node_type == "hyper"
 
+    @property
+    def G(self):
+        """The owning TN's layout as a ``networkx.MultiGraph``.
+
+        Parity: the reference exposed the raw backing graph
+        (``/root/reference/contractn/nodes.py``, ``G`` property) because
+        its TN *was* a networkx graph.  Here the graph core is a native
+        dict-adjacency structure, so this returns the same snapshot as
+        :meth:`TN.to_networkx` — analysis snippets written against the
+        reference keep working, but mutating the export does not mutate
+        the TN.
+        """
+        return self.tn.to_networkx()
+
     # ------------------------------------------------------------------ #
     # Edges and symbols
     # ------------------------------------------------------------------ #

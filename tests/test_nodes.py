@@ -255,3 +255,19 @@ def test_tensor_setter_keeps_ndim():
     assert node.shape == replacement.shape
     with pytest.raises(TNError):
         node.tensor = np.zeros((2, 3, 4))  # rank change = different node
+
+
+def test_node_g_graph_handle():
+    """Reference-parity ``Node.G``: the backing graph as networkx
+    (reference ``nodes.py`` exposed the raw MultiGraph; here it is the
+    same snapshot as ``TN.to_networkx``)."""
+    tn = TN()
+    a = tn.add_dense_node(np.ones((2, 3)))
+    b = tn.add_dense_node(np.ones((3, 4)))
+    tn.connect_nodes(a, b, 1, 0)
+    g = a.G
+    assert g.nodes[a.name]["node_type"] == "dense"
+    assert g.has_edge(a.name, b.name)
+    # snapshot semantics: mutating the export leaves the TN untouched
+    g.remove_node(b.name)
+    assert b.name in tn
