@@ -1,0 +1,234 @@
+"""HOTRG on the cubic lattice: 3D classical partition functions.
+
+Extends :mod:`contractn_tpu.models.hotrg` to three dimensions (Xie et
+al., PRB 86, 045139, Sec. IV): one step merges two site tensors along
+the current vertical axis, truncates BOTH transverse pair-bonds (x and
+y) with isometries from the merged tensor's one-sided density matrices,
+then rotates the lattice cyclically (z -> x -> y) so every axis is
+coarse-grained in turn.  After ``k`` steps one tensor stands for ``2^k``
+sites, so ~25 steps reach the thermodynamic limit of a genuinely
+three-dimensional model — the hardest setting for tensor-network
+contraction (3D networks have no exactly contractible structure at
+all).
+
+TPU shape decisions (same design invariants as the 2D module):
+
+* **Zero-padded static bonds** — the site tensor is padded to
+  ``(chi,)*6`` up front and the whole flow is ONE jitted ``lax.scan``;
+  density-matrix null eigenvectors keep the padding exactly zero.
+* **O(chi^11) flops, O(chi^8) peak memory.**  The chi^10 merged tensor
+  is never materialized: the contraction order below folds the bottom
+  tensor through the x- and y-isometries first (chi^8 intermediates),
+  hits the single chi^11 GEMM against the top tensor, then absorbs the
+  two remaining isometries at chi^9.  Density matrices are
+  assembled from two chi^8 half-contractions exactly like the 2D
+  module's App.-A factorization.
+* **Split format rides the flow** — ``g -> 2 g + log c`` per merge
+  (blocks double), the framework's flagship stabilization applied to a
+  3D RG flow where raw tensors overflow within ~8 steps.
+
+Validation (tests/test_hotrg3d.py): decoupled-layers limit equals
+Onsager's exact 2D free energy through the full 3D machinery; low- and
+high-temperature closed-form series; autodiff internal energy (frozen
+projectors, as in 2D) against the low-T expansion and against finite
+differences; qualitative magnetization jump across the 3D critical
+point.  The reference has no coarse-graining capability (this module
+has no counterpart file).
+
+Axis convention: ``a[u, l, d, r, f, k]`` — ``u/d`` the merge (z) axis,
+``l/r`` the x axis, ``f/k`` ("front/back") the y axis.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.stabilize import dot_precision
+from .hotrg import _isometry
+
+__all__ = [
+    "hotrg3d_log_z",
+    "hotrg3d_expectation",
+    "hotrg3d_log_z_diff",
+    "ising3d_tensor_smooth",
+    "ising3d_internal_energy_ad",
+]
+
+
+def _pad6(a, chi):
+    return jnp.pad(a, [(0, chi - s) for s in a.shape])
+
+
+def _density_pair3(top, bot, prec):
+    """x-bond density matrix of the (never-built) vertical pair.
+
+    ``rho[(l1 l2), (l1' l2')]`` summed over every other leg of
+    ``M = top *_m bot``; two chi^8 halves glued over ``(m, m')``.
+    """
+    chi = top.shape[0]
+    h1 = jnp.einsum("ulmrfk,uLMrfk->lLmM", top, top, precision=prec)
+    h2 = jnp.einsum("mldrfk,MLdrfk->lLmM", bot, bot, precision=prec)
+    rho = jnp.einsum("aAmM,bBmM->abAB", h1, h2, precision=prec)
+    return rho.reshape(chi * chi, chi * chi)
+
+
+def _swap_lr(a):
+    return jnp.transpose(a, (0, 3, 2, 1, 4, 5))
+
+
+def _to_y(a):
+    """Bring the y pair (f, k) into the (l, r) slots: (u,f,d,k,l,r)."""
+    return jnp.transpose(a, (0, 4, 2, 5, 1, 3))
+
+
+def _apply_pair3(top, bot, u3x, u3y, prec):
+    """Truncated vertical merge ``U_x^T U_y^T (top *_m bot) U_x U_y``.
+
+    ``u3x[a, b, l]`` eats (top x-leg ``a``, bot x-leg ``b``) — top leg
+    first, the shared-bond ordering both bond views agree on (see the
+    2D module).  Order keeps peak memory at chi^8 and the single
+    chi^11 contraction in one GEMM-shaped einsum.
+    """
+    # fold bot through the x and y isometries (pending top legs a, c)
+    q = jnp.einsum("abl,mbdrfk->almdrfk", u3x, bot, precision=prec)
+    q = jnp.einsum("cfy,almdrfk->almdrcyk", u3y, q, precision=prec)
+    # the chi^11 step: contract top over (a, c, m)
+    r_ = jnp.einsum("uamrck,almzwcyx->urklyzwx", top, q, precision=prec)
+    # r_[u, r1, k1, l, y(new f), z(=d), w(=r2), x(=k2)]
+    s = jnp.einsum("rwn,urklyzwx->uklynzx", u3x, r_, precision=prec)
+    # s[u, k1, l, y, n(new r), z(=d), x(=k2)]
+    return jnp.einsum("kxp,uklynzx->ulznyp", u3y, s, precision=prec)
+    # -> (u, l, d, r, f, k)
+
+
+def _rot3(a):
+    """Cycle the lattice axes z -> x -> y: new (u,l,d,r,f,k) =
+    old (l, f, r, k, u, d)."""
+    return jnp.transpose(a, (1, 4, 3, 5, 0, 2))
+
+
+def _merge_step3(a, imp, chi, prec, frozen_proj=False):
+    """One vertical merge + axis rotation; impurity position-averaged."""
+    rho_x = _density_pair3(a, a, prec)
+    am = _swap_lr(a)
+    rho_xr = _density_pair3(am, am, prec)
+    u3x, err_l = _isometry(rho_x, chi)
+    u3xr, err_r = _isometry(rho_xr, chi)
+    u3x = jnp.where(err_l <= err_r, u3x, u3xr)
+
+    ay = _to_y(a)
+    rho_y = _density_pair3(ay, ay, prec)
+    aym = _swap_lr(ay)
+    rho_yr = _density_pair3(aym, aym, prec)
+    u3y, err_f = _isometry(rho_y, chi)
+    u3yr, err_k = _isometry(rho_yr, chi)
+    u3y = jnp.where(err_f <= err_k, u3y, u3yr)
+
+    if frozen_proj:
+        u3x = jax.lax.stop_gradient(u3x)
+        u3y = jax.lax.stop_gradient(u3y)
+
+    a_new = _apply_pair3(a, a, u3x, u3y, prec)
+    imp_new = 0.5 * (
+        _apply_pair3(imp, a, u3x, u3y, prec)
+        + _apply_pair3(a, imp, u3x, u3y, prec)
+    )
+    c = jnp.maximum(jnp.mean(jnp.abs(a_new)), 1e-300)
+    err = jnp.minimum(err_l, err_r) + jnp.minimum(err_f, err_k)
+    return _rot3(a_new / c), _rot3(imp_new / c), jnp.log(c), err
+
+
+def _closure3(a):
+    """Periodic one-tensor closure ``sum a[u, l, u, l, f, f]``."""
+    return jnp.einsum("ululff->", a, precision=dot_precision(a.dtype))
+
+
+@partial(jax.jit, static_argnames=("chi", "steps", "frozen_proj"))
+def _hotrg3_flow(a0, imp0, chi, steps, frozen_proj=False):
+    prec = dot_precision(a0.dtype)
+    c0 = jnp.maximum(jnp.mean(jnp.abs(a0)), 1e-300)
+    carry0 = (a0 / c0, imp0 / c0, jnp.log(c0))
+
+    def body(carry, _):
+        a, imp, g = carry
+        a, imp, log_c, err = _merge_step3(a, imp, chi, prec, frozen_proj)
+        return (a, imp, 2.0 * g + log_c), err
+
+    (a, imp, g), errs = jax.lax.scan(body, carry0, None, length=steps)
+    tr_a = _closure3(a)
+    tr_i = _closure3(imp)
+    log_z = (g + jnp.log(jnp.abs(tr_a))) / (2.0 ** steps)
+    return log_z, tr_i / tr_a, errs
+
+
+def hotrg3d_log_z(a, chi, steps=25):
+    """``log(partition function per site)`` of the infinite cubic
+    lattice built from site tensor ``a`` with legs ``(u,l,d,r,f,k)``."""
+    a = jnp.asarray(a)
+    a0 = _pad6(a, chi)
+    log_z, _, _ = _hotrg3_flow(a0, a0, chi, int(steps))
+    return float(log_z)
+
+
+def hotrg3d_expectation(a, impurity, chi, steps=25):
+    """One-site impurity average ``<impurity>`` on the infinite cubic
+    lattice (position-averaged impurity flow sharing the pure tensor's
+    isometries and normalization)."""
+    a = jnp.asarray(a)
+    impurity = jnp.asarray(impurity, a.dtype)
+    _, ratio, _ = _hotrg3_flow(
+        _pad6(a, chi), _pad6(impurity, chi), chi, int(steps)
+    )
+    return float(ratio)
+
+
+def hotrg3d_log_z_diff(a, chi, steps=20):
+    """Traced ``log Z`` per site, reverse-differentiable through the
+    whole 3D flow with FROZEN projectors — same rule and rationale as
+    :func:`contractn_tpu.models.hotrg.hotrg_log_z_diff` (the truncation
+    boundary cuts degenerate multiplets where any eigh VJP diverges;
+    the frozen-projector gradient equals the impurity-flow insertion)."""
+    a0 = _pad6(jnp.asarray(a), chi)
+    log_z, _, _ = _hotrg3_flow(a0, a0, chi, int(steps), frozen_proj=True)
+    return log_z
+
+
+def ising3d_tensor_smooth(beta, h_field=0.0, beta_z=None):
+    """Cubic-lattice Ising site tensor, smooth in ``beta`` for autodiff.
+
+    Bond Boltzmann factor split as ``W = [[sqrt(cosh b), sqrt(sinh b)],
+    [sqrt(cosh b), -sqrt(sinh b)]]`` per axis (exact closed-form
+    eigendecomposition, as in the 2D smooth builder).  ``beta_z``
+    optionally decouples the z axis (``beta_z=0`` gives exactly stacked
+    independent 2D layers — the structural anchor the tests pin against
+    Onsager).  Legs ``(u, l, d, r, f, k)`` with u/d the z axis.
+    """
+    beta = jnp.asarray(beta)
+    if beta_z is None:
+        beta_z = beta
+
+    def w_of(b):
+        b = jnp.asarray(b, beta.dtype)
+        ch = jnp.sqrt(jnp.cosh(b))
+        sh = jnp.sqrt(jnp.sinh(b))
+        return jnp.stack([jnp.stack([ch, sh]), jnp.stack([ch, -sh])])
+
+    w = w_of(beta)
+    wz = w_of(beta_z)
+    weight = jnp.exp(h_field * jnp.asarray([1.0, -1.0], beta.dtype))
+    return jnp.einsum(
+        "s,su,sl,sd,sr,sf,sk->uldrfk", weight, wz, w, wz, w, w, w,
+        precision=dot_precision(w.dtype),
+    )
+
+
+def ising3d_internal_energy_ad(beta, chi, steps=20, h_field=0.0):
+    """Internal energy per site ``u = -d log Z / d beta`` of the 3D
+    Ising model by one reverse pass over the frozen-projector flow."""
+    grad = jax.grad(
+        lambda b: hotrg3d_log_z_diff(
+            ising3d_tensor_smooth(b, h_field), chi, steps
+        )
+    )
+    return float(-grad(jnp.asarray(beta, jnp.float64)))
