@@ -50,6 +50,7 @@ from .hotrg import _isometry
 __all__ = [
     "hotrg3d_log_z",
     "hotrg3d_expectation",
+    "hotrg3d_bond_expectation",
     "hotrg3d_log_z_diff",
     "ising3d_tensor_smooth",
     "ising3d_internal_energy_ad",
@@ -179,6 +180,48 @@ def hotrg3d_expectation(a, impurity, chi, steps=25):
     impurity = jnp.asarray(impurity, a.dtype)
     _, ratio, _ = _hotrg3_flow(
         _pad6(a, chi), _pad6(impurity, chi), chi, int(steps)
+    )
+    return float(ratio)
+
+
+def hotrg3d_bond_expectation(a, imp_top, imp_bot, chi, steps=25):
+    """Nearest-neighbor pair expectation ``<O_i O_j>`` on a vertical
+    (z-axis) bond of the cubic lattice: the first merge contracts the
+    two impure tensors into ONE coarse impurity (pinned pair, no
+    position averaging), sharing the pure tensor's isometries and
+    normalization; it then flows as a one-site impurity.  Mirrors the
+    2D :func:`~contractn_tpu.models.hotrg.hotrg_bond_expectation`."""
+    a = jnp.asarray(a)
+    imp_top = jnp.asarray(imp_top, a.dtype)
+    imp_bot = jnp.asarray(imp_bot, a.dtype)
+    prec = dot_precision(a.dtype)
+    chi = int(chi)
+
+    a0 = _pad6(a, chi)
+    t0 = _pad6(imp_top, chi)
+    b0 = _pad6(imp_bot, chi)
+    c0 = jnp.maximum(jnp.mean(jnp.abs(a0)), 1e-300)
+    a0, t0, b0 = a0 / c0, t0 / c0, b0 / c0
+
+    rho_x = _density_pair3(a0, a0, prec)
+    am = _swap_lr(a0)
+    rho_xr = _density_pair3(am, am, prec)
+    u3x, err_l = _isometry(rho_x, chi)
+    u3xr, err_r = _isometry(rho_xr, chi)
+    u3x = jnp.where(err_l <= err_r, u3x, u3xr)
+    ay = _to_y(a0)
+    rho_y = _density_pair3(ay, ay, prec)
+    aym = _swap_lr(ay)
+    rho_yr = _density_pair3(aym, aym, prec)
+    u3y, err_f = _isometry(rho_y, chi)
+    u3yr, err_k = _isometry(rho_yr, chi)
+    u3y = jnp.where(err_f <= err_k, u3y, u3yr)
+
+    a1 = _apply_pair3(a0, a0, u3x, u3y, prec)
+    i1 = _apply_pair3(t0, b0, u3x, u3y, prec)
+    c = jnp.maximum(jnp.mean(jnp.abs(a1)), 1e-300)
+    _, ratio, _ = _hotrg3_flow(
+        _rot3(a1 / c), _rot3(i1 / c), chi, int(steps) - 1
     )
     return float(ratio)
 

@@ -151,3 +151,16 @@ def test_anisotropic_energy_consistency():
     d = 1e-4
     fd = -(lz(beta + d) - lz(beta - d)) / (2.0 * d)
     assert np.isclose(u_ad, fd, atol=1e-2), (u_ad, fd)
+
+
+def test_bond_expectation_matches_energy():
+    """z-bond <s_i s_j> == -u/3 (three bonds per site; AD energy is
+    the independently validated oracle)."""
+    from contractn_tpu.models.hotrg3d import hotrg3d_bond_expectation
+
+    beta = 0.8
+    a, imp = _ising3d_pair(beta)
+    ss = hotrg3d_bond_expectation(a, imp, imp, chi=4, steps=22)
+    exact = (3.0 - 12.0 * np.exp(-12.0 * beta)
+             - 60.0 * np.exp(-20.0 * beta)) / 3.0
+    assert np.isclose(ss, exact, atol=1e-4), (ss, exact)
