@@ -584,3 +584,40 @@ def test_add_gate_validation():
         OpSum().add_gate(1.0, np.eye(4), 2, 2)  # same site
     with pytest.raises(ValueError):
         InfiniteOpSum().add_gate(1.0, np.eye(4), r=0)
+
+
+def test_ring_pbc_ground_state():
+    """Periodic boundary conditions out of the box: the wrap bond is
+    just another long-range OpSum term (one extra FSM channel held
+    open across the chain), so ring Hamiltonians ride the standard
+    open-chain DMRG.  TFIM and Heisenberg rings == periodic ED."""
+    import jax
+    import jax.numpy as jnp
+
+    from contractn_tpu.models.dmrg import dmrg
+    from contractn_tpu.models.mps import MPS
+
+    n = 10
+    ham = OpSum()
+    for i in range(n):
+        ham += (-1.0, "Z", i, "Z", (i + 1) % n)
+        ham += (-1.3, "X", i)
+    mpo = op_sum_mpo(ham, n)
+    mps0 = MPS.random(jax.random.PRNGKey(1), n, 2, 24,
+                      dtype=jnp.float64)
+    _, e, _ = dmrg(mpo, mps0, max_bond=24, sweeps=8)
+    want = np.linalg.eigvalsh(_dense_opsum(ham, n).real)[0]
+    assert abs(float(e) - want) < 1e-8, (float(e), want)
+
+    heis = OpSum()
+    for i in range(n):
+        j = (i + 1) % n
+        heis += (0.5, "S+", i, "S-", j)
+        heis += (0.5, "S-", i, "S+", j)
+        heis += (1.0, "Sz", i, "Sz", j)
+    mpo_h = op_sum_mpo(heis, n)
+    mps_h = MPS.random(jax.random.PRNGKey(2), n, 2, 32,
+                       dtype=jnp.float64)
+    _, e_h, _ = dmrg(mpo_h, mps_h, max_bond=32, sweeps=10)
+    want_h = np.linalg.eigvalsh(_dense_opsum(heis, n).real)[0]
+    assert abs(float(e_h) - want_h) < 1e-7, (float(e_h), want_h)
