@@ -134,12 +134,34 @@ class TN:
         self._incident[node.name] = []
 
     def _new_dangler(self, parent, idx, edge_symbol):
-        """Terminate mode ``idx`` of ``parent`` with a fresh dangling node."""
+        """Terminate mode ``idx`` of ``parent`` with a fresh dangling node.
+
+        Trusted internal fast path: ``parent`` was just validated (or the
+        edge being restored was), the dangler is fresh, and its variable
+        dim merges to the parent's — so the general ``_init_edge``
+        validation is skipped (profiled: it dominated 10k-node builds).
+        """
+        self._bump()
         dang_name = f"_dangler_{self._dang_id}"
         self._dang_id += 1
         dangler = Node(self, "dangler", dang_name, 1)
         self._register_node(dangler)
-        return self._init_edge(parent, dangler, idx, 0, edge_symbol)
+
+        n1, n2 = parent.name, dang_name
+        pair = (n1, n2) if n1 <= n2 else (n2, n1)
+        key = self._pair_keys.get(pair, 0)
+        self._pair_keys[pair] = key + 1
+        edge_id = (n1, n2, key)
+        edge = Edge(self, edge_id, parent.shape[idx], edge_symbol)
+        self._edges[edge_id] = edge
+        self._incident[n1].append(edge_id)
+        self._incident[n2].append(edge_id)
+        self._claim_symbol(edge_symbol)
+        parent.edge_names[idx] = edge_id
+        dangler.edge_names[0] = edge_id
+        if parent.is_copy:
+            self._cleanup_edge_symbols(parent)
+        return edge_id
 
     # ------------------------------------------------------------------ #
     # Edge construction / removal
@@ -295,8 +317,10 @@ class TN:
                 f"'{node2.name}' has dim {dim2}"
             )
 
-        es1 = node1.edge_symbols[index1]
-        es2 = node2.edge_symbols[index2]
+        # direct single-edge lookups: building the full edge_symbols
+        # tuple per call made connect_nodes O(deg) (profiled at 10k nodes)
+        es1 = self._edges[node1.edge_names[index1]].symbol
+        es2 = self._edges[node2.edge_names[index2]].symbol
         if edge_symbol is not None:
             check_symbol(edge_symbol)
             if edge_symbol in self._symbol_counts and edge_symbol not in (es1, es2):
