@@ -553,6 +553,53 @@ def bench_compile(on_tpu):
          round(ms, 1), "ms", None)
 
 
+def bench_hotrg3d(rtt, on_tpu):
+    """3D HOTRG flow (round 5): a genuinely 3D contraction workload —
+    the chi^11 merge einsum is one large GEMM-shaped contraction per
+    step, so the flow rides the MXU; reports effective TFLOP/s over
+    the whole jitted scan (isometry eigh included)."""
+    from contractn_tpu.models.hotrg3d import _hotrg3_flow, _pad6
+    from contractn_tpu.models.hotrg3d import ising3d_tensor_smooth
+
+    if on_tpu:
+        # chi=12 is the single-chip ceiling: the merge's two chi^8
+        # working buffers are 1.7 GB each here, 17 GB each at chi=16
+        # (> HBM).  See docs/ROOFLINE.md round-5 section for the
+        # measured ladder (einsum conv-lowering OOM'd at chi=12 from
+        # x10.7 tile padding; the GEMM-form merge runs it).
+        chi, steps, dtype = 12, 10, jnp.float32
+    else:
+        chi, steps, dtype = 5, 8, jnp.float64
+
+    a = jnp.asarray(ising3d_tensor_smooth(np.float64(0.2)), dtype)
+    a0 = _pad6(a, chi)
+
+    t0 = time.perf_counter()
+    lz = float(_hotrg3_flow(a0, a0, chi, steps)[0])
+    note(f"hotrg3d compile+first: {time.perf_counter()-t0:.1f}s "
+         f"(log z {lz:.6f})")
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        float(_hotrg3_flow(a0, a0, chi, steps)[0])
+        times.append(time.perf_counter() - t0)
+    # 3 truncated merges (pure + 2 impurity halves) x ~2 chi^11 FMA
+    # flops each per step; chi^8/chi^9 stages and the density halves
+    # are < 3% at chi >= 12
+    flops = steps * 3 * 2 * chi ** 11
+    best = min(times) - rtt
+    tflops = flops / best / 1e12
+    spread = tuple(
+        round(flops / (t - rtt) / 1e12, 2)
+        for t in (max(times), sorted(times)[len(times) // 2], min(times))
+    )
+    emit(
+        f"3D HOTRG cubic-lattice flow, chi {chi} x {steps} steps, "
+        f"one jitted scan, effective throughput",
+        round(tflops, 2), "TFLOP/s", None, spread=spread,
+    )
+
+
 def main():
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     rtt = measure_rtt()
@@ -566,6 +613,7 @@ def main():
     bench_cp_tucker(rtt)
     bench_mpo_expectation(rtt, on_tpu)
     bench_peps(rtt)
+    bench_hotrg3d(rtt, on_tpu)
     bench_graph_scale()
     bench_compile(on_tpu)
 

@@ -66,12 +66,41 @@ def _density_pair3(top, bot, prec):
 
     ``rho[(l1 l2), (l1' l2')]`` summed over every other leg of
     ``M = top *_m bot``; two chi^8 halves glued over ``(m, m')``.
+    All three contractions are explicit Gram GEMMs — the einsum forms
+    lowered to TPU convolutions that dominated the whole flow (same
+    layout pathology as :func:`_apply_pair3`, measured).
     """
     chi = top.shape[0]
-    h1 = jnp.einsum("ulmrfk,uLMrfk->lLmM", top, top, precision=prec)
-    h2 = jnp.einsum("mldrfk,MLdrfk->lLmM", bot, bot, precision=prec)
-    rho = jnp.einsum("aAmM,bBmM->abAB", h1, h2, precision=prec)
+    # h1[(l m), (L M)] = sum_{u r f k} top[u,l,m,r,f,k] top[u,L,M,r,f,k]
+    t2 = jnp.transpose(top, (1, 2, 0, 3, 4, 5)).reshape(chi * chi,
+                                                        chi ** 4)
+    h1 = jnp.matmul(t2, t2.T, precision=prec)
+    # h2[(l m), (L M)] = sum_{d r f k} bot[m,l,d,r,f,k] bot[M,L,d,r,f,k]
+    b2 = jnp.transpose(bot, (1, 0, 2, 3, 4, 5)).reshape(chi * chi,
+                                                        chi ** 4)
+    h2 = jnp.matmul(b2, b2.T, precision=prec)
+    # glue over (m, M): regroup both halves to (l L) x (m M) — chi^4
+    # objects, trivial
+    h1 = h1.reshape(chi, chi, chi, chi).transpose(0, 2, 1, 3)
+    h2 = h2.reshape(chi, chi, chi, chi).transpose(0, 2, 1, 3)
+    rho = jnp.matmul(h1.reshape(chi * chi, chi * chi),
+                     h2.reshape(chi * chi, chi * chi).T, precision=prec)
+    # rho is now [(l1 L1), (l2 L2)]; reorder to [(l1 l2), (L1 L2)]
+    rho = rho.reshape(chi, chi, chi, chi).transpose(0, 2, 1, 3)
     return rho.reshape(chi * chi, chi * chi)
+
+
+def _isometry_batched(rhos, chi):
+    """Top-``chi`` eigenbases of a (4, n, n) PSD stack; one batched
+    eigh.  Returns ``(u3s (4, chi, chi, chi), errs (4,))``."""
+    rhos = 0.5 * (rhos + jnp.swapaxes(rhos, 1, 2))
+    vals, vecs = jnp.linalg.eigh(rhos)
+    order = jnp.argsort(-vals, axis=1)
+    keep = order[:, :chi]  # (4, chi)
+    kept = jnp.take_along_axis(jnp.abs(vals), keep, axis=1)
+    errs = jnp.sum(jnp.abs(vals), axis=1) - jnp.sum(kept, axis=1)
+    u = jnp.take_along_axis(vecs, keep[:, None, :], axis=2)
+    return u.reshape(4, chi, chi, chi), errs
 
 
 def _swap_lr(a):
@@ -91,16 +120,50 @@ def _apply_pair3(top, bot, u3x, u3y, prec):
     2D module).  Order keeps peak memory at chi^8 and the single
     chi^11 contraction in one GEMM-shaped einsum.
     """
-    # fold bot through the x and y isometries (pending top legs a, c)
-    q = jnp.einsum("abl,mbdrfk->almdrfk", u3x, bot, precision=prec)
-    q = jnp.einsum("cfy,almdrfk->almdrcyk", u3y, q, precision=prec)
-    # the chi^11 step: contract top over (a, c, m)
-    r_ = jnp.einsum("uamrck,almzwcyx->urklyzwx", top, q, precision=prec)
-    # r_[u, r1, k1, l, y(new f), z(=d), w(=r2), x(=k2)]
-    s = jnp.einsum("rwn,urklyzwx->uklynzx", u3x, r_, precision=prec)
-    # s[u, k1, l, y, n(new r), z(=d), x(=k2)]
-    return jnp.einsum("kxp,uklynzx->ulznyp", u3y, s, precision=prec)
-    # -> (u, l, d, r, f, k)
+    chi = top.shape[0]
+    # The whole merge as a chain of explicit 2-D GEMMs.  TPU layout is
+    # the binding constraint, not flops: einsum lowers the 3-index
+    # contractions here to convolutions over 8-D buffers whose
+    # chi-sized minor dims get (8,128)-tile padded — x10.7 at chi=12
+    # blew 24 GB (measured OOM).  The fix is associativity: the y-pair
+    # isometry contracts into the SMALL top tensor first, so every
+    # large intermediate is a 2-D GEMM operand and every regroup is a
+    # fused-dim transpose whose minor dimension is >= chi^2 — no
+    # materialized 8-D buffer anywhere.  The two remaining tail
+    # isometries collapse into ONE GEMM against their chi^4 x chi^2
+    # outer product.
+    # q1: contract bot's x-leg b -> (a l) x (m f2 d r2 k2)
+    botp = jnp.transpose(bot, (1, 0, 4, 2, 3, 5))  # b, m, f2, d, r2, k2
+    xal = jnp.transpose(u3x, (0, 2, 1)).reshape(chi * chi, chi)
+    q1 = jnp.matmul(xal, botp.reshape(chi, chi ** 5), precision=prec)
+    # regroup -> (f2 a m) x (l d r2 k2); minor fused dim chi^3
+    q5 = q1.reshape(chi, chi, chi, chi, chi ** 3)  # a, l, m, f2, (drk)
+    q5 = jnp.transpose(q5, (3, 0, 2, 1, 4))        # f2, a, m, l, (drk)
+    qg = q5.reshape(chi ** 3, chi ** 4)
+    # topy: top's y-leg c eats u3y -> (u r1 k1 a m) x (f2 y)
+    topp = jnp.transpose(top, (0, 3, 5, 1, 2, 4))  # u, r1, k1, a, m, c
+    topy = jnp.matmul(topp.reshape(chi ** 5, chi),
+                      u3y.reshape(chi, chi * chi), precision=prec)
+    # regroup -> (u r1 k1 y) x (f2 a m); minor fused dim chi^2
+    t4 = topy.reshape(chi ** 3, chi * chi, chi, chi)
+    t4 = jnp.transpose(t4, (0, 3, 2, 1))  # (u r1 k1), y, f2, (a m)
+    tg = t4.reshape(chi ** 4, chi ** 3)
+    # barriers stop XLA fusing the regroup transposes into the GEMM
+    # operand reads (strided MXU feeds; measured 11% on the whole
+    # apply at chi=12)
+    qg = jax.lax.optimization_barrier(qg)
+    tg = jax.lax.optimization_barrier(tg)
+    # the chi^11 GEMM — a clean (chi^4, chi^3) @ (chi^3, chi^4)
+    rm = jnp.matmul(tg, qg, precision=prec)  # (u r1 k1 y) x (l d r2 k2)
+    # tail: regroup (u y l d) x (r1 k1 r2 k2) (minor fused chi^2),
+    # then both isometries at once against W[(r1 k1 r2 k2), (n p)]
+    r5 = rm.reshape(chi, chi * chi, chi, chi * chi, chi * chi)
+    r5 = jnp.transpose(r5, (0, 2, 3, 1, 4))  # u, y, (l d), (r1 k1), (r2 k2)
+    rg = jax.lax.optimization_barrier(r5.reshape(chi ** 4, chi ** 4))
+    w = jnp.einsum("rwn,kxp->rkwxnp", u3x, u3y, precision=prec)
+    out = jnp.matmul(rg, w.reshape(chi ** 4, chi * chi), precision=prec)
+    out = out.reshape((chi,) * 6)  # u, y, l, d, n(new r), p
+    return jnp.transpose(out, (0, 2, 3, 4, 1, 5))  # (u, l, d, r, f, k)
 
 
 def _rot3(a):
@@ -110,21 +173,25 @@ def _rot3(a):
 
 
 def _merge_step3(a, imp, chi, prec, frozen_proj=False):
-    """One vertical merge + axis rotation; impurity position-averaged."""
-    rho_x = _density_pair3(a, a, prec)
-    am = _swap_lr(a)
-    rho_xr = _density_pair3(am, am, prec)
-    u3x, err_l = _isometry(rho_x, chi)
-    u3xr, err_r = _isometry(rho_xr, chi)
-    u3x = jnp.where(err_l <= err_r, u3x, u3xr)
+    """One vertical merge + axis rotation; impurity position-averaged.
 
+    The four candidate density matrices go through ONE batched eigh:
+    on TPU the (chi^2, chi^2) eigendecompositions are serial-iteration
+    bound, so batching them shares the QR-sweep overhead 4 ways.
+    """
+    am = _swap_lr(a)
     ay = _to_y(a)
-    rho_y = _density_pair3(ay, ay, prec)
     aym = _swap_lr(ay)
-    rho_yr = _density_pair3(aym, aym, prec)
-    u3y, err_f = _isometry(rho_y, chi)
-    u3yr, err_k = _isometry(rho_yr, chi)
-    u3y = jnp.where(err_f <= err_k, u3y, u3yr)
+    rhos = jnp.stack([
+        _density_pair3(a, a, prec),
+        _density_pair3(am, am, prec),
+        _density_pair3(ay, ay, prec),
+        _density_pair3(aym, aym, prec),
+    ])
+    u3s, errs = _isometry_batched(rhos, chi)
+    u3x = jnp.where(errs[0] <= errs[1], u3s[0], u3s[1])
+    u3y = jnp.where(errs[2] <= errs[3], u3s[2], u3s[3])
+    err_l, err_r, err_f, err_k = errs[0], errs[1], errs[2], errs[3]
 
     if frozen_proj:
         u3x = jax.lax.stop_gradient(u3x)
