@@ -402,8 +402,8 @@ def test_torch_tensor_operands():
 
 def test_torch_backend_round_trip():
     """backend='torch' computes via XLA and returns torch tensors,
-    including requires_grad operands (detached on entry) and split
-    format pairs."""
+    including requires_grad operands (which now stay connected to the
+    torch graph — compiler/interop.py) and split format pairs."""
     torch = pytest.importorskip("torch")
     tn = TN()
     a = tn.add_dense_node(
@@ -413,11 +413,14 @@ def test_torch_backend_round_trip():
     tn.connect_nodes(a, b, 1, 0)
     out = tn.contract(backend="torch")
     assert isinstance(out, torch.Tensor)
-    assert np.allclose(out.numpy(), [6.0, 6.0], rtol=1e-12)
+    # native autograd: the result participates in the torch graph
+    assert out.requires_grad
+    assert np.allclose(out.detach().numpy(), [6.0, 6.0], rtol=1e-12)
     m, log = tn.contract(backend="torch", split_format=True)
     assert isinstance(m, torch.Tensor) and isinstance(log, torch.Tensor)
     assert np.allclose(
-        m.numpy() * np.exp(log.numpy()), [6.0, 6.0], rtol=1e-12
+        m.detach().numpy() * np.exp(log.detach().numpy()),
+        [6.0, 6.0], rtol=1e-12,
     )
 
 
