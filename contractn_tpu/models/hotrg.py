@@ -73,13 +73,26 @@ def _density_pair(top, bot, prec):
 
 def _isometry(rho, chi):
     """Top-``chi`` eigenbasis of a PSD ``rho``; returns ``(u3, err)``
-    with ``u3 (chi, chi, chi)`` and ``err`` the discarded weight."""
+    with ``u3 (chi, chi, chi)`` and ``err`` the discarded weight.
+
+    Kept columns whose eigenvalue is numerically ZERO (padding null
+    space) are zeroed outright: eigh fills them with ARBITRARY
+    orthonormal junk that annihilates the pure tensor but LEAKS
+    impurity components — measured as compilation-dependent impurity
+    ratios in the 3D checkerboard flow (the junk basis differs between
+    jit and eager lowerings).  Zeroing them projects onto exactly the
+    live space; pure flows are unchanged.
+    """
     rho = 0.5 * (rho + rho.T)
     vals, vecs = jnp.linalg.eigh(rho)
     order = jnp.argsort(-vals)
     keep = order[:chi]
-    err = jnp.sum(jnp.abs(vals)) - jnp.sum(jnp.abs(vals[keep]))
+    kept_vals = vals[keep]
+    err = jnp.sum(jnp.abs(vals)) - jnp.sum(jnp.abs(kept_vals))
     u = vecs[:, keep]
+    live = kept_vals > 1e-13 * jnp.maximum(jnp.max(jnp.abs(vals)),
+                                           1e-300)
+    u = u * live[None, :]
     return u.reshape(chi, chi, chi), err
 
 

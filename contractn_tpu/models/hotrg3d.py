@@ -92,14 +92,20 @@ def _density_pair3(top, bot, prec):
 
 def _isometry_batched(rhos, chi):
     """Top-``chi`` eigenbases of a (4, n, n) PSD stack; one batched
-    eigh.  Returns ``(u3s (4, chi, chi, chi), errs (4,))``."""
+    eigh.  Returns ``(u3s (4, chi, chi, chi), errs (4,))``.  Null-space
+    junk columns are zeroed (see ``hotrg._isometry``: they leak
+    impurity components nondeterministically)."""
     rhos = 0.5 * (rhos + jnp.swapaxes(rhos, 1, 2))
     vals, vecs = jnp.linalg.eigh(rhos)
     order = jnp.argsort(-vals, axis=1)
     keep = order[:, :chi]  # (4, chi)
-    kept = jnp.take_along_axis(jnp.abs(vals), keep, axis=1)
-    errs = jnp.sum(jnp.abs(vals), axis=1) - jnp.sum(kept, axis=1)
+    kept = jnp.take_along_axis(vals, keep, axis=1)
+    errs = (jnp.sum(jnp.abs(vals), axis=1)
+            - jnp.sum(jnp.abs(kept), axis=1))
     u = jnp.take_along_axis(vecs, keep[:, None, :], axis=2)
+    live = kept > 1e-13 * jnp.maximum(
+        jnp.max(jnp.abs(vals), axis=1, keepdims=True), 1e-300)
+    u = u * live[:, None, :]
     return u.reshape(4, chi, chi, chi), errs
 
 
@@ -120,6 +126,15 @@ def _apply_pair3(top, bot, u3x, u3y, prec):
     2D module).  Order keeps peak memory at chi^8 and the single
     chi^11 contraction in one GEMM-shaped einsum.
     """
+    return _apply_pair3_gen(top, bot, u3x, u3x, u3y, u3y, prec)
+
+
+def _apply_pair3_gen(top, bot, u3x_l, u3x_r, u3y_f, u3y_k, prec):
+    """The merge with per-slot isometries: on a CHECKERBOARD lattice
+    the four transverse pair-bonds of a merged column belong to four
+    distinct bond classes (see :func:`hotrg3d_ab_expectation`), each
+    carrying its own isometry; the uniform flow passes the same one
+    twice per axis."""
     chi = top.shape[0]
     # The whole merge as a chain of explicit 2-D GEMMs.  TPU layout is
     # the binding constraint, not flops: einsum lowers the 3-index
@@ -134,7 +149,7 @@ def _apply_pair3(top, bot, u3x, u3y, prec):
     # outer product.
     # q1: contract bot's x-leg b -> (a l) x (m f2 d r2 k2)
     botp = jnp.transpose(bot, (1, 0, 4, 2, 3, 5))  # b, m, f2, d, r2, k2
-    xal = jnp.transpose(u3x, (0, 2, 1)).reshape(chi * chi, chi)
+    xal = jnp.transpose(u3x_l, (0, 2, 1)).reshape(chi * chi, chi)
     q1 = jnp.matmul(xal, botp.reshape(chi, chi ** 5), precision=prec)
     # regroup -> (f2 a m) x (l d r2 k2); minor fused dim chi^3
     q5 = q1.reshape(chi, chi, chi, chi, chi ** 3)  # a, l, m, f2, (drk)
@@ -143,7 +158,7 @@ def _apply_pair3(top, bot, u3x, u3y, prec):
     # topy: top's y-leg c eats u3y -> (u r1 k1 a m) x (f2 y)
     topp = jnp.transpose(top, (0, 3, 5, 1, 2, 4))  # u, r1, k1, a, m, c
     topy = jnp.matmul(topp.reshape(chi ** 5, chi),
-                      u3y.reshape(chi, chi * chi), precision=prec)
+                      u3y_f.reshape(chi, chi * chi), precision=prec)
     # regroup -> (u r1 k1 y) x (f2 a m); minor fused dim chi^2
     t4 = topy.reshape(chi ** 3, chi * chi, chi, chi)
     t4 = jnp.transpose(t4, (0, 3, 2, 1))  # (u r1 k1), y, f2, (a m)
@@ -160,7 +175,7 @@ def _apply_pair3(top, bot, u3x, u3y, prec):
     r5 = rm.reshape(chi, chi * chi, chi, chi * chi, chi * chi)
     r5 = jnp.transpose(r5, (0, 2, 3, 1, 4))  # u, y, (l d), (r1 k1), (r2 k2)
     rg = jax.lax.optimization_barrier(r5.reshape(chi ** 4, chi ** 4))
-    w = jnp.einsum("rwn,kxp->rkwxnp", u3x, u3y, precision=prec)
+    w = jnp.einsum("rwn,kxp->rkwxnp", u3x_r, u3y_k, precision=prec)
     out = jnp.matmul(rg, w.reshape(chi ** 4, chi * chi), precision=prec)
     out = out.reshape((chi,) * 6)  # u, y, l, d, n(new r), p
     return jnp.transpose(out, (0, 2, 3, 4, 1, 5))  # (u, l, d, r, f, k)
@@ -290,6 +305,154 @@ def hotrg3d_bond_expectation(a, imp_top, imp_bot, chi, steps=25):
     _, ratio, _ = _hotrg3_flow(
         _rot3(a1 / c), _rot3(i1 / c), chi, int(steps) - 1
     )
+    return float(ratio)
+
+
+# ------------------------------------------------------------------ #
+# Checkerboard (two-sublattice) lattices
+# ------------------------------------------------------------------ #
+
+def _min_iso(rho1, rho2, chi):
+    """Shared bond isometry: the side with smaller discarded weight."""
+    u1, e1 = _isometry(rho1, chi)
+    u2, e2 = _isometry(rho2, chi)
+    return jnp.where(e1 <= e2, u1, u2)
+
+
+def _seed_checkerboard(a, b, chi, prec, imp_a=None, imp_b=None):
+    """Three two-species merges collapsing the NaCl checkerboard onto
+    a uniform cubic lattice.
+
+    Site species by parity: A at even ``i+j+k``.  Merge 1 (z) pairs
+    ``bot = z`` even with ``top = z`` odd, giving supersites S (bot A,
+    top B; even ``i+j``) and S' (bot B, top A) on an xy-checkerboard —
+    every transverse pair-bond joins S to S', so the four bond slots
+    carry FOUR distinct isometries (classes S.r-S'.l, S'.r-S.l,
+    S.f-S'.k, S'.f-S.k).  Merge 2 (x, after rotation) pairs S/S' into
+    T/T' alternating only along y (the old-z bonds are now same-species
+    with per-species isometries); merge 3 (y) yields ONE uniform
+    tensor.  Optional impurities replace the A (bot) and/or B (top) of
+    one z-pair and ride the S -> T -> U chain pinned (top position at
+    each stage), sharing the pure tensors' isometries and norms;
+    position averaging starts in the uniform flow.
+
+    Returns ``(u, imp_u, g_u)``: the uniform tensor (mean |u| = 1),
+    the impurity at the same scale, and the accumulated log-scale of
+    one 8-site supersite.
+    """
+    if imp_a is None:
+        imp_a = a
+    if imp_b is None:
+        imp_b = b
+
+    def _norm(t):
+        c = jnp.maximum(jnp.mean(jnp.abs(t)), 1e-300)
+        return t / c, jnp.log(c)
+
+    # ---- merge 1: along z; S = (top b | bot a), S' = (top a | bot b)
+    u3x1 = _min_iso(
+        _density_pair3(a, b, prec),
+        _density_pair3(_swap_lr(b), _swap_lr(a), prec), chi)
+    u3x2 = _min_iso(
+        _density_pair3(b, a, prec),
+        _density_pair3(_swap_lr(a), _swap_lr(b), prec), chi)
+    u3y1 = _min_iso(
+        _density_pair3(_swap_lr(_to_y(a)), _swap_lr(_to_y(b)), prec),
+        _density_pair3(_to_y(b), _to_y(a), prec), chi)
+    u3y2 = _min_iso(
+        _density_pair3(_to_y(a), _to_y(b), prec),
+        _density_pair3(_swap_lr(_to_y(b)), _swap_lr(_to_y(a)), prec),
+        chi)
+    s = _apply_pair3_gen(b, a, u3x2, u3x1, u3y1, u3y2, prec)
+    sp = _apply_pair3_gen(a, b, u3x1, u3x2, u3y2, u3y1, prec)
+    s_imp = _apply_pair3_gen(imp_b, imp_a, u3x2, u3x1, u3y1, u3y2,
+                             prec)
+    s, gs = _norm(s)
+    sp, gsp = _norm(sp)
+    s_imp = s_imp * jnp.exp(-gs)
+    s, sp, s_imp = _rot3(s), _rot3(sp), _rot3(s_imp)
+
+    # ---- merge 2: along old x; T = (top s | bot sp) at even old-y
+    xt1 = _min_iso(
+        _density_pair3(sp, s, prec),
+        _density_pair3(_swap_lr(s), _swap_lr(sp), prec), chi)
+    xt2 = _min_iso(
+        _density_pair3(s, sp, prec),
+        _density_pair3(_swap_lr(sp), _swap_lr(s), prec), chi)
+    yt = _min_iso(
+        _density_pair3(_to_y(s), _to_y(sp), prec),
+        _density_pair3(_swap_lr(_to_y(s)), _swap_lr(_to_y(sp)), prec),
+        chi)
+    ytp = _min_iso(
+        _density_pair3(_to_y(sp), _to_y(s), prec),
+        _density_pair3(_swap_lr(_to_y(sp)), _swap_lr(_to_y(s)), prec),
+        chi)
+    t = _apply_pair3_gen(s, sp, xt2, xt1, yt, yt, prec)
+    tp = _apply_pair3_gen(sp, s, xt1, xt2, ytp, ytp, prec)
+    t_imp = _apply_pair3_gen(s_imp, sp, xt2, xt1, yt, yt, prec)
+    t, gt = _norm(t)
+    tp, gtp = _norm(tp)
+    t_imp = t_imp * jnp.exp(-gt)
+    t, tp, t_imp = _rot3(t), _rot3(tp), _rot3(t_imp)
+
+    # ---- merge 3: along old y.  ORIENTATION TRAP (cost a debugging
+    # session): after two rotations the frame's "down" leg is the
+    # original MINUS-y leg, so the vertical bond top.d2—bot.u2 is
+    # (site j+1).k0—(site j).f0 — the TOP tensor is the ODD sublattice
+    # T' and the impurity (even j) rides the BOT slot.  Merge 2 is the
+    # opposite (frame-1 down = original +x): top there is the even
+    # site.  Uniform U = (top tp | bot t).
+    u3x = _min_iso(
+        _density_pair3(tp, t, prec),
+        _density_pair3(_swap_lr(tp), _swap_lr(t), prec), chi)
+    u3y = _min_iso(
+        _density_pair3(_to_y(tp), _to_y(t), prec),
+        _density_pair3(_swap_lr(_to_y(tp)), _swap_lr(_to_y(t)), prec),
+        chi)
+    uu = _apply_pair3_gen(tp, t, u3x, u3x, u3y, u3y, prec)
+    u_imp = _apply_pair3_gen(tp, t_imp, u3x, u3x, u3y, u3y, prec)
+    uu, gu = _norm(uu)
+    u_imp = u_imp * jnp.exp(-gu)
+    g_total = 2.0 * (gs + gsp) + gt + gtp + gu
+    return _rot3(uu), _rot3(u_imp), g_total
+
+
+@partial(jax.jit, static_argnames=("chi", "steps"))
+def _hotrg3_ab(a, b, imp_a, imp_b, chi, steps):
+    prec = dot_precision(a.dtype)
+    uu, imp_u, g_seed = _seed_checkerboard(a, b, chi, prec, imp_a,
+                                           imp_b)
+    log_z_u, ratio, errs = _hotrg3_flow(uu, imp_u, chi, steps)
+    # _hotrg3_flow's per-input-site log z + the seed scale, per 8 sites
+    return (g_seed + log_z_u) / 8.0, ratio, errs
+
+
+def hotrg3d_ab_log_z(a, b, chi, steps=22):
+    """``log Z`` per site of the two-sublattice (NaCl checkerboard)
+    cubic lattice with alternating site tensors ``a`` / ``b``.  With
+    ``a == b`` this reproduces :func:`hotrg3d_log_z` (pinned in the
+    tests) — the seeds are then just three uniform merge steps."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b, a.dtype)
+    lz, _, _ = _hotrg3_ab(_pad6(a, chi), _pad6(b, chi), None, None,
+                          chi, int(steps))
+    return float(lz)
+
+
+def hotrg3d_ab_expectation(a, b, imp_a=None, imp_b=None, chi=6,
+                           steps=22):
+    """Impurity expectation on the checkerboard lattice: ``imp_a``
+    replaces one A-sublattice tensor, ``imp_b`` the B tensor directly
+    above it — one for a sublattice-resolved one-site observable, both
+    for a z-bond pair observable."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b, a.dtype)
+    imp_a = None if imp_a is None else _pad6(jnp.asarray(imp_a,
+                                                         a.dtype), chi)
+    imp_b = None if imp_b is None else _pad6(jnp.asarray(imp_b,
+                                                         a.dtype), chi)
+    _, ratio, _ = _hotrg3_ab(_pad6(a, chi), _pad6(b, chi), imp_a,
+                             imp_b, chi, int(steps))
     return float(ratio)
 
 
