@@ -164,3 +164,88 @@ def test_bond_expectation_matches_energy():
     exact = (3.0 - 12.0 * np.exp(-12.0 * beta)
              - 60.0 * np.exp(-20.0 * beta)) / 3.0
     assert np.isclose(ss, exact, atol=1e-4), (ss, exact)
+
+
+def test_checkerboard_reduces_to_uniform():
+    """hotrg3d_ab_* with a == b must reproduce the uniform flow (the
+    seeds are then three ordinary merges): log Z, one-site and
+    z-bond impurities."""
+    from contractn_tpu.models.hotrg3d import (
+        hotrg3d_ab_expectation,
+        hotrg3d_ab_log_z,
+    )
+
+    beta = 0.3
+    a, imp = _ising3d_pair(beta, h=0.01)
+    lz_ab = hotrg3d_ab_log_z(a, a, chi=4, steps=22)
+    lz = hotrg3d_log_z(a, chi=4, steps=25)
+    assert np.isclose(lz_ab, lz, atol=1e-7), (lz_ab, lz)
+    m_ab = hotrg3d_ab_expectation(a, a, imp_a=imp, chi=4, steps=22)
+    m = hotrg3d_expectation(a, imp, chi=4, steps=25)
+    assert np.isclose(m_ab, m, atol=1e-6), (m_ab, m)
+
+    a0, imp0 = _ising3d_pair(0.8)
+    from contractn_tpu.models.hotrg3d import hotrg3d_bond_expectation
+
+    ss_ab = hotrg3d_ab_expectation(a0, a0, imp_a=imp0, imp_b=imp0,
+                                   chi=4, steps=22)
+    ss = hotrg3d_bond_expectation(a0, imp0, imp0, chi=4, steps=25)
+    assert np.isclose(ss_ab, ss, atol=1e-8), (ss_ab, ss)
+
+
+def test_checkerboard_alternating_field_chains():
+    """Genuinely two-species input: beta = 0 in-plane decouples the
+    NaCl lattice into 1D chains with ALTERNATING field +-h — exactly
+    solvable by a two-site transfer matrix.  Joint truncation of the
+    bundled decoupled chains bounds the accuracy (see the decoupled-
+    layers test); the anchor pins the A/B species geometry, which a
+    swapped class or frame-inverse bug breaks at O(1)."""
+    from contractn_tpu.models.hotrg3d import hotrg3d_ab_log_z
+
+    beta, h = 0.4, 0.3
+    ch, sh = np.sqrt(np.cosh(beta)), np.sqrt(np.sinh(beta))
+    w = np.array([[ch, sh], [ch, -sh]])
+    one = np.array([[1.0], [1.0]])
+
+    def site(field):
+        wt = np.exp(field * np.array([1.0, -1.0]))
+        return np.einsum("s,su,sl,sd,sr,sf,sk->uldrfk", wt, w, one,
+                         w, one, one, one)
+
+    def t_mat(hh):
+        return np.array([[np.exp(beta + hh), np.exp(-beta + hh)],
+                         [np.exp(-beta - hh), np.exp(beta - hh)]])
+
+    m = t_mat(h) @ t_mat(-h)
+    exact = 0.5 * np.log(max(np.linalg.eigvals(m).real))
+    got = hotrg3d_ab_log_z(site(+h), site(-h), chi=4, steps=22)
+    assert np.isclose(got, exact, atol=1e-3), (got, exact)
+
+
+def test_checkerboard_impurity_chain_oracle():
+    """Asymmetric random alternating chains along z with a one-site
+    impurity: the checkerboard flow matches the exact transfer-matrix
+    ratio (the seed routes the impurity through three merges — a
+    wrong top/bot slot at any stage moves it to the wrong site)."""
+    from contractn_tpu.models.hotrg3d import hotrg3d_ab_expectation
+
+    rng = np.random.default_rng(1)
+    m_a = rng.uniform(0.5, 1.5, (2, 2))
+    m_b = rng.uniform(0.5, 1.5, (2, 2))
+    i_a = rng.uniform(-1.0, 1.0, (2, 2))
+
+    def embed(mat):
+        t = np.zeros((2, 2, 2, 2, 2, 2))
+        for s in range(2):
+            for tt in range(2):
+                t[s, 0, tt, 0, 0, 0] = mat[tt, s]  # (u, d) <- m[d, u]
+        return t
+
+    n = 300
+    m = m_b.T @ m_a.T
+    mi = m_b.T @ i_a.T
+    p = np.linalg.matrix_power(m, n - 1)
+    exact = np.trace(mi @ p) / np.trace(m @ p)
+    got = hotrg3d_ab_expectation(embed(m_a), embed(m_b),
+                                 imp_a=embed(i_a), chi=5, steps=25)
+    assert np.isclose(got, exact, atol=2e-3), (got, exact)
